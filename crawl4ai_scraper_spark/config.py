@@ -1,0 +1,73 @@
+"""Crawl job configuration (≙ CrawlConfig, /root/reference/crawler.py:26-77).
+
+Only the knobs that affect DATA are kept; interactive/browser-only settings
+(verbose, proxy, js injection, dependency auto-install) are out of scope by
+design (SURVEY.md §7 non-goals). Persisted as JSON next to checkpoints, which
+mirrors the reference's config save/load round-trip
+(/root/reference/config_manager.py:64-112).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+
+@dataclass
+class CrawlJobConfig:
+    # Discovery budget (crawler.py:29-30)
+    max_depth: int = 2
+    max_pages: int = 50
+    include_external: bool = False  # crawler.py:31
+
+    # Politeness (crawler.py:32-33). In this engine the delay is VIRTUAL time:
+    # it schedules, it never sleeps; host_rules may override per host.
+    concurrent_limit: int = 3
+    delay_between_requests: float = 1.0
+
+    # Patterns
+    patterns: List[str] = field(default_factory=list)
+    exclude_patterns: List[str] = field(default_factory=list)
+
+    # Cleaning (crawler.py:63-77)
+    cleaning_profile: str = "moderate"
+    min_content_length: int = 100
+    custom_nav_patterns: List[str] = field(default_factory=list)
+    custom_footer_patterns: List[str] = field(default_factory=list)
+    custom_skip_patterns: List[str] = field(default_factory=list)
+
+    # Output naming (output_manager.py strategies)
+    organization_strategy: str = "flat"
+    naming_convention: str = "url_based"
+    include_metadata: bool = True
+
+    # Engine knobs (ours): scale/partitioning
+    shuffle_partitions: int = 32
+    host_salt_buckets: int = 16
+    bloom_capacity: int = 1 << 20
+    bloom_fpp: float = 0.01
+    # Priority mode: "fifo" replicates the reference's BFS queue exactly;
+    # "priority" orders each round by (priority desc, arrival) — our extension.
+    frontier_order: str = "fifo"
+
+    def dump(self, path: Path) -> None:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(asdict(self), indent=2, sort_keys=True))
+
+    @classmethod
+    def load(cls, path: Path) -> "CrawlJobConfig":
+        return cls(**json.loads(Path(path).read_text()))
+
+
+# Presets mirroring config_manager.py:264-339 (data-affecting fields only).
+PRESETS = {
+    "default": CrawlJobConfig(),
+    "fast": CrawlJobConfig(max_depth=1, max_pages=10, concurrent_limit=5,
+                           delay_between_requests=0.5),
+    "comprehensive": CrawlJobConfig(max_depth=3, max_pages=200, concurrent_limit=2,
+                                    delay_between_requests=2.0),
+    "api_docs": CrawlJobConfig(max_depth=2, max_pages=100, concurrent_limit=3,
+                               delay_between_requests=1.0),
+}

@@ -1,0 +1,257 @@
+"""Deterministic HTML → (links, title, description, markdown, cleaned text).
+
+The reference delegates fetching + rendering to a headless browser and takes
+``result.markdown`` / ``result.links`` / ``result.cleaned_html`` from crawl4ai
+(crawler.py:460-472). In this engine "the web" is a table, so this module IS
+the fetch result: a pure, stdlib-only (html.parser) renderer that both the
+sequential oracle and the Arrow UDFs call. Byte-identical text parity between
+oracle and Spark holds by construction because both run these exact functions;
+the golden ``text`` column of the synthetic pages table is produced by the
+same code at generation time.
+
+Mirrors of the reference's fetch configuration:
+* excluded_tags nav/footer/header/aside (crawler.py:434) — those subtrees are
+  dropped from markdown and cleaned text output.
+* link ordering — in-document order, internal/external split by host equality
+  of the resolved absolute URL (crawl4ai's links dict; consumed at
+  crawler.py:210-230). Duplicates are preserved; dedup is the BFS's job.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import urljoin, urlparse
+
+# Subtrees never rendered into markdown / cleaned text.
+_DROP_TAGS = frozenset(
+    ["script", "style", "noscript", "template", "svg", "iframe",
+     "nav", "footer", "header", "aside"]  # crawler.py:434 excluded_tags
+)
+_HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
+# Tags that terminate the current text block.
+_BLOCK_TAGS = frozenset(
+    ["p", "div", "section", "article", "main", "ul", "ol", "table", "tr",
+     "td", "th", "br", "hr", "form", "figure"]
+) | frozenset(_HEADING_LEVEL) | frozenset(["li", "pre", "blockquote"])
+
+_WS_RX = re.compile(r"\s+")
+
+
+class _PageParser(HTMLParser):
+    """Single-pass extraction of links, title, meta description and markdown
+    blocks. Line-oriented, append-only — O(page size)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: List[Tuple[str, str]] = []  # (href, anchor-ish tag context)
+        self.title_parts: List[str] = []
+        self.description: Optional[str] = None
+        self.blocks: List[str] = []
+        self._drop_depth = 0
+        self._in_title = False
+        self._in_pre = False
+        self._buf: List[str] = []
+        self._prefix = ""
+        self._href_stack: List[str] = []
+        self._anchor_text: List[str] = []
+
+    # -- block plumbing ----------------------------------------------------
+    def _flush(self) -> None:
+        text = "".join(self._buf)
+        if self._in_pre:
+            block = text.strip("\n")
+            if block.strip():
+                self.blocks.append(f"```\n{block}\n```")
+        else:
+            norm = _WS_RX.sub(" ", text).strip()
+            if norm:
+                self.blocks.append(self._prefix + norm)
+        self._buf = []
+        self._prefix = ""
+
+    # -- parser hooks --------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        amap = dict(attrs)
+        if tag == "a":
+            href = (amap.get("href") or "").strip()
+            if href:
+                self.links.append((href, ""))
+                self._href_stack.append(href)
+                self._anchor_text.append("")
+        if tag == "meta" and self.description is None:
+            if (amap.get("name") or "").lower() == "description":
+                self.description = amap.get("content") or ""
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+        elif tag in _HEADING_LEVEL:
+            self._flush()
+            self._prefix = "#" * _HEADING_LEVEL[tag] + " "
+        elif tag == "li":
+            self._flush()
+            self._prefix = "- "
+        elif tag == "blockquote":
+            self._flush()
+            self._prefix = "> "
+        elif tag == "pre":
+            self._flush()
+            self._in_pre = True
+        elif tag == "code" and not self._in_pre:
+            self._buf.append("`")
+        elif tag in ("strong", "b"):
+            self._buf.append("**")
+        elif tag in ("em", "i"):
+            self._buf.append("*")
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._href_stack:
+            href = self._href_stack.pop()
+            label = _WS_RX.sub(" ", self._anchor_text.pop()).strip()
+            if not self._drop_depth:
+                self._buf.append(f"[{label}]({href})")
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+        elif tag == "pre":
+            self._flush()
+            self._in_pre = False
+        elif tag == "code" and not self._in_pre:
+            self._buf.append("`")
+        elif tag in ("strong", "b"):
+            self._buf.append("**")
+        elif tag in ("em", "i"):
+            self._buf.append("*")
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if self._drop_depth:
+            return
+        if self._href_stack:
+            # Anchor text renders via the [label](href) form at </a>.
+            self._anchor_text[-1] += data
+            return
+        self._buf.append(data)
+
+    def close(self) -> None:  # flush trailing block
+        super().close()
+        self._flush()
+
+
+def _parse(html: str) -> _PageParser:
+    parser = _PageParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # Malformed HTML: keep whatever was parsed so far (never raise —
+        # a fetch in the reference would degrade, not crash the crawl).
+        parser._flush()
+    return parser
+
+
+def decode_html(html) -> str:
+    """Pages store html as binary (BASELINE.json input_hint); decode utf-8
+    with replacement so no page can poison a batch."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return str(html)
+
+
+def page_title(html: str) -> Optional[str]:
+    p = _parse(html)
+    if not p.title_parts:
+        return None
+    return _WS_RX.sub(" ", "".join(p.title_parts)).strip()
+
+
+def page_description(html: str) -> str:
+    return _parse(html).description or ""
+
+
+def extract_links(html: str, base_url: str) -> List[Dict]:
+    """All non-empty hrefs in document order with 0-based position and an
+    internal/external flag (host equality of the resolved URL vs the page —
+    the classification crawl4ai feeds to crawler.py:210-230)."""
+    base_host = urlparse(base_url).netloc
+    out: List[Dict] = []
+    for pos, (href, _) in enumerate(_parse(html).links):
+        absolute = urljoin(base_url, href)
+        out.append(
+            {
+                "href": href,
+                "link_pos": pos,
+                "is_internal": urlparse(absolute).netloc == base_host,
+            }
+        )
+    return out
+
+
+def html_to_markdown(html: str) -> str:
+    """Deterministic markdown rendering: heading prefixes, ``- `` list items,
+    fenced ``pre`` blocks, ``[label](href)`` links, blocks joined by blank
+    lines. This is the engine's stand-in for crawl4ai's DefaultMarkdownGenerator
+    output (crawler.py:437-443)."""
+    return "\n\n".join(_parse(html).blocks)
+
+
+def cleaned_html_of(html: str) -> str:
+    """The engine's stand-in for crawl4ai's ``result.cleaned_html``
+    (crawler.py:481): boilerplate subtrees dropped, remaining text blocks
+    joined by single newlines, whitespace-normalized."""
+    parser = _parse(html)
+    plain = []
+    for block in parser.blocks:
+        # Strip the markdown affordances for the "cleaned html" view.
+        text = block
+        if text.startswith("```"):
+            text = text.strip("`\n")
+        text = re.sub(r"\[([^\]]*)\]\([^)]*\)", r"\1", text)
+        text = text.lstrip("#>- ").strip()
+        if text:
+            plain.append(text)
+    return "\n".join(plain)
+
+
+def fetch_render(html, url: str) -> Dict:
+    """One-stop render of a stored page: everything crawl_single_url reads
+    from the crawl4ai result object (crawler.py:465-496)."""
+    text = decode_html(html)
+    parser = _parse(text)
+    title = _WS_RX.sub(" ", "".join(parser.title_parts)).strip() if parser.title_parts else None
+    base_host = urlparse(url).netloc
+    links = []
+    internal = external = 0
+    for pos, (href, _) in enumerate(parser.links):
+        absolute = urljoin(url, href)
+        is_internal = urlparse(absolute).netloc == base_host
+        internal += is_internal
+        external += not is_internal
+        links.append({"href": href, "link_pos": pos, "is_internal": is_internal})
+    markdown = "\n\n".join(parser.blocks)
+    return {
+        "title": title if title is not None else "Untitled",
+        "description": parser.description or "",
+        "markdown": markdown,
+        "cleaned_html": cleaned_html_of(text),
+        "links": links,
+        "links_internal": internal,
+        "links_external": external,
+    }
