@@ -113,16 +113,23 @@ def page_exists(spec: WebSpec, url: str) -> bool:
         return False
     if len(segs) == 1:
         return query == ""
-    if not (segs[1].startswith("page") and segs[1].endswith(".html")):
+    if len(segs) == 2:  # leaf page: /sec{i}/page{j}.html (optionally ?v=1)
+        if not (segs[1].startswith("page") and segs[1].endswith(".html")):
+            return False
+        try:
+            j = int(segs[1][4:-5])
+        except ValueError:
+            return False
+        return j < spec.n_pages(k, i)
+    # deep appendix paths use the bare page stem: /sec{i}/page{j}/extra[/more]
+    if not segs[1].startswith("page"):
         return False
     try:
-        j = int(segs[1][4:-5])
+        j = int(segs[1][4:])
     except ValueError:
         return False
     if j >= spec.n_pages(k, i):
         return False
-    if len(segs) == 2:
-        return True  # page, optionally ?v=1
     if len(segs) == 3 and segs[2] == "extra" and query == "":
         return j % 3 == 0
     if len(segs) == 4 and segs[2] == "extra" and segs[3] == "more" and query == "":
@@ -130,21 +137,25 @@ def page_exists(spec: WebSpec, url: str) -> bool:
     return False
 
 
+def iter_host_urls(spec: WebSpec, k: int) -> Iterator[str]:
+    host = spec.host(k)
+    yield f"https://{host}/"
+    yield f"https://{host}/about"
+    for i in range(spec.n_secs(k)):
+        yield f"https://{host}/sec{i}"
+        for j in range(spec.n_pages(k, i)):
+            base = f"https://{host}/sec{i}/page{j}.html"
+            yield base
+            yield base + "?v=1"
+            if j % 3 == 0:
+                yield f"https://{host}/sec{i}/page{j}/extra"
+            if j % 6 == 0:
+                yield f"https://{host}/sec{i}/page{j}/extra/more"
+
+
 def iter_urls(spec: WebSpec) -> Iterator[str]:
     for k in range(spec.n_hosts):
-        host = spec.host(k)
-        yield f"https://{host}/"
-        yield f"https://{host}/about"
-        for i in range(spec.n_secs(k)):
-            yield f"https://{host}/sec{i}"
-            for j in range(spec.n_pages(k, i)):
-                base = f"https://{host}/sec{i}/page{j}.html"
-                yield base
-                yield base + "?v=1"
-                if j % 3 == 0:
-                    yield f"https://{host}/sec{i}/page{j}/extra"
-                if j % 6 == 0:
-                    yield f"https://{host}/sec{i}/page{j}/extra/more"
+        yield from iter_host_urls(spec, k)
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +246,7 @@ def page_html(spec: WebSpec, url: str) -> Optional[str]:
         if j % 3 == 0:
             links.append(f'<a href="/sec{i}/page{j}/extra">supplementary notes</a>')
     elif len(segs) == 3:  # /extra
-        i, j = int(segs[0][3:]), int(segs[1][4:-5])
+        i, j = int(segs[0][3:]), int(segs[1][4:])
         title = f"Extra notes {i}/{j} {title_salad}"
         body.append(f"<h1>{title}</h1>")
         body.append(f"<p>{_salad((spec.seed, 'extra', url), 30)}.</p>")
@@ -243,7 +254,7 @@ def page_html(spec: WebSpec, url: str) -> Optional[str]:
             links.append(f'<a href="/sec{i}/page{j}/extra/more">even more</a>')
         links.append(f'<a href="/sec{i}/page{j}.html">back to entry</a>')
     else:  # /extra/more
-        i, j = int(segs[0][3:]), int(segs[1][4:-5])
+        i, j = int(segs[0][3:]), int(segs[1][4:])
         title = f"Deep appendix {i}/{j} {title_salad}"
         body.append(f"<h1>{title}</h1>")
         body.append(f"<p>{_salad((spec.seed, 'more', url), 34)}.</p>")

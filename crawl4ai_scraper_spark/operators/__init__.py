@@ -1,0 +1,13 @@
+"""Large-scale training-data pipeline operators (first-class, per the build
+brief): deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force cosine, IVF-cell, LSH hyperplane buckets),
+text analysis (language-ID, quality scoring, token counting, fingerprinting)
+and multimodal binary-column plumbing.
+
+Everything is built from native ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen-friendly) except where binary decoding genuinely needs
+Python — and there it is Arrow-batched ``mapInPandas``, never per-row UDFs.
+Each operator has a DuckDB-SQL oracle in ``__spark_entry__.oracle_sql`` built
+from the same deterministic primitives (md5 / regex / list ops), so the
+driver's value-hash comparison holds bit-for-bit.
+"""

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk``      — brute-force exact baseline: broadcast the (small)
+                         query set against all vectors; dot products via
+                         ``zip_with``/``aggregate`` (native, codegen'd); top-k
+                         by a per-query window. At scale the data side streams
+                         — no shuffle until the tiny top-k aggregation.
+* ``ivf_topk``         — IVF-style scale path: restrict the search to the
+                         query's coarse cell (here the pre-assigned ``label``
+                         plays the centroid-assignment role), turning the
+                         cross product into a cell-local equi-join.
+* ``lsh_hyperplane_buckets`` — sign-random-projection buckets from
+                         DETERMINISTIC literal hyperplanes (seeded, embedded
+                         in the plan), so the DuckDB oracle can reproduce the
+                         exact bucket ids; ANN = search within bucket.
+
+Ranking ties are broken by neighbor id so results are hash-stable across
+engines despite float math.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` ids.
+    Returns (query_id, neighbor_id, rank)."""
+    queries = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    data = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        data.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("qvec").cast("array<double>"), F.col("nvec").cast("array<double>"))
+            / (norm(F.col("qvec").cast("array<double>")) * norm(F.col("nvec").cast("array<double>"))),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """ANN restricted to the query's coarse cell — the IVF pruning pattern.
+    Returns (query_id, neighbor_id, rank)."""
+    queries = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col(cell_col).alias("cell")
+    )
+    data = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), F.col(cell_col).alias("cell")
+    )
+    scored = (
+        data.join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("qvec").cast("array<double>"), F.col("nvec").cast("array<double>"))
+            / (norm(F.col("qvec").cast("array<double>")) * norm(F.col("nvec").cast("array<double>"))),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible in any
+    engine; values in [-1, 1) with 3 decimals (exactly representable enough
+    for stable signs)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            v = (int(h[:8], 16) % 2000 - 1000) / 1000.0
+            row.append(round(v, 3))
+        planes.append(row)
+    return planes
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-random-projection bucket per vector: bit p = dot(v, plane_p) > 0.
+    Returns (vec_id, bucket string of '0'/'1')."""
+    planes = hyperplanes(n_planes, dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return embeddings.select(F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket"))

@@ -1,0 +1,258 @@
+"""The crawl driver: level-synchronous BFS loop + extraction pass.
+
+≙ crawl_with_discovery (/root/reference/crawler.py:602-655): Phase 1 runs
+``run_round`` once per BFS level with checkpoint commits between rounds
+(resume = start from the last committed manifest); Phase 2 joins the
+discovered set back against pages and extracts documents in one Arrow pass.
+
+Driver-side state is four integers (round, seq_base, discovered count,
+virtual clock) — everything heavy lives in checkpointed tables. No
+``collect()`` of data rows anywhere in the loop; the only driver materializers
+are tiny counts/aggregates and the per-partition offsets inside global_rank.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+from urllib.parse import urlparse
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_scraper_spark.config import CrawlJobConfig
+from crawl4ai_scraper_spark.functions.udfs import EXTRACTED_SCHEMA, extract_documents
+from crawl4ai_scraper_spark.kernel.urls import extract_domain
+from crawl4ai_scraper_spark.plans.bloom import build_bloom
+from crawl4ai_scraper_spark.plans.checkpoint import (
+    commit_round,
+    latest_round,
+    load_manifest,
+    read_frontier,
+    read_state,
+)
+from crawl4ai_scraper_spark.plans.frontier import run_round
+from crawl4ai_scraper_spark.plans.politeness import virtual_schedule
+from crawl4ai_scraper_spark.sources.pages import DEFAULT_PBUCKETS, with_pbucket
+
+RUN_TS_ISO = "2025-01-01T00:00:00"  # virtual clock epoch: reproducible crawled_at
+
+
+@dataclass
+class CrawlResult:
+    visited: DataFrame      # url, host, depth, seq, success, matched, sched_ts, round
+    discovered: DataFrame   # url — pattern-matched successes, sorted (O-27)
+    edges: DataFrame        # parent_url, child_url, link_pos, round
+    lineage: DataFrame      # round, stage, partition, rows
+    documents: Optional[DataFrame]
+    summary: Dict
+    rounds: int
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_url: str,
+    cfg: CrawlJobConfig,
+    chk_dir: str,
+    host_rules: Optional[DataFrame] = None,
+    resume: bool = False,
+    extract: bool = True,
+    use_bloom: bool | str = "auto",
+    priority_col: Optional[Callable[[DataFrame], Column]] = None,
+    n_buckets: Optional[int] = None,
+    max_rounds: Optional[int] = None,  # stop early (kill simulation / tests)
+) -> CrawlResult:
+    seed_domain = extract_domain(seed_url)
+    # The fetch join computes pbucket = pmod(xxhash64(url), N); N MUST equal
+    # the modulus the pages table was written with or lookups silently miss.
+    if n_buckets is None:
+        n_buckets = DEFAULT_PBUCKETS
+
+    last = latest_round(chk_dir) if resume else None
+    if last is not None:
+        meta = load_manifest(chk_dir, last)
+        rnd = last + 1
+        seq_base = meta["seq_base"]
+        discovered_n = meta["discovered"]
+        round_vt = meta["round_vt"]
+        done = meta.get("done", False)
+        frontier = read_frontier(spark, chk_dir, last)
+        enqueued = read_state(spark, chk_dir, "enqueued", last)
+        frontier_n = meta.get("frontier_n", frontier.count())
+        enqueued_n = meta.get("enqueued_n", enqueued.count())
+    else:
+        # config persisted next to the checkpoints (≙ config_manager save)
+        cfg.dump(Path(chk_dir) / "crawl_config.json")
+        rnd, seq_base, discovered_n, round_vt, done = 0, 0, 0, 0.0, False
+        frontier = spark.createDataFrame(
+            [(seed_url, urlparse(seed_url).netloc, 0, 1)],
+            "url string, host string, depth int, arrival_rank long",
+        )
+        enqueued = frontier.select("url")
+        # round-0 bootstrap commit so a resume before the first round works
+        commit_round(
+            chk_dir, 0, frontier,
+            {"enqueued": enqueued,
+             "visited": _empty(spark, "url string, host string, depth int, seq long, success boolean, matched boolean, sched_ts double, arrival_rank long"),
+             "edges": _empty(spark, "parent_url string, child_url string, link_pos int"),
+             "lineage": _empty(spark, "stage string, partition int, rows long")},
+            {"seq_base": 0, "discovered": 0, "round_vt": 0.0, "bootstrap": True, "done": False,
+             "frontier_n": 1, "enqueued_n": 1},
+        )
+        last = 0
+        rnd = 1
+        frontier_n, enqueued_n = 1, 1
+
+    while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
+        if max_rounds is not None and rnd > max_rounds:
+            break
+        if frontier_n == 0:
+            break
+        # Bloom pre-filter pays off once the seen set dwarfs the candidate
+        # stream; below the threshold the build job costs more than the
+        # anti-join it would shave ("auto"). Correctness never depends on it.
+        build_it = use_bloom is True or (use_bloom == "auto" and enqueued_n > 100_000)
+        bloom = None
+        if build_it:
+            bloom = build_bloom(enqueued, "url", capacity=max(cfg.bloom_capacity, enqueued_n * 2),
+                                fpp=cfg.bloom_fpp)
+        rr = run_round(
+            pages, frontier, enqueued, cfg, seed_domain,
+            seq_base=seq_base, discovered_so_far=discovered_n,
+            host_rules=host_rules, bloom=bloom, n_buckets=n_buckets,
+            priority_col=priority_col, frontier_count=frontier_n,
+        )
+        visits = virtual_schedule(rr.visits, host_rules, cfg.delay_between_requests, round_vt)
+        vt_step = visits.agg(F.max("sched_ts")).collect()[0][0]
+        round_vt = (vt_step if vt_step is not None else round_vt) + cfg.delay_between_requests
+
+        seq_base += rr.counts["visited"]
+        discovered_n += rr.counts["matched_new"]
+        frontier_n = rr.counts["frontier_out"]
+        enqueued_n += frontier_n
+        done = rr.truncated or frontier_n == 0
+
+        commit_round(
+            chk_dir, rnd, rr.new_frontier,
+            {
+                "visited": visits.select("url", "host", "depth", "seq", "success",
+                                         "matched", "sched_ts", "arrival_rank"),
+                "enqueued": rr.new_frontier.select("url"),
+                "edges": rr.new_edges,
+                "lineage": rr.lineage,
+            },
+            {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
+             "done": done, "counts": rr.counts,
+             "frontier_n": frontier_n, "enqueued_n": enqueued_n},
+        )
+        last = rnd
+        rnd += 1
+        frontier = read_frontier(spark, chk_dir, last)
+        enqueued = read_state(spark, chk_dir, "enqueued", last)
+
+    visited = read_state(spark, chk_dir, "visited", last)
+    edges = read_state(spark, chk_dir, "edges", last)
+    lineage = read_state(spark, chk_dir, "lineage", last)
+    discovered = visited.filter("matched").select("url").orderBy("url")  # O-27 sorted output
+
+    documents, summary = (None, {})
+    if extract:
+        documents, summary = extract_pass(spark, pages, discovered, cfg, chk_dir, n_buckets)
+    summary["rounds"] = last
+    summary["discovered"] = discovered_n
+
+    return CrawlResult(
+        visited=visited, discovered=discovered, edges=edges, lineage=lineage,
+        documents=documents, summary=summary, rounds=last,
+    )
+
+
+def extract_pass(
+    spark: SparkSession,
+    pages: DataFrame,
+    discovered: DataFrame,
+    cfg: CrawlJobConfig,
+    chk_dir: str,
+    n_buckets: int = 32,
+) -> tuple[DataFrame, Dict]:
+    """Phase 2 ≙ ContentCrawler.crawl_urls (crawler.py:547-599): fetch join,
+    one Arrow extraction pass, native formatting, documents_out + summary."""
+    from crawl4ai_scraper_spark.functions.udfs import make_path_udf
+
+    fetch = (
+        with_pbucket(discovered.select("url"), n_buckets)
+        .join(pages.select("pbucket", "url", "html"), ["pbucket", "url"], "left")
+        .select("url", "html", F.lit(RUN_TS_ISO).alias("crawled_at"))
+    )
+    cfg_kwargs = dict(
+        custom_nav_patterns=cfg.custom_nav_patterns,
+        custom_footer_patterns=cfg.custom_footer_patterns,
+        custom_skip_patterns=cfg.custom_skip_patterns,
+        min_content_length=cfg.min_content_length,
+        cleaning_profile=cfg.cleaning_profile,
+    )
+    docs = fetch.mapInPandas(extract_documents(cfg_kwargs), EXTRACTED_SCHEMA)
+
+    path_udf = make_path_udf(cfg.organization_strategy, cfg.naming_convention, RUN_TS_ISO)
+    docs = docs.withColumn("rel_path", path_udf(F.col("url"), F.col("title")))
+    if cfg.include_metadata:
+        # YAML-ish front matter, built NATIVELY (JVM concat — no UDF), matching
+        # kernel.naming.format_with_metadata byte for byte.
+        formatted = F.concat(
+            F.lit("---\nurl: "), F.col("url"),
+            F.lit("\ntitle: "), F.coalesce(F.col("title"), F.lit("Untitled")),
+            F.lit("\ndescription: "), F.coalesce(F.col("description"), F.lit("")),
+            F.lit("\ncrawled_at: "), F.col("crawled_at"),
+            F.lit("\ncontent_length: "), F.col("content_length").cast("string"),
+            F.lit("\ncapture_mode: enhanced\n---\n# "),
+            F.coalesce(F.col("title"), F.lit("Untitled")),
+            F.lit("\n\n"), F.coalesce(F.col("markdown"), F.lit("")),
+        )
+    else:
+        formatted = F.coalesce(F.col("markdown"), F.lit(""))
+    docs = docs.withColumn("formatted", F.when(F.col("success"), formatted))
+
+    out_dir = os.path.join(chk_dir, "outputs", "documents")
+    docs.write.mode("overwrite").parquet(out_dir)
+    docs = spark.read.parquet(out_dir)
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("total_urls"),
+        F.count(F.when(F.col("success"), 1)).alias("successful"),
+        F.count(F.when(~F.col("success"), 1)).alias("failed"),
+        F.coalesce(F.sum(F.when(F.col("success"), F.col("content_length"))), F.lit(0)).alias(
+            "total_content_length"
+        ),
+    ).collect()[0]
+    summary = {k: int(agg[k]) for k in ("total_urls", "successful", "failed", "total_content_length")}
+    with open(os.path.join(chk_dir, "outputs", "crawl_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2, sort_keys=True)  # ≙ crawler.py:594-597
+    return docs, summary
+
+
+def run_multi_seed(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: List[str],
+    cfg: CrawlJobConfig,
+    chk_root: str,
+    **kwargs,
+) -> DataFrame:
+    """Union-distinct discovery across seeds ≙ crawl_multiple
+    (crawler.py:693-703): independent per-seed crawls, discovered sets
+    union-deduped, sorted."""
+    out: Optional[DataFrame] = None
+    for idx, seed in enumerate(seeds):
+        res = run_crawl(spark, pages, seed, cfg, os.path.join(chk_root, f"seed_{idx:02d}"),
+                        extract=False, **kwargs)
+        out = res.discovered if out is None else out.unionByName(res.discovered)
+    assert out is not None
+    return out.dropDuplicates(["url"]).orderBy("url")

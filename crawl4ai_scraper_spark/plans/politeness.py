@@ -1,0 +1,74 @@
+"""Politeness: robots rules + per-host virtual-time scheduling (O-19, §2.9).
+
+The reference's only politeness is one global wall-clock sleep
+(crawler.py:33, 237-238) — it never affects WHAT is crawled or in what order,
+only when. This engine keeps that contract:
+
+* ``robots_filter`` (our extension; the reference merely advises robots.txt in
+  README.md:609) drops candidates whose path matches a host's disallow
+  prefixes BEFORE they are enqueued. With an empty rules table the engine is
+  bit-identical to the reference. Rules are a tiny dimension table →
+  broadcast join.
+* ``virtual_schedule`` assigns each visit a deterministic virtual timestamp:
+  within a round, the i-th visit of a host h departs at
+  ``round_vt + i * crawl_delay(h)``. Pure metadata (recorded on visited rows,
+  exposed for budget accounting); the crawl order is fixed by the FIFO
+  ranks, never by the schedule — which is exactly how the reference behaves.
+
+``host_rules`` schema: host string, crawl_delay double, disallow_prefixes array<string>.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HOST_RULES_SCHEMA = "host string, crawl_delay double, disallow_prefixes array<string>"
+
+
+def empty_host_rules(spark) -> DataFrame:
+    return spark.createDataFrame([], HOST_RULES_SCHEMA)
+
+
+def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> DataFrame:
+    """Drop robots-disallowed candidates. Broadcast the (tiny) rules table;
+    prefix test is a native EXISTS over the array — no UDF."""
+    if host_rules is None:
+        return candidates
+    rules = F.broadcast(host_rules.select(
+        F.col("host").alias("child_host"), "disallow_prefixes"
+    ))
+    joined = candidates.join(rules, "child_host", "left")
+    path = F.regexp_replace(F.col("child_url"), r"^[a-z]+://[^/]*", "")
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~disallowed).drop("disallow_prefixes")
+
+
+def virtual_schedule(
+    visits: DataFrame,
+    host_rules: Optional[DataFrame],
+    default_delay: float,
+    round_vt: float,
+) -> DataFrame:
+    """Attach ``sched_ts`` (seconds of virtual time) per visit: rank within
+    host × that host's crawl delay. Partitioned window by host — host-hash
+    distribution, no global sort."""
+    if host_rules is not None:
+        delays = F.broadcast(host_rules.select("host", "crawl_delay"))
+        visits = visits.join(delays, "host", "left")
+    else:
+        visits = visits.withColumn("crawl_delay", F.lit(None).cast("double"))
+    host_rank = F.row_number().over(Window.partitionBy("host").orderBy("arrival_rank"))
+    return (
+        visits.withColumn(
+            "sched_ts",
+            F.lit(round_vt)
+            + (host_rank - F.lit(1)) * F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
+        )
+        .drop("crawl_delay")
+    )

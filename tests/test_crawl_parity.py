@@ -1,0 +1,153 @@
+"""Spark engine ⇄ sequential oracle equivalence (SURVEY §5.2, scenarios from
+FIXTURES.md §6). The gates, per BASELINE.json: crawl order list-equal,
+URL-seen set set-equal, discovered output list-equal (sorted, crawler.py:250),
+extracted text BYTE-equal per url, run summary field-equal."""
+
+import json
+import os
+
+import pytest
+
+from crawl4ai_scraper_spark.config import CrawlJobConfig
+from crawl4ai_scraper_spark.oracle import oracle_crawl, oracle_discover
+from crawl4ai_scraper_spark.oracle.simulator import oracle_multi_seed
+from crawl4ai_scraper_spark.plans.driver import run_crawl, run_multi_seed
+
+SEED = "https://site0.example/"
+
+
+def assert_parity(spark_res, oracle_res, check_text=True):
+    spark_order = [r["url"] for r in spark_res.visited.orderBy("seq").select("url").collect()]
+    oracle_order = [u for u, _ in oracle_res.visit_order]
+    assert spark_order == oracle_order, (
+        f"crawl order diverges at "
+        f"{next(i for i, (a, b) in enumerate(zip(spark_order + [None], oracle_order + [None])) if a != b)}"
+    )
+    assert set(spark_order) == oracle_res.visited
+    sd = [r["url"] for r in spark_res.discovered.collect()]
+    assert sd == oracle_res.discovered
+    if check_text:
+        docs = {r["url"]: r["markdown"] for r in spark_res.documents.collect()}
+        for rec in oracle_res.records:
+            assert docs[rec["url"]] == rec.get("markdown"), f"text mismatch for {rec['url']}"
+        for key, val in oracle_res.summary.items():
+            assert spark_res.summary[key] == val, key
+
+
+def test_bfs_with_budget_truncation(spark, pages3, web3, chk_dir):
+    """bfs_basic + bfs_truncate: level order, first-appender depth, seen set,
+    mid-level max_pages cut (crawler.py:179, 241-247), byte-identical text."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+    # the summary json sink exists (≙ crawl_summary.json, crawler.py:594-597)
+    assert json.load(open(os.path.join(chk_dir, "outputs", "crawl_summary.json")))["total_urls"] == 40
+
+
+def test_tight_budget_cut(spark, pages3, web3, chk_dir):
+    """max_pages smaller than one level — the cut lands mid-round."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=2, max_pages=7)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=False)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_patterns_exclude_first(spark, pages3, web3, chk_dir):
+    """Wildcard include/exclude semantics (crawler.py:111-130): exclusions
+    win, include gates discovery but not traversal."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(
+        max_depth=2, max_pages=50,
+        patterns=["**/sec0/**", "**/sec1/**"],
+        exclude_patterns=["**/*.html?v=1", "**/extra"],
+    )
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_fetch_failures_are_visited_not_discovered(spark, pages3, web3, chk_dir):
+    """Dangling links: visited, never matched (discovered.add sits inside
+    ``if result.success``, crawler.py:204-207)."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=1, max_pages=50)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=False)
+    oracle = oracle_crawl(fetch, SEED, cfg)
+    assert_parity(res, oracle)
+    missing = [u for u in oracle.visited if fetch(u) is None]
+    assert missing, "scenario must include a dangling link"
+    assert not set(missing) & set(oracle.discovered)
+
+
+def test_multi_seed_union(spark, pages3, web3, chk_dir):
+    """Union-distinct across seeds ≙ crawl_multiple (crawler.py:695-703)."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=1, max_pages=30)
+    seeds = ["https://site0.example/", "https://site1.example/", "https://site2.example/"]
+    got = [r["url"] for r in run_multi_seed(spark, pages3, seeds, cfg, chk_dir, use_bloom=False).collect()]
+    assert got == oracle_multi_seed(fetch, seeds, cfg)
+
+
+def test_resume_from_checkpoint(spark, pages3, web3, chk_dir):
+    """Kill after round k, resume from snapshot → identical final state
+    (north_star: 'the crawl resumes exactly from any round')."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40)
+    partial = run_crawl(spark, pages3, SEED, cfg, chk_dir, max_rounds=2, extract=False,
+                        use_bloom=False)
+    assert partial.rounds == 2
+    resumed = run_crawl(spark, pages3, SEED, cfg, chk_dir, resume=True, use_bloom=False)
+    assert_parity(resumed, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_robots_rules_prune_before_enqueue(spark, pages3, web3, chk_dir):
+    """Our politeness extension (north_rule): disallow prefixes keep URLs out
+    of the frontier entirely; with empty rules behavior is reference-exact
+    (covered by the other tests)."""
+    from crawl4ai_scraper_spark.plans.politeness import HOST_RULES_SCHEMA
+
+    rules = spark.createDataFrame(
+        [("site0.example", 2.0, ["/sec1", "/about"])], HOST_RULES_SCHEMA
+    )
+    cfg = CrawlJobConfig(max_depth=2, max_pages=100)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, host_rules=rules,
+                    extract=False, use_bloom=False)
+    urls = [r["url"] for r in res.visited.select("url").collect()]
+    crawled = [u for u in urls if u.startswith("https://site0.example/sec1")
+               or u == "https://site0.example/about"]
+    assert crawled == []  # disallowed subtree never crawled
+    assert any(u.startswith("https://site0.example/sec0") for u in urls)
+    # virtual-time schedule: per-host monotone, spaced by crawl_delay
+    sched = [r["sched_ts"] for r in res.visited.orderBy("seq").select("sched_ts").collect()]
+    assert all(s is not None for s in sched)
+
+
+def test_lineage_records_per_partition_counts(spark, pages3, chk_dir):
+    cfg = CrawlJobConfig(max_depth=1, max_pages=20)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, extract=False, use_bloom=False)
+    stages = {r["stage"] for r in res.lineage.select("stage").distinct().collect()}
+    assert {"frontier_in", "fetched", "frontier_out"} <= stages
+    cols = set(res.lineage.columns)
+    assert {"stage", "partition", "rows", "round"} <= cols
+
+
+def test_dry_run_discovery_only(spark, pages3, web3, chk_dir):
+    """Dry run ≙ crawl_with_discovery with config.dry_run (crawler.py:620-637):
+    discovery runs, extraction is skipped, preview = first 10 paths."""
+    from pyspark.sql import functions as F
+    from crawl4ai_scraper_spark.functions.udfs import make_path_udf
+
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=1, max_pages=15)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, extract=False, use_bloom=False)
+    assert res.documents is None
+    oracle = oracle_discover(fetch, SEED, cfg)
+    preview_udf = make_path_udf("flat", "url_based", "2025-01-01T00:00:00")
+    preview = [
+        r["p"]
+        for r in res.discovered.limit(10)
+        .select(preview_udf(F.col("url"), F.lit("Preview")).alias("p"))
+        .collect()
+    ]
+    assert len(preview) == min(10, len(oracle.discovered))
+    assert all(p.endswith(".md") for p in preview)

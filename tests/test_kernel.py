@@ -1,0 +1,234 @@
+"""Pure-function parity tests for the kernel (no Spark).
+
+Golden expectations are hand-derived from the reference sources cited in each
+kernel docstring — including the behaviors caused by the reference's
+doubled-backslash regex bugs, which the byte-identity contract requires us to
+keep (content_filters.py:171, 197, 219, 323-324).
+"""
+
+from crawl4ai_scraper_spark.kernel.cleaning import (
+    CleaningConfig,
+    MINIMAL_MARKDOWN_NOTE,
+    NO_CONTENT_PLACEHOLDER,
+    clean_markdown,
+    clean_with_selectors,
+    finalize_text,
+)
+from crawl4ai_scraper_spark.kernel.htmlkit import (
+    cleaned_html_of,
+    extract_links,
+    fetch_render,
+    html_to_markdown,
+    page_description,
+    page_title,
+)
+from crawl4ai_scraper_spark.kernel.naming import (
+    clean_filename,
+    format_with_metadata,
+    generate_filename,
+    output_rel_path,
+    url_to_filename,
+)
+from crawl4ai_scraper_spark.kernel.urls import (
+    canon_url,
+    extract_domain,
+    fixup_scheme,
+    is_same_domain,
+    match_url_pattern,
+    wildcard_to_regex,
+)
+
+
+class TestUrls:
+    def test_canon_resolves_and_strips_fragment(self):
+        assert canon_url("b/c#frag", "https://h.example/a/") == "https://h.example/a/b/c"
+
+    def test_canon_keeps_query(self):
+        assert canon_url("https://h.example/p?x=1&y=2#z") == "https://h.example/p?x=1&y=2"
+
+    def test_canon_trailing_slash_rules(self):
+        # root slash kept; non-root stripped; slash before query survives
+        # because the strip tests the assembled URL (crawler.py:162-164)
+        assert canon_url("https://h.example/") == "https://h.example/"
+        assert canon_url("https://h.example/a/") == "https://h.example/a"
+        assert canon_url("https://h.example/a/?q=1") == "https://h.example/a/?q=1"
+
+    def test_domain_includes_port(self):
+        assert extract_domain("https://h.example:8080/x") == "https://h.example:8080"
+        assert not is_same_domain("https://h.example/x", "http://h.example/x")  # scheme counts
+
+    def test_wildcards(self):
+        assert wildcard_to_regex("*/a/*") == "^[^/]*/a/[^/]*$"
+        assert wildcard_to_regex("**/docs/**") == "^.*/docs/.*$"
+        # '?' is translated after escaping → literal '?' is inexpressible
+        assert wildcard_to_regex("a?b.c") == "^a.b\\.c$"
+
+    def test_match_exclude_first_and_empty_include(self):
+        assert match_url_pattern("https://h/x", None, None)
+        assert not match_url_pattern("https://h/skip/x", ["**"], ["**/skip/**"])
+        assert match_url_pattern("https://h/docs/a", ["**/docs/**"], [])
+
+    def test_fixup_scheme(self):
+        assert fixup_scheme("example.com") == "https://example.com"
+        assert fixup_scheme("http://e.com") == "http://e.com"
+
+
+HTML = (
+    "<html><head><title>Docs — Guide</title>"
+    '<meta name="description" content="about the guide"></head><body>'
+    "<nav><a href='/home'>Home</a></nav>"
+    "<h1>Guide to everything useful</h1>"
+    "<p>This opening paragraph explains quite a lot of useful things indeed.</p>"
+    "<p>Note: remember to hydrate.</p>"
+    "<ul><li>first useful item here</li><li>second useful item here</li></ul>"
+    "<pre>code block()</pre>"
+    '<p><a href="a.html">rel</a> <a href="/abs">abs</a> '
+    '<a href="https://other.example/x">ext</a> <a href="#top">frag</a></p>'
+    "<footer>copyright 2025</footer></body></html>"
+)
+
+
+class TestHtmlkit:
+    def test_title_and_description(self):
+        assert page_title(HTML) == "Docs — Guide"
+        assert page_description(HTML) == "about the guide"
+
+    def test_links_order_and_classification(self):
+        links = extract_links(HTML, "https://h.example/docs/guide.html")
+        hrefs = [(l["href"], l["is_internal"]) for l in links]
+        assert hrefs == [
+            ("/home", True), ("a.html", True), ("/abs", True),
+            ("https://other.example/x", False), ("#top", True),
+        ]
+        assert [l["link_pos"] for l in links] == [0, 1, 2, 3, 4]
+
+    def test_markdown_excludes_boilerplate_tags(self):
+        md = html_to_markdown(HTML)
+        assert "Home" not in md  # nav dropped (crawler.py:434 excluded_tags)
+        assert "copyright" not in md
+        assert md.startswith("# Guide to everything useful")
+        assert "- first useful item here" in md
+        assert "```\ncode block()\n```" in md
+
+    def test_fetch_render_counts(self):
+        r = fetch_render(HTML.encode(), "https://h.example/docs/guide.html")
+        assert r["links_internal"] == 4 and r["links_external"] == 1
+        assert r["title"] == "Docs — Guide"
+
+    def test_cleaned_html_plain(self):
+        plain = cleaned_html_of(HTML)
+        assert "rel abs" in plain.replace("\n", " ") or "rel" in plain
+        assert "<" not in plain
+
+
+class TestCleaning:
+    def test_footer_cut_drops_tail(self):
+        md = "# A big useful heading\n\nA substantial paragraph with plenty of words here.\n\ncopyright\n\ngone forever"
+        out = clean_markdown(md, "A big useful heading")
+        assert "gone forever" not in out and "copyright" not in out
+
+    def test_section_heading_bug_is_dead(self):
+        # A real '## ' heading must NOT be recognized as a section heading —
+        # the doubled backslash makes the regex match literal "\s" only.
+        md = "## Short\nx"
+        assert clean_markdown(md, "") == ""  # nothing qualifies as content
+
+    def test_numbered_list_bug_is_dead(self):
+        # numbered lists never satisfy _is_content_list (r'^\\d+\\.\\s' bug):
+        # a short numbered line can't start content
+        assert clean_markdown("1. ab\nx", "") == ""
+
+    def test_admonition_rewrites_all_occurrences(self):
+        md = "A substantial opening paragraph with plenty of words here.\nNote: a Note: b"
+        out = clean_markdown(md, "")
+        assert out.endswith("> **Note:** a > **Note:** b")
+
+    def test_skip_patterns_and_nav_sections(self):
+        md = (
+            "Table of contents\ncopy page\n"
+            "# A long heading about things\n\n"
+            "A substantial paragraph with plenty of words to read here.\n"
+        )
+        out = clean_markdown(md, "")
+        assert "copy page" not in out and "Table of contents" not in out
+        assert out.startswith("# A long heading about things")
+
+    def test_likely_navigation_dropped_even_after_start(self):
+        md = (
+            "# A long heading about things\n\n"
+            "A substantial paragraph with plenty of words to read here.\n"
+            "overview\n"
+            "more substantial content follows with plenty of words here.\n"
+        )
+        out = clean_markdown(md, "")
+        assert "overview" not in out
+
+    def test_long_line_repair(self):
+        body = ("Alpha beta gamma delta. Epsilon zeta eta theta iota kappa. " * 12).strip()
+        assert body.count("\n") == 0 and len(body) > 500
+        out = clean_markdown(body, "")
+        assert "\n\n" in out  # sentence splits inserted
+
+    def test_escaped_newline_fix(self):
+        md = "A substantial paragraph with plenty of words right here.\\n\\nAnother substantial paragraph with plenty of words too."
+        out = clean_markdown(md, "")
+        assert "\\n" not in out and "Another substantial" in out
+
+    def test_title_overlap_starts_content(self):
+        md = "# Guide setup\nshort"
+        out = clean_markdown(md, "Guide Setup Manual")
+        assert out.startswith("# Guide setup")  # ≥50% title-word overlap
+
+    def test_finalize_fallbacks(self):
+        assert finalize_text("tiny", "CLEAN HTML") == f"{MINIMAL_MARKDOWN_NOTE}\n\nCLEAN HTML"
+        assert finalize_text("", None) == NO_CONTENT_PLACEHOLDER
+        assert finalize_text("tiny", None) == "tiny"  # the reference's elif gap
+        long = "x" * 100
+        assert finalize_text(long, "CLEAN") == long
+
+    def test_profiles(self):
+        strict = CleaningConfig.build(cleaning_profile="strict")
+        assert strict.min_content_length == 200
+        assert "advertisement" in strict.skip_patterns
+        minimal = CleaningConfig.build(cleaning_profile="minimal")
+        assert minimal.min_content_length == 50
+
+    def test_selector_fallback_threshold(self):
+        cfg = CleaningConfig.build(min_content_length=10)
+        got = clean_with_selectors("", "fallback markdown with plenty of words for a paragraph here", "",
+                                   cfg, selector_content="# A substantial selector heading\n\nplus a substantial paragraph with many more words")
+        assert "selector heading" in got
+        got2 = clean_with_selectors("", "A fallback paragraph with plenty of words to read here.", "", cfg, selector_content=None)
+        assert "fallback paragraph" in got2
+
+
+class TestNaming:
+    def test_url_to_filename(self):
+        assert url_to_filename("https://h.example/a/b") == "h.example_a_b.md"
+        assert url_to_filename("https://h.example/") == "h.example.md"  # strip('_')
+
+    def test_generate_filename_conventions(self):
+        assert generate_filename("https://www.h.example/a/b-c", convention="url_based") == "h.example_a_b_c.md"
+        assert generate_filename("https://h.example/", "My Title!", "title_based") == "my_title.md"
+        import hashlib
+        digest = hashlib.md5(b"https://h.example/x").hexdigest()[:12]
+        assert generate_filename("https://h.example/x", convention="hash") == f"h.example_{digest}.md"
+
+    def test_clean_filename(self):
+        assert clean_filename('a<b>:c"|d?e*f') == "a_b__c__d_e_f"
+        assert clean_filename("...   ") == "unnamed"
+        assert len(clean_filename("x" * 500)) == 252
+
+    def test_mirror_path_drops_file_component(self):
+        assert output_rel_path("https://h.example/docs/guide.html", strategy="mirror").startswith(
+            "h.example/docs/"
+        )
+        assert output_rel_path("https://h.example/docs/sub", strategy="mirror").startswith(
+            "h.example/docs/sub/"
+        )
+
+    def test_format_with_metadata_layout(self):
+        doc = format_with_metadata({"url": "u", "title": "T", "markdown": "M", "content_length": 1})
+        lines = doc.split("\n")
+        assert lines[0] == "---" and lines[1] == "url: u"
+        assert lines[7] == "---" and lines[8] == "# T" and lines[10] == "M"
