@@ -48,6 +48,12 @@ class CrawlJobConfig:
     host_salt_buckets: int = 16
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
+    # Fetch-join strategy switch: a frontier smaller than this (rows) is
+    # BROADCAST against the pages scan (needle-in-haystack: no pages shuffle,
+    # partition/bloom pruning stays on the scan side); a bigger frontier falls
+    # back to the shuffled left join. 4M rows ≈ 300 MB broadcast — the safe
+    # ceiling for 4-8 GiB executors.
+    broadcast_frontier_threshold: int = 4_000_000
     # Priority mode: "fifo" replicates the reference's BFS queue exactly;
     # "priority" orders each round by (priority desc, arrival) — our extension.
     frontier_order: str = "fifo"

@@ -137,20 +137,38 @@ def page_exists(spec: WebSpec, url: str) -> bool:
     return False
 
 
-def iter_host_urls(spec: WebSpec, k: int) -> Iterator[str]:
+def iter_shard_urls(spec: WebSpec, k: int, i: int) -> Iterator[str]:
+    """URLs of one synthesis shard: shard (k, -1) is the host's root+about,
+    shard (k, i>=0) is section i. Sections are the unit of PARALLEL corpus
+    synthesis — a hot host's pages spread over its n_secs shards instead of
+    serializing on one executor."""
     host = spec.host(k)
-    yield f"https://{host}/"
-    yield f"https://{host}/about"
+    if i < 0:
+        yield f"https://{host}/"
+        yield f"https://{host}/about"
+        return
+    yield f"https://{host}/sec{i}"
+    for j in range(spec.n_pages(k, i)):
+        base = f"https://{host}/sec{i}/page{j}.html"
+        yield base
+        yield base + "?v=1"
+        if j % 3 == 0:
+            yield f"https://{host}/sec{i}/page{j}/extra"
+        if j % 6 == 0:
+            yield f"https://{host}/sec{i}/page{j}/extra/more"
+
+
+def iter_shards(spec: WebSpec) -> Iterator[Tuple[int, int]]:
+    for k in range(spec.n_hosts):
+        yield (k, -1)
+        for i in range(spec.n_secs(k)):
+            yield (k, i)
+
+
+def iter_host_urls(spec: WebSpec, k: int) -> Iterator[str]:
+    yield from iter_shard_urls(spec, k, -1)
     for i in range(spec.n_secs(k)):
-        yield f"https://{host}/sec{i}"
-        for j in range(spec.n_pages(k, i)):
-            base = f"https://{host}/sec{i}/page{j}.html"
-            yield base
-            yield base + "?v=1"
-            if j % 3 == 0:
-                yield f"https://{host}/sec{i}/page{j}/extra"
-            if j % 6 == 0:
-                yield f"https://{host}/sec{i}/page{j}/extra/more"
+        yield from iter_shard_urls(spec, k, i)
 
 
 def iter_urls(spec: WebSpec) -> Iterator[str]:
@@ -276,8 +294,12 @@ def page_html(spec: WebSpec, url: str) -> Optional[str]:
     )
 
 
-def page_row(spec: WebSpec, url: str) -> Optional[dict]:
-    """One row of the pages table: (url, warc_ts, html, text, lang)."""
+def page_row(spec: WebSpec, url: str, golden_text: bool = True) -> Optional[dict]:
+    """One row of the pages table: (url, warc_ts, html, text, lang).
+
+    ``golden_text=False`` skips the kernel extraction for the ``text`` column —
+    parity fixtures need the golden text, bench corpora don't (the engine
+    extracts its own), and skipping it halves synthesis cost."""
     html = page_html(spec, url)
     if html is None:
         return None
@@ -286,7 +308,7 @@ def page_row(spec: WebSpec, url: str) -> Optional[dict]:
         "url": url,
         "warc_ts": EPOCH + timedelta(seconds=_h(spec.seed, "ts", url) % (30 * 86400)),
         "html": raw,
-        "text": extract_text(raw, url),
+        "text": extract_text(raw, url) if golden_text else None,
         "lang": _LANGS[_h(spec.seed, "lang", url) % len(_LANGS)],
     }
 

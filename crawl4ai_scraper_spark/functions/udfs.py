@@ -23,7 +23,7 @@ from pyspark.sql.types import BooleanType, StringType
 
 from crawl4ai_scraper_spark.kernel.cleaning import CleaningConfig
 from crawl4ai_scraper_spark.kernel.extraction import extract_record, pick_user_agent
-from crawl4ai_scraper_spark.kernel.htmlkit import decode_html, extract_links
+from crawl4ai_scraper_spark.kernel.htmlkit import decode_html, extract_links, scan_links
 from crawl4ai_scraper_spark.kernel.naming import generate_filename, output_rel_path
 from crawl4ai_scraper_spark.kernel.urls import canon_url, extract_domain, wildcard_to_regex
 
@@ -152,20 +152,92 @@ def expand_links(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-EXTRACTED_SCHEMA = (
-    "url string, title string, description string, markdown string, "
-    "content_length long, links_count long, crawled_at string, success boolean, "
-    "user_agent string, error string"
+VISIT_EXPAND_SCHEMA = (
+    "kind tinyint, url string, host string, depth int, arrival_rank long, "
+    "success boolean, link_pos int, child_url string, child_domain string, "
+    "child_host string"
 )
 
 
-def extract_documents(cfg_kwargs: dict):
+def visit_and_expand(max_depth: int):
+    """Single-pass round kernel: fetched page batches → a per-page VISIT row
+    (kind=0) plus one LINK row per internal link (kind=1), canonicalized
+    against the parent. One Arrow pass touches ``html``; every downstream
+    frame of the round (visits bookkeeping, budget cut, dedup, rank) is
+    html-free — at 10^10 scale the binary column never enters a shuffle.
+
+    Input columns: url, host, depth, arrival_rank, html (html may be null on
+    the shuffled-join fallback path; null → failed visit, no links).
+    """
+    from urllib.parse import urlparse
+
+    def _expand(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("kind", "url", "host", "depth", "arrival_rank", "success",
+                "link_pos", "child_url", "child_domain", "child_host")
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for url, host, depth, rank, html in zip(
+                pdf["url"], pdf["host"], pdf["depth"], pdf["arrival_rank"], pdf["html"]
+            ):
+                ok = html is not None
+                out["kind"].append(0)
+                out["url"].append(url)
+                out["host"].append(host)
+                out["depth"].append(int(depth))
+                out["arrival_rank"].append(int(rank))
+                out["success"].append(ok)
+                out["link_pos"].append(None)
+                out["child_url"].append(None)
+                out["child_domain"].append(None)
+                out["child_host"].append(None)
+                if not ok or int(depth) >= max_depth:
+                    continue  # leaves are never expanded (crawler.py:210)
+                # scan_links = links-only fast path, differentially tested
+                # against the HTMLParser ground truth (extract_links)
+                for link in scan_links(decode_html(html), url):
+                    if not link["is_internal"] or not link["href"]:
+                        continue  # the reference iterates links['internal'] only
+                    child = canon_url(link["href"], url)
+                    parsed = urlparse(child)
+                    out["kind"].append(1)
+                    out["url"].append(url)
+                    out["host"].append(host)
+                    out["depth"].append(int(depth))
+                    out["arrival_rank"].append(int(rank))
+                    out["success"].append(True)
+                    out["link_pos"].append(int(link["link_pos"]))
+                    out["child_url"].append(child)
+                    out["child_domain"].append(f"{parsed.scheme}://{parsed.netloc}")
+                    out["child_host"].append(parsed.netloc)
+            yield pd.DataFrame(out)
+
+    return _expand
+
+
+EXTRACTED_SCHEMA = (
+    "url string, title string, description string, markdown string, "
+    "content_length long, links_count long, crawled_at string, success boolean, "
+    "user_agent string, error string, rel_path string"
+)
+
+
+def extract_documents(cfg_kwargs: dict, naming: Optional[tuple] = None):
     """Builder for the content-extraction batch transformer (the Phase-2 pass,
     crawler.py:547-599). Input columns: url, html, crawled_at. Output: the
-    9-field content record — ``markdown`` is the byte-identical text."""
+    content record — ``markdown`` is the byte-identical text.
+
+    ``naming=(strategy, convention, run_ts_iso)`` folds the output-path
+    computation (output_manager.py:229-342) into the SAME Arrow pass — a
+    separate path UDF would round-trip every (url, title) through a second
+    Python stage."""
+    from datetime import datetime
 
     def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cleaning = CleaningConfig.build(**cfg_kwargs)
+        run_ts = datetime.fromisoformat(naming[2]) if naming else None
+        cols = ["url", "title", "description", "markdown", "content_length",
+                "links_count", "crawled_at", "success", "user_agent", "error",
+                "rel_path"]
         for pdf in it:
             rows = []
             for url, html, crawled_at in zip(pdf["url"], pdf["html"], pdf["crawled_at"]):
@@ -178,14 +250,16 @@ def extract_documents(cfg_kwargs: dict):
                             "user_agent": None,
                             # ≙ the failure record message, crawler.py:519-525
                             "error": "Crawl failed: Unknown error",
+                            "rel_path": None,
                         }
                     )
                 else:
-                    rows.append(extract_record(url, html, str(crawled_at), cleaning))
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "title", "description", "markdown", "content_length",
-                         "links_count", "crawled_at", "success", "user_agent", "error"],
-            )
+                    rec = extract_record(url, html, str(crawled_at), cleaning)
+                    if naming:
+                        rec["rel_path"] = output_rel_path(
+                            url, rec["title"] or "Untitled", naming[0], naming[1], run_ts
+                        )
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
 
     return _extract

@@ -62,19 +62,27 @@ class BloomFilter:
 
 def build_bloom(df: DataFrame, url_col: str, capacity: int, fpp: float = 0.01) -> BloomFilter:
     """Distributed build: each partition folds its xxhash64 keys into a local
-    bit array; arrays are OR-reduced to the driver."""
+    bit array (numpy-vectorized straight off the Arrow batches — no per-row
+    Python); the per-partition arrays are OR-reduced on the driver."""
     proto = BloomFilter.sized(capacity, fpp)
     n_bits, n_hashes = proto.n_bits, proto.n_hashes
     hashed = df.select(F.xxhash64(F.col(url_col)).alias("h"))
 
-    def fold(rows):
+    def fold(batches):
         local = BloomFilter(n_bits, n_hashes)
-        hs = np.fromiter((r["h"] for r in rows), dtype=np.int64)
-        if len(hs):
-            local.add_many(hs.view(np.uint64))
-        yield local.bits
+        any_rows = False
+        for pdf in batches:
+            hs = pdf["h"].to_numpy(dtype=np.int64)
+            if len(hs):
+                any_rows = True
+                local.add_many(hs.view(np.uint64))
+        if any_rows:
+            yield pd.DataFrame({"bits": [local.bits.tobytes()]})
 
-    bits = hashed.rdd.mapPartitions(fold).treeReduce(np.bitwise_or)
+    parts = hashed.mapInPandas(fold, "bits binary").collect()
+    bits = proto.bits
+    for row in parts:
+        bits |= np.frombuffer(row["bits"], dtype=np.uint8)
     return BloomFilter(n_bits, n_hashes, bits)
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Dict, List, Optional
@@ -31,6 +33,8 @@ from crawl4ai_scraper_spark.plans.checkpoint import (
     commit_round,
     latest_round,
     load_manifest,
+    read_edges,
+    read_enqueued,
     read_frontier,
     read_state,
 )
@@ -39,6 +43,25 @@ from crawl4ai_scraper_spark.plans.politeness import virtual_schedule
 from crawl4ai_scraper_spark.sources.pages import DEFAULT_PBUCKETS, with_pbucket
 
 RUN_TS_ISO = "2025-01-01T00:00:00"  # virtual clock epoch: reproducible crawled_at
+
+_PROFILE = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+
+
+class _Timer:
+    """Env-gated (SPARK_GRAFT_PROFILE=1) phase timer for the round loop."""
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.last = time.perf_counter()
+
+    def lap(self, label: str) -> None:
+        if _PROFILE:
+            now = time.perf_counter()
+            print(f"[profile {self.tag}] {label}: {now - self.last:.2f}s",
+                  file=sys.stderr, flush=True)
+            self.last = now
+        else:
+            self.last = time.perf_counter()
 
 
 @dataclass
@@ -85,7 +108,7 @@ def run_crawl(
         round_vt = meta["round_vt"]
         done = meta.get("done", False)
         frontier = read_frontier(spark, chk_dir, last)
-        enqueued = read_state(spark, chk_dir, "enqueued", last)
+        enqueued = read_enqueued(spark, chk_dir, last)
         frontier_n = meta.get("frontier_n", frontier.count())
         enqueued_n = meta.get("enqueued_n", enqueued.count())
     else:
@@ -93,22 +116,23 @@ def run_crawl(
         cfg.dump(Path(chk_dir) / "crawl_config.json")
         rnd, seq_base, discovered_n, round_vt, done = 0, 0, 0, 0.0, False
         frontier = spark.createDataFrame(
-            [(seed_url, urlparse(seed_url).netloc, 0, 1)],
-            "url string, host string, depth int, arrival_rank long",
+            [(seed_url, urlparse(seed_url).netloc, 0, 1, None, None)],
+            "url string, host string, depth int, arrival_rank long, "
+            "parent_url string, link_pos int",
         )
-        enqueued = frontier.select("url")
         # round-0 bootstrap commit so a resume before the first round works
         commit_round(
             chk_dir, 0, frontier,
-            {"enqueued": enqueued,
-             "visited": _empty(spark, "url string, host string, depth int, seq long, success boolean, matched boolean, sched_ts double, arrival_rank long"),
-             "edges": _empty(spark, "parent_url string, child_url string, link_pos int"),
+            {"visited": _empty(spark, "url string, host string, depth int, seq long, success boolean, matched boolean, sched_ts double, arrival_rank long"),
              "lineage": _empty(spark, "stage string, partition int, rows long")},
             {"seq_base": 0, "discovered": 0, "round_vt": 0.0, "bootstrap": True, "done": False,
              "frontier_n": 1, "enqueued_n": 1},
+            sizes={"frontier": 1, "visited": 0, "lineage": 0},
         )
         last = 0
         rnd = 1
+        frontier = frontier.select("url", "host", "depth", "arrival_rank")
+        enqueued = frontier.select("url")
         frontier_n, enqueued_n = 1, 1
 
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
@@ -119,19 +143,23 @@ def run_crawl(
         # Bloom pre-filter pays off once the seen set dwarfs the candidate
         # stream; below the threshold the build job costs more than the
         # anti-join it would shave ("auto"). Correctness never depends on it.
-        build_it = use_bloom is True or (use_bloom == "auto" and enqueued_n > 100_000)
+        timer = _Timer(f"round {rnd}")
+        build_it = use_bloom is True or (use_bloom == "auto" and enqueued_n > 5_000_000)
         bloom = None
         if build_it:
             bloom = build_bloom(enqueued, "url", capacity=max(cfg.bloom_capacity, enqueued_n * 2),
                                 fpp=cfg.bloom_fpp)
+            timer.lap("bloom build")
         rr = run_round(
             pages, frontier, enqueued, cfg, seed_domain,
             seq_base=seq_base, discovered_so_far=discovered_n,
             host_rules=host_rules, bloom=bloom, n_buckets=n_buckets,
             priority_col=priority_col, frontier_count=frontier_n,
         )
+        timer.lap("run_round (actions: matched count, visit agg, rank+count)")
         visits = virtual_schedule(rr.visits, host_rules, cfg.delay_between_requests, round_vt)
         vt_step = visits.agg(F.max("sched_ts")).collect()[0][0]
+        timer.lap("virtual_schedule max agg")
         round_vt = (vt_step if vt_step is not None else round_vt) + cfg.delay_between_requests
 
         seq_base += rr.counts["visited"]
@@ -145,27 +173,30 @@ def run_crawl(
             {
                 "visited": visits.select("url", "host", "depth", "seq", "success",
                                          "matched", "sched_ts", "arrival_rank"),
-                "enqueued": rr.new_frontier.select("url"),
-                "edges": rr.new_edges,
                 "lineage": rr.lineage,
             },
             {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
              "done": done, "counts": rr.counts,
              "frontier_n": frontier_n, "enqueued_n": enqueued_n},
+            sizes={"frontier": frontier_n, "visited": rr.counts["visited"], "lineage": 0},
         )
+        timer.lap("commit_round (3 parquet writes)")
+        for cached in rr.caches:  # round state is on disk now — free the memory
+            cached.unpersist()
         last = rnd
         rnd += 1
         frontier = read_frontier(spark, chk_dir, last)
-        enqueued = read_state(spark, chk_dir, "enqueued", last)
+        enqueued = read_enqueued(spark, chk_dir, last)
 
     visited = read_state(spark, chk_dir, "visited", last)
-    edges = read_state(spark, chk_dir, "edges", last)
+    edges = read_edges(spark, chk_dir, last)
     lineage = read_state(spark, chk_dir, "lineage", last)
     discovered = visited.filter("matched").select("url").orderBy("url")  # O-27 sorted output
 
     documents, summary = (None, {})
     if extract:
-        documents, summary = extract_pass(spark, pages, discovered, cfg, chk_dir, n_buckets)
+        documents, summary = extract_pass(spark, pages, discovered, cfg, chk_dir, n_buckets,
+                                          n_discovered=discovered_n)
     summary["rounds"] = last
     summary["discovered"] = discovered_n
 
@@ -182,16 +213,16 @@ def extract_pass(
     cfg: CrawlJobConfig,
     chk_dir: str,
     n_buckets: int = 32,
+    n_discovered: Optional[int] = None,
 ) -> tuple[DataFrame, Dict]:
     """Phase 2 ≙ ContentCrawler.crawl_urls (crawler.py:547-599): fetch join,
     one Arrow extraction pass, native formatting, documents_out + summary."""
-    from crawl4ai_scraper_spark.functions.udfs import make_path_udf
+    from crawl4ai_scraper_spark.plans.frontier import fetch_join
 
-    fetch = (
-        with_pbucket(discovered.select("url"), n_buckets)
-        .join(pages.select("pbucket", "url", "html"), ["pbucket", "url"], "left")
-        .select("url", "html", F.lit(RUN_TS_ISO).alias("crawled_at"))
-    )
+    fetch = fetch_join(
+        pages, discovered.select("url"), n_buckets, cfg.broadcast_frontier_threshold,
+        frontier_count=n_discovered,
+    ).select("url", "html", F.lit(RUN_TS_ISO).alias("crawled_at"))
     cfg_kwargs = dict(
         custom_nav_patterns=cfg.custom_nav_patterns,
         custom_footer_patterns=cfg.custom_footer_patterns,
@@ -199,10 +230,15 @@ def extract_pass(
         min_content_length=cfg.min_content_length,
         cleaning_profile=cfg.cleaning_profile,
     )
-    docs = fetch.mapInPandas(extract_documents(cfg_kwargs), EXTRACTED_SCHEMA)
-
-    path_udf = make_path_udf(cfg.organization_strategy, cfg.naming_convention, RUN_TS_ISO)
-    docs = docs.withColumn("rel_path", path_udf(F.col("url"), F.col("title")))
+    # extraction + output-path naming in ONE Arrow pass (a second path UDF
+    # would round-trip every (url, title) through Python again)
+    docs = fetch.mapInPandas(
+        extract_documents(
+            cfg_kwargs,
+            naming=(cfg.organization_strategy, cfg.naming_convention, RUN_TS_ISO),
+        ),
+        EXTRACTED_SCHEMA,
+    )
     if cfg.include_metadata:
         # YAML-ish front matter, built NATIVELY (JVM concat — no UDF), matching
         # kernel.naming.format_with_metadata byte for byte.

@@ -24,6 +24,9 @@ Parity invariants with the reference loop (crawler.py:179-238):
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
@@ -32,9 +35,9 @@ from pyspark.sql import functions as F
 
 from crawl4ai_scraper_spark.config import CrawlJobConfig
 from crawl4ai_scraper_spark.functions.udfs import (
-    EXPANDED_LINKS_SCHEMA,
-    expand_links,
+    VISIT_EXPAND_SCHEMA,
     include_exclude_predicate,
+    visit_and_expand,
 )
 from crawl4ai_scraper_spark.plans.bloom import BloomFilter, might_contain_col
 from crawl4ai_scraper_spark.plans.politeness import robots_filter
@@ -42,6 +45,20 @@ from crawl4ai_scraper_spark.plans.ranking import global_rank
 from crawl4ai_scraper_spark.sources.pages import with_pbucket
 
 FRONTIER_SCHEMA = "url string, host string, depth int, arrival_rank long"
+# What a committed frontier snapshot carries: the queue PLUS the discovering
+# edge (parent_url, link_pos) — so the edges table and the ever-enqueued set
+# are both derivable from frontier snapshots alone, and a round commits three
+# writes (frontier, visited, lineage), not five.
+FRONTIER_FILE_SCHEMA = FRONTIER_SCHEMA + ", parent_url string, link_pos int"
+
+_PROFILE = bool(os.environ.get("SPARK_GRAFT_PROFILE"))
+
+
+def _lap(t0: float, label: str) -> float:
+    now = time.perf_counter()
+    if _PROFILE:
+        print(f"[profile   round-int] {label}: {now - t0:.2f}s", file=sys.stderr, flush=True)
+    return now
 
 
 @dataclass
@@ -52,6 +69,7 @@ class RoundResult:
     counts: Dict[str, int] = field(default_factory=dict)
     truncated: bool = False
     lineage: Optional[DataFrame] = None
+    caches: list = field(default_factory=list)  # persisted frames → unpersist after commit
 
 
 def _partition_counts(df: DataFrame, stage: str) -> DataFrame:
@@ -60,6 +78,45 @@ def _partition_counts(df: DataFrame, stage: str) -> DataFrame:
     return df.groupBy(F.spark_partition_id().alias("partition")).agg(
         F.count(F.lit(1)).alias("rows")
     ).select(F.lit(stage).alias("stage"), "partition", "rows")
+
+
+def fetch_join(
+    pages: DataFrame,
+    frontier: DataFrame,
+    n_buckets: int,
+    broadcast_threshold: int,
+    frontier_count: Optional[int] = None,
+) -> DataFrame:
+    """The fetch "join" (O-4/O-18): look a small frontier up in a huge pages
+    table, LEFT-outer semantics (a miss = fetch failure).
+
+    A plain ``frontier.join(pages, …, "left")`` cannot broadcast the frontier
+    (Spark only broadcasts the RIGHT side of a left-outer join), so it would
+    SHUFFLE the whole pages table every round — fatal at 10^10 stored pages.
+    Instead, broadcast the needles and scan the haystack:
+
+        hits   = pages ⋈ broadcast(frontier)   (inner BHJ — pages scanned in
+                 place, never shuffled; column pruning keeps the scan at
+                 (pbucket, url, html); bucket/bloom pruning applies)
+        misses = frontier ∖ hits.urls          (tiny anti-join)
+        fetched = hits ∪ misses(html=null)
+
+    Frontiers above ``broadcast_threshold`` rows fall back to the shuffled
+    left join (at that size the frontier is no longer a "needle").
+    """
+    fr = with_pbucket(frontier, n_buckets)
+    page_side = pages.select("pbucket", "url", "html")  # column pruning: never warc_ts/text here
+    n = frontier_count if frontier_count is not None else frontier.count()
+    if n <= broadcast_threshold:
+        hits = page_side.join(F.broadcast(fr), ["pbucket", "url"], "inner")
+        frontier_cols = [c for c in fr.columns if c != "pbucket"]
+        misses = (
+            fr.join(hits.select("url"), "url", "left_anti")
+            .select(*frontier_cols)
+            .withColumn("html", F.lit(None).cast("binary"))
+        )
+        return hits.select(*frontier_cols, "html").unionByName(misses)
+    return fr.join(page_side, ["pbucket", "url"], "left").drop("pbucket")
 
 
 def run_round(
@@ -76,40 +133,149 @@ def run_round(
     priority_col: Optional[Callable[[DataFrame], Column]] = None,
     frontier_count: Optional[int] = None,  # tracked by the driver — saves a job
 ) -> RoundResult:
-    # ---- fetch join (O-4/O-18): bucket-pruned needle-in-haystack lookup ----
+    # ---- single-pass fetch + expand (O-4/O-18 + O-9/O-13) ----
+    # The pages scan is touched ONCE per round. On the broadcast path (the
+    # normal needle-in-haystack regime) the frontier is broadcast into the
+    # scan, the hits stream straight through the visit_and_expand Arrow pass,
+    # and the html binary never enters a shuffle or a cache; frontier rows
+    # with no stored page (fetch failures) are recovered by a tiny anti-join
+    # against the emitted visit rows. Above the broadcast threshold both
+    # sides shuffle (classic left join) and the UDF sees html=null for misses.
+    t0 = time.perf_counter()
     fr = with_pbucket(frontier, n_buckets)
-    page_side = pages.select("pbucket", "url", "html")  # column pruning: never warc_ts/text here
-    fetched = fr.join(page_side, ["pbucket", "url"], "left").drop("pbucket")
+    n_frontier = frontier_count if frontier_count is not None else frontier.count()
+    in_cols = ["url", "host", "depth", "arrival_rank", "html"]
+    visit_cols = ["url", "host", "depth", "arrival_rank", "success"]
+    # Only rows that will EXPAND need the html column; frontier rows already
+    # at max_depth only need an existence probe, so their join reads the
+    # (tiny) url column of the pages table and skips the Arrow transfer
+    # entirely. In FIFO mode a round's depths are uniform (level-synchronous
+    # BFS), so per round one side is simply empty; priority mode can mix.
+    fr_expand = fr.filter(F.col("depth") < cfg.max_depth)
+    fr_final = fr.filter(F.col("depth") >= cfg.max_depth)
+    page_side = pages.select("pbucket", "url", "html")  # never warc_ts/text here
+    page_urls = pages.select("pbucket", "url")
+    broadcast_path = n_frontier <= cfg.broadcast_frontier_threshold
+    if broadcast_path:
+        hits = page_side.join(F.broadcast(fr_expand), ["pbucket", "url"], "inner")
+        expanded = hits.select(*in_cols).mapInPandas(
+            visit_and_expand(cfg.max_depth), VISIT_EXPAND_SCHEMA
+        ).persist()
+        final_part = page_urls.join(F.broadcast(fr_final), ["pbucket", "url"], "inner").select(
+            "url", "host", "depth", "arrival_rank", F.lit(True).alias("success")
+        )
+    else:
+        fetched = fr_expand.join(page_side, ["pbucket", "url"], "left").drop("pbucket")
+        expanded = fetched.select(*in_cols).mapInPandas(
+            visit_and_expand(cfg.max_depth), VISIT_EXPAND_SCHEMA
+        ).persist()
+        final_part = (
+            fr_final.join(page_urls.withColumn("hit", F.lit(True)), ["pbucket", "url"], "left")
+            .select("url", "host", "depth", "arrival_rank",
+                    F.coalesce(F.col("hit"), F.lit(False)).alias("success"))
+        )
+    caches = [expanded]
 
     matched_pred = include_exclude_predicate(F.col("url"), cfg.patterns, cfg.exclude_patterns)
-    fetched = (
-        fetched.withColumn("success", F.col("html").isNotNull())
-        .withColumn("matched", F.col("success") & matched_pred)
+
+    # ---- round stats: ONE job ----
+    # Aggregates over BOTH join sides (union of two pre-aggregated single
+    # rows) in a single action: materializes the expanded cache exactly once
+    # — referencing it from several unmaterialized branches would recompute
+    # the whole Arrow pass per branch — and yields every scalar the round
+    # needs. Total visits ≡ frontier size (every dequeued URL is a visit,
+    # crawler.py:180-189), so it is never counted with a job.
+    kind0 = F.col("kind") == 0
+    stats = (
+        expanded.agg(
+            F.count(F.when(kind0 & F.col("success"), 1)).alias("ok"),
+            F.count(F.when(kind0 & F.col("success") & matched_pred, 1)).alias("m"),
+            F.count(F.when(F.col("kind") == 1, 1)).alias("links"),
+        )
+        .unionByName(
+            final_part.agg(
+                F.count(F.when(F.col("success"), 1)).alias("ok"),
+                F.count(F.when(F.col("success") & matched_pred, 1)).alias("m"),
+                F.count(F.lit(None)).alias("links"),
+            )
+        )
+        .agg(F.sum("ok").alias("ok"), F.sum("m").alias("m"), F.sum("links").alias("links"))
+        .collect()[0]
     )
-    fetched = fetched.persist()
+    n_visited, n_ok = n_frontier, int(stats["ok"])
+    matched_count, n_links = int(stats["m"]), int(stats["links"])
+
+    visit_rows = expanded.filter(kind0).select(*visit_cols).unionByName(final_part)
+    if broadcast_path:  # frontier rows with no stored page = fetch failures
+        misses = frontier.join(visit_rows.select("url"), "url", "left_anti").select(
+            "url", "host", "depth", "arrival_rank", F.lit(False).alias("success")
+        )
+        visit_rows = visit_rows.unionByName(misses)
+    visits = visit_rows.withColumn("matched", F.col("success") & matched_pred).persist()
+    caches.append(visits)
 
     # ---- exact mid-level budget truncation (O-28) ----
     remaining = cfg.max_pages - discovered_so_far
-    matched_count = fetched.filter("matched").count()
+    t0 = _lap(t0, "scan+expand (one pass) + combined count agg")
     truncated = matched_count >= remaining
+    stop = None
     if truncated:
         stop = (
-            fetched.filter("matched")
+            visits.filter("matched")
             .select("arrival_rank")
             .orderBy("arrival_rank")
             .limit(remaining)
             .agg(F.max("arrival_rank"))
             .collect()[0][0]
         )
-        fetched = fetched.filter(F.col("arrival_rank") <= stop)
+        visits = visits.filter(F.col("arrival_rank") <= stop)
+        vrow = visits.agg(
+            F.count(F.lit(1)).alias("v"), F.count(F.when(F.col("success"), 1)).alias("ok")
+        ).collect()[0]
+        n_visited, n_ok = int(vrow["v"]), int(vrow["ok"])
 
-    visits = fetched.withColumn("seq", (F.lit(seq_base) + F.col("arrival_rank")).cast("long"))
+    visits = visits.withColumn("seq", (F.lit(seq_base) + F.col("arrival_rank")).cast("long"))
 
-    # ---- link expansion (O-9 canon + O-13 domain gate inside one Arrow pass) ----
-    to_expand = visits.filter(F.col("success") & (F.col("depth") < F.lit(cfg.max_depth))).select(
-        "url", "seq", "depth", "html"
+    # A round that emitted no links (every visit at max_depth, or all fetches
+    # failed) skips the whole dedup/rank pipeline — otherwise the anti-join
+    # would still shuffle the full enqueued set against an empty frame.
+    if n_links == 0:
+        spark = frontier.sparkSession
+        new_frontier = spark.createDataFrame([], FRONTIER_FILE_SCHEMA)
+        counts = {
+            "frontier_in": n_frontier,
+            "visited": n_visited,
+            "fetched_ok": n_ok,
+            "matched_new": min(matched_count, remaining),
+            "frontier_out": 0,
+        }
+        lineage = (
+            _partition_counts(frontier, "frontier_in")
+            .unionByName(_partition_counts(visits.filter("success"), "fetched"))
+            .unionByName(_partition_counts(new_frontier, "frontier_out"))
+        )
+        return RoundResult(
+            visits=visits.select("url", "host", "depth", "seq", "success", "matched",
+                                 "arrival_rank"),
+            new_frontier=new_frontier,
+            new_edges=spark.createDataFrame(
+                [], "parent_url string, child_url string, link_pos int"
+            ),
+            counts=counts,
+            truncated=truncated,
+            lineage=lineage,
+            caches=caches,
+        )
+
+    # ---- candidate links (already expanded above; native filters only) ----
+    candidates = expanded.filter(F.col("kind") == 1).select(
+        F.col("url").alias("parent_url"),
+        (F.lit(seq_base) + F.col("arrival_rank")).cast("long").alias("parent_seq"),
+        F.col("depth").alias("parent_depth"),
+        "link_pos", "child_url", "child_domain", "child_host",
     )
-    candidates = to_expand.mapInPandas(expand_links, EXPANDED_LINKS_SCHEMA)
+    if stop is not None:  # expansions past the budget stop-seq are void (O-28)
+        candidates = candidates.filter(F.col("parent_seq") <= F.lit(seq_base + int(stop)))
     if not cfg.include_external:
         candidates = candidates.filter(F.col("child_domain") == F.lit(seed_domain))
     candidates = robots_filter(candidates, host_rules)
@@ -132,6 +298,7 @@ def run_round(
     if bloom is not None:
         probed = first.withColumn("maybe_seen", might_contain_col(first, bloom, "child_url"))
         probed = probed.persist()
+        caches.append(probed)
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         survivors = needs_check.join(seen, "child_url", "left_anti").unionByName(definitely_new)
@@ -154,25 +321,31 @@ def run_round(
         order_cols = ["neg_priority", "parent_seq", "link_pos"]
     else:
         order_cols = ["parent_seq", "link_pos"]
-    ranked = global_rank(next_rows, order_cols, "arrival_rank").persist()
+    # Pin the (html-free, frontier-sized) pre-rank frame: global_rank's range
+    # sampling + the rank job each consume it, and without the cache both
+    # would re-run the whole expand/dedup/anti-join chain.
+    next_rows = next_rows.persist()
+    caches.append(next_rows)
+    ranked = global_rank(next_rows, order_cols, "arrival_rank", caches=caches).persist()
+    caches.append(ranked)
+    t0 = _lap(t0, "global_rank build (incl. offsets collect)")
 
     new_edges = ranked.select("parent_url", F.col("url").alias("child_url"), "link_pos")
-    new_frontier = ranked.select("url", "host", "depth", "arrival_rank")
+    new_frontier = ranked.select("url", "host", "depth", "arrival_rank",
+                                 "parent_url", "link_pos")
 
     # Counts come only from persisted/cached frames — recounting ``candidates``
     # would re-run the whole Arrow expansion pass, so dedup attrition is
     # reported per-partition in lineage instead of as a scalar here. The
     # visited/fetched pair is ONE aggregation job over the persisted fetch.
-    vrow = visits.agg(
-        F.count(F.lit(1)).alias("v"), F.count(F.when(F.col("success"), 1)).alias("ok")
-    ).collect()[0]
     counts = {
-        "frontier_in": frontier_count if frontier_count is not None else frontier.count(),
-        "visited": int(vrow["v"]),
-        "fetched_ok": int(vrow["ok"]),
+        "frontier_in": n_frontier,
+        "visited": n_visited,
+        "fetched_ok": n_ok,
         "matched_new": min(matched_count, remaining),
         "frontier_out": new_frontier.count(),  # materializes the rank cache for the commits
     }
+    t0 = _lap(t0, "frontier_out count (expand+dedup+anti-join+rank materialize)")
 
     lineage = (
         _partition_counts(frontier, "frontier_in")
@@ -187,4 +360,5 @@ def run_round(
         counts=counts,
         truncated=truncated,
         lineage=lineage,
+        caches=caches,
     )

@@ -23,9 +23,11 @@ from pyspark.sql import functions as F
 
 
 def global_rank(df: DataFrame, order_cols: List[str], out_col: str = "arrival_rank",
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None, caches: list | None = None) -> DataFrame:
     """Attach a 1-based dense global rank by ``order_cols`` (must be a total
-    order — ties would make the rank nondeterministic)."""
+    order — ties would make the rank nondeterministic). Persisted
+    intermediates are appended to ``caches`` (if given) so the caller can
+    unpersist them once the result is materialized."""
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
@@ -34,6 +36,8 @@ def global_rank(df: DataFrame, order_cols: List[str], out_col: str = "arrival_ra
     # plan can partition differently. Pin one materialization so the offset
     # job and the rank job see identical partitions.
     ranged = ranged.persist()
+    if caches is not None:
+        caches.append(ranged)
     local = F.row_number().over(
         Window.partitionBy("_part").orderBy(*[F.col(c) for c in order_cols])
     )

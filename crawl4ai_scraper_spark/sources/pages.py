@@ -43,25 +43,42 @@ def synthesize_pages(
     max_pages: int = 8,
     seed: int = 42,
     n_buckets: int = DEFAULT_PBUCKETS,
+    golden_text: bool = True,
 ) -> str:
-    """Render the synthetic web to a bucketed parquet pages table."""
-    from crawl4ai_scraper_spark.fixtures.webgen import WebSpec, iter_host_urls, page_row
+    """Render the synthetic web to a bucketed parquet pages table.
+
+    Parallelism unit = a SECTION shard (host, sec), not a host: a hot host's
+    pages render across all its section shards, so a skewed corpus (host 0
+    carries most of the web) still synthesizes on every core. The write is
+    repartitioned to the bucket layout — one file per pbucket, url-hash
+    balanced — instead of fanning every task out into all bucket dirs."""
+    from crawl4ai_scraper_spark.fixtures.webgen import WebSpec, iter_shard_urls, iter_shards, page_row
 
     spec = WebSpec(n_hosts=n_hosts, max_secs=max_secs, max_pages=max_pages, seed=seed)
-    hosts = spark.range(n_hosts).toDF("k")
+    shards = spark.createDataFrame(list(iter_shards(spec)), "k int, i int")
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: List[dict] = []
-            for k in pdf["k"]:
-                for url in iter_host_urls(spec, int(k)):
-                    row = page_row(spec, url)
+            for k, i in zip(pdf["k"], pdf["i"]):
+                rows: List[dict] = []
+                for url in iter_shard_urls(spec, int(k), int(i)):
+                    row = page_row(spec, url, golden_text=golden_text)
                     if row is not None:
                         rows.append(row)
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
-    pages = hosts.repartition(min(n_hosts, 256)).mapInPandas(render, schema=PAGES_SCHEMA)
-    with_pbucket(pages, n_buckets).write.mode("overwrite").partitionBy("pbucket").parquet(out_path)
+    n_shards = shards.count()
+    pages = (
+        shards.repartition(min(n_shards, 1024))
+        .mapInPandas(render, schema=PAGES_SCHEMA)
+    )
+    (
+        with_pbucket(pages, n_buckets)
+        .repartition(n_buckets, F.col("pbucket"))
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(out_path)
+    )
     with open(os.path.join(out_path, "_table_meta.json"), "w") as fh:
         json.dump({"n_buckets": n_buckets}, fh)
     return out_path

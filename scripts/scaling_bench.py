@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Two-cluster-size scaling evidence (north_rule): run the SAME crawl job at
 local[N] and local[4N] on the same input and report throughput at both plus
-scaling efficiency = (T_N / T_4N) / 4 … expressed on throughput:
-efficiency = (thr_4N / thr_N) / 4. Writes/updates BENCH.md.
+scaling efficiency = (thr_4N / thr_N) / 4. Writes/updates BENCH.md.
 
 Each measurement runs in its own subprocess (a JVM can't change master);
-the synthesized bench corpus is shared via bench.py's on-disk cache.
+the synthesized bench corpus is shared via bench.py's on-disk cache, and the
+runs are crawl-only (SPARK_GRAFT_BENCH_ONLY=crawl) — the per-operator timings
+live in the driver-recorded BENCH_r{N}.json instead.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def run_bench(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
-               PYTHONPATH=str(REPO))
+               SPARK_GRAFT_BENCH_ONLY="crawl", PYTHONPATH=str(REPO))
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600,
@@ -51,18 +52,21 @@ def main():
     }
     print(json.dumps(report, indent=2))
 
+    visited = big["crawl"]["crawl_visited"]
     md = REPO / "BENCH.md"
     lines = [
         "# BENCH — measured results",
         "",
-        f"_Updated {report['generated']}; input: {SF_DIR} + cached synthetic web "
-        f"(48 hosts, ~13k pages); hardware: this sandbox ({os.cpu_count()} cores)._",
+        f"_Updated {report['generated']}; hardware: this sandbox "
+        f"({os.cpu_count()} cores, single node standing in for a cluster)._",
         "",
         "## Two-parallelism scaling (sandbox evidence for the N→4N executor rule)",
         "",
-        "The same crawl job (synthesize-cached corpus, full frontier discovery +",
-        "extraction) at two parallelism levels, per BASELINE.json north_rule —",
-        "local[N] standing in for an N-executor cluster:",
+        "The same crawl job — full frontier discovery + extraction over a cached",
+        f"~1.9M-page synthetic web corpus ({visited:,} pages visited, each visited",
+        "page link-expanded and text-extracted through the Arrow UDF kernel) — at",
+        "two parallelism levels, per BASELINE.json north_rule; local[N] stands in",
+        "for an N-executor cluster:",
         "",
         "| cores | crawl urls/sec | crawl sec |",
         "|---|---|---|",
@@ -71,17 +75,11 @@ def main():
         "",
         f"**Scaling efficiency (throughput ratio / 4): {efficiency}**",
         "",
-        "## Per-operator timings at local[{}] (seconds)".format(4 * N),
+        "urls/sec counts visited + extracted (every visited page is also",
+        "extracted, so ≈ 2× pages/sec). Per-operator timings at SF are in the",
+        "driver-recorded `BENCH_r{N}.json` (produced by `python bench.py`).",
         "",
-        "| query | sec |",
-        "|---|---|",
-    ]
-    for name, sec in sorted(big["queries"].items()):
-        lines.append(f"| {name} | {sec} |")
-    lines += [
-        "",
-        "Raw JSON: see `BENCH_r{N}.json` (driver-recorded) and the",
-        "`scripts/scaling_bench.py` output above.",
+        "Raw scaling JSON: rerun `python scripts/scaling_bench.py`.",
     ]
     md.write_text("\n".join(lines) + "\n")
     print(f"wrote {md}")

@@ -232,3 +232,88 @@ class TestNaming:
         lines = doc.split("\n")
         assert lines[0] == "---" and lines[1] == "url: u"
         assert lines[7] == "---" and lines[8] == "# T" and lines[10] == "M"
+
+
+class TestScanLinksDifferential:
+    """scan_links (regex fast path) must agree with extract_links (the
+    HTMLParser ground truth) — the discovery UDF uses the fast path."""
+
+    ADVERSARIAL = [
+        '<a href="/x">t</a>',
+        "<a href='/y'>t</a>",
+        "<a href=/bare>t</a>",
+        '<a href="">empty</a>',
+        '<a href="   ">ws</a>',
+        "<a>no href</a>",
+        '<a href>bare attr</a>',
+        '<a href href="/win">dup bare first</a>',
+        '<a href="/lose" href="/win">dup</a>',
+        '<A HREF="/UPPER">t</A>',
+        '<a data-href="/not">t</a><a href="/yes">t</a>',
+        '<a xhref="/not" href="/yes">t</a>',
+        '<a\nhref="/nl">t</a>',
+        '<a href = "/spaced">t</a>',
+        '<a href="a&amp;b?x=1&#47;2">ent</a>',
+        '<script>var s = \'<a href="/in-script">x</a>\';</script><a href="/real">t</a>',
+        '<style>a { content: \'<a href="/in-style">\'}</style><a href="/real">t</a>',
+        '<!-- <a href="/in-comment">x</a> --><a href="/real">t</a>',
+        '<nav><a href="/in-nav">x</a></nav>',
+        '<template><a href="/in-template">x</a></template>',
+        '<noscript><a href="/in-noscript">x</a></noscript>',
+        '<textarea><a href="/in-textarea">x</a></textarea>',
+        '<a href="https://other.example/abs">x</a>',
+        '<a href="//proto.example/rel">x</a>',
+        '<a href="mailto:a@b.example">x</a>',
+        '<a href="#frag">x</a>',
+        '<a href="?q=1">x</a>',
+        '<a href="rel/path.html">x</a>',
+        '<a class="b" href="/mid" id="z">x</a>',
+        '<a href="/q?a=1&amp;b=2#c">x</a>',
+        'text <a href="/one">1</a> more <a href="/two">2</a> end',
+        '<a href="/unclosed">text',
+        '<div><a href="/nested"><span>deep</span></a></div>',
+    ]
+
+    def test_adversarial_vectors(self):
+        from crawl4ai_scraper_spark.kernel.htmlkit import extract_links, scan_links
+
+        base = "https://site0.example/sec1/page2.html"
+        for html in self.ADVERSARIAL:
+            doc = f"<html><head><title>T</title></head><body>{html}</body></html>"
+            assert scan_links(doc, base) == extract_links(doc, base), html
+
+    def test_whole_synthetic_corpus(self):
+        from crawl4ai_scraper_spark.fixtures.webgen import WebSpec, iter_urls, page_html
+        from crawl4ai_scraper_spark.kernel.htmlkit import extract_links, scan_links
+
+        spec = WebSpec(n_hosts=3, max_secs=5, max_pages=7)
+        n = 0
+        for url in iter_urls(spec):
+            html = page_html(spec, url)
+            if html is None:
+                continue
+            assert scan_links(html, url) == extract_links(html, url), url
+            n += 1
+        assert n > 200
+
+    def test_fuzz_agreement(self):
+        import random
+
+        from crawl4ai_scraper_spark.kernel.htmlkit import extract_links, scan_links
+
+        rng = random.Random(7)
+        frags = [
+            '<a href="/p{}">x</a>', "<a href='q{}'>y</a>", "<a href=r{}>z</a>",
+            "<p>text{} </p>", "<script>'<a href=\"/s{}\">'</script>",
+            "<!--<a href=/c{}>-->", "<a>plain</a>", "<nav><a href=/n{}>n</a></nav>",
+            "<div class=\"k\">", "</div>", "&amp; &lt; {}",
+            '<a href="https://h{}.example/z">w</a>', "<a href=#f{}>g</a>",
+            "<A Href='/Up{}'>U</A>", "<a href=\"a&amp;{}\">e</a>",
+        ]
+        base = "https://site0.example/sec0/page0.html"
+        for trial in range(300):
+            doc = "".join(
+                rng.choice(frags).replace("{}", str(rng.randrange(100)))
+                for _ in range(rng.randrange(1, 25))
+            )
+            assert scan_links(doc, base) == extract_links(doc, base), doc
