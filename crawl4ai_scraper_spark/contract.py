@@ -700,6 +700,36 @@ def dedup_simhash_q(spark, sf):
     return D.simhash(docs, "text", "doc_id", n_bits=32)
 
 
+@_q(
+    "dedup_embedding_cosine",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 40),
+    c AS (SELECT vec_id, e FROM v
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(e, x -> x * 1.02 + 0.003) FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS cos
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.98""",
+)
+def dedup_embedding_cosine_q(spark, sf):
+    """Embedding-cosine near-dup pairs over the corpus + planted perturbed
+    copies (x → 1.02·x + 0.003 — deterministic double math in both engines);
+    exact-verify step of the LSH-bucketed near-dup pipeline."""
+    base = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 40).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    variants = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.02) + F.lit(0.003)).alias("e"),
+    )
+    corpus = base.unionByName(variants)
+    return D.embedding_near_dup_pairs(corpus, "vec_id", "e", threshold=0.98)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -148,3 +148,32 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> Data
             F.expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
         ).alias("simhash")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ threshold).
+
+    Scale path: at 10^8+ vectors the quadratic join is gated behind the
+    sign-random-projection LSH buckets (similarity.lsh_hyperplane_buckets) —
+    join within bucket, then exact-cosine verify; this function is the exact
+    verify step and doubles as the brute-force baseline. The dot products are
+    JVM-side (``aggregate``/``zip_with`` — no Python worker in the loop).
+    """
+    from crawl4ai_scraper_spark.operators.similarity import cosine
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,13 +1,17 @@
 """One BFS round as a DataFrame plan (SURVEY §3 "Spark lifecycle equivalent").
 
-    frontier_r ─⋈ pages (pbucket+url equi-join, runtime-bloom pushed)─► fetched
-      ─ budget truncation (exact mid-level max_pages cut, O-28) ─► visits
-      ─ mapInPandas expand_links (render + canon + domain, one Arrow pass)
+    pages scan ⋈ broadcast(frontier_r)      (needles INTO the haystack — the
+      │                                      pages table is never shuffled)
+      ─ ONE Arrow pass (visit_and_expand): visit rows + link rows; html never
+        enters a shuffle or cache; depth==max rows probe the url column only
+      ─ misses anti-join (fetch failures) + ONE union-agg stats job
+      ─ budget truncation (exact mid-level max_pages cut, O-28)
       ─ native filters (same-domain O-13, robots O-19)
       ─ first-appender min(struct) agg (O-17/O-25 — map-side combine, so the
         hot keys every page links to, like "/", never skew a shuffle)
       ─ bloom pre-split + EXACT left-anti join vs enqueued (O-16)
       ─ two-phase global rank → frontier_{r+1} queue order (O-24)
+      (zero-link rounds skip everything after the stats job)
 
 Parity invariants with the reference loop (crawler.py:179-238):
 * ``matched`` requires fetch success — a 404 never counts toward max_pages

@@ -1,0 +1,106 @@
+"""Structured Streaming surfaces: continuous page ingest + extraction.
+
+The reference crawler is batch-iterative, and so is this engine's BFS
+(SURVEY §2.9: level-synchronous rounds ARE the correct mapping of a FIFO
+frontier — exact crawl-order parity needs a barrier per level). What IS
+streaming-shaped in a production crawl lakehouse is everything around the
+frontier:
+
+* new fetched pages land as files (WARC dumps, fetcher output) and must be
+  text-extracted exactly once, incrementally — ``stream_extract``;
+* per-host fetch-rate accounting for politeness monitoring needs event-time
+  windows with late data handled — ``host_rate_stream`` (watermark +
+  windowed count, the canonical Structured Streaming stateful aggregate).
+
+Both run on ``readStream``/``writeStream`` with checkpointed exactly-once
+file-source progress — ``Trigger.AvailableNow`` drains whatever is new and
+stops, which is how an incremental extraction job runs from cron/Airflow on
+a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_scraper_spark.functions.udfs import EXTRACTED_SCHEMA, extract_documents
+
+# File-source schema: the pages table (BASELINE.json input_hint) plus the
+# physical bucket column the batch writer adds.
+STREAM_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, pbucket int"
+)
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    pages_path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming view of a pages directory: every parquet file that appears
+    under it is processed exactly once (file-source tracks progress in the
+    sink's checkpoint)."""
+    reader = spark.readStream.schema(STREAM_PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_path)
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    cleaning_kwargs: Optional[dict] = None,
+    run_ts_iso: str = "2025-01-01T00:00:00",
+    await_termination: bool = True,
+):
+    """Incremental extraction: drain new page files → byte-identical text
+    records appended to ``out_path``, exactly once (AvailableNow trigger).
+
+    The extraction UDF is the SAME Arrow kernel the batch pass uses
+    (functions/udfs.py extract_documents), so a document extracted by the
+    stream is byte-identical to one extracted by the batch engine."""
+    stream = read_pages_stream(spark, pages_path).select(
+        "url", "html", F.lit(run_ts_iso).alias("crawled_at")
+    )
+    docs = stream.mapInPandas(extract_documents(cleaning_kwargs or {}), EXTRACTED_SCHEMA)
+    query = (
+        docs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def host_rate_stream(
+    pages_stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-host fetch counts over event-time (warc_ts) windows with a
+    watermark for late arrivals — the politeness-monitoring aggregate.
+    Returns (host, window_start, window_end, fetches, bytes)."""
+    hosts = pages_stream.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.col("warc_ts"),
+        F.length(F.col("html")).alias("nbytes"),
+    )
+    return (
+        hosts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("w"), "host")
+        .agg(F.count(F.lit(1)).alias("fetches"), F.sum("nbytes").alias("bytes"))
+        .select(
+            "host",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "fetches",
+            "bytes",
+        )
+    )
