@@ -96,29 +96,22 @@ def ensure_corpus(spark) -> None:
 
 def warmup_workers(spark, pages) -> None:
     """Start + warm the Python UDF workers (imports, Arrow init) off the
-    clock: one tiny pass through each mapInPandas stage on every core."""
+    clock: one tiny pass through the fused round UDF on every core."""
     from crawl4ai_scraper_spark.functions.udfs import (
-        EXPANDED_LINKS_SCHEMA,
-        EXTRACTED_SCHEMA,
-        expand_links,
-        extract_documents,
+        VISIT_EXPAND_DOC_SCHEMA,
+        visit_and_expand,
     )
     from pyspark.sql import functions as F
 
+    extraction = {"cleaning": {}, "naming": ("flat", "url_based", "2025-01-01T00:00:00"),
+                  "patterns": [], "exclude_patterns": []}
     sample = (
         pages.limit(4 * CPUS)
-        .select("url", F.lit("1970-01-01T00:00:00").alias("crawled_at"), "html")
+        .select("url", F.lit("h").alias("host"), F.lit(0).alias("depth"),
+                F.lit(1).cast("long").alias("arrival_rank"), "html")
         .repartition(CPUS)
-        .cache()
     )
-    sample.mapInPandas(extract_documents({}), EXTRACTED_SCHEMA).count()
-    (
-        sample.select("url", F.lit(0).cast("long").alias("seq"),
-                      F.lit(0).alias("depth"), "html")
-        .mapInPandas(expand_links, EXPANDED_LINKS_SCHEMA)
-        .count()
-    )
-    sample.unpersist()
+    sample.mapInPandas(visit_and_expand(3, extraction), VISIT_EXPAND_DOC_SCHEMA).count()
 
 
 def bench_crawl(spark) -> dict:

@@ -92,16 +92,30 @@ def run_crawl(
     priority_col: Optional[Callable[[DataFrame], Column]] = None,
     n_buckets: Optional[int] = None,
     max_rounds: Optional[int] = None,  # stop early (kill simulation / tests)
+    fused_extract: bool = True,
 ) -> CrawlResult:
+    """Run the full crawl. ``fused_extract`` (default) extracts each
+    pattern-matched page's document INSIDE the discovery round that visits it
+    — the page's html is already streaming through the expansion Arrow pass,
+    so the reference's separate Phase-2 scan of every discovered page
+    (crawler.py:547-599) disappears; output is byte-identical either way.
+    A resumed crawl must keep the mode of its first run (the visited-state
+    schema differs)."""
     seed_domain = extract_domain(seed_url)
     # The fetch join computes pbucket = pmod(xxhash64(url), N); N MUST equal
     # the modulus the pages table was written with or lookups silently miss.
     if n_buckets is None:
         n_buckets = DEFAULT_PBUCKETS
 
+    fused_requested = bool(extract and fused_extract)
+
     last = latest_round(chk_dir) if resume else None
     if last is not None:
         meta = load_manifest(chk_dir, last)
+        # Fused-ness is a property of the CHECKPOINT (it widens the visited
+        # schema), fixed at bootstrap — a resume continues in the mode the
+        # crawl started in, whatever the caller asked for now.
+        fused = meta.get("fused", False)
         rnd = last + 1
         seq_base = meta["seq_base"]
         discovered_n = meta["discovered"]
@@ -112,6 +126,7 @@ def run_crawl(
         frontier_n = meta.get("frontier_n", frontier.count())
         enqueued_n = meta.get("enqueued_n", enqueued.count())
     else:
+        fused = fused_requested
         # config persisted next to the checkpoints (≙ config_manager save)
         cfg.dump(Path(chk_dir) / "crawl_config.json")
         rnd, seq_base, discovered_n, round_vt, done = 0, 0, 0, 0.0, False
@@ -121,12 +136,18 @@ def run_crawl(
             "parent_url string, link_pos int",
         )
         # round-0 bootstrap commit so a resume before the first round works
+        visited_schema = ("url string, host string, depth int, seq long, success boolean, "
+                          "matched boolean, sched_ts double, arrival_rank long")
+        if fused:
+            visited_schema += (", title string, description string, markdown string, "
+                               "content_length long, links_count long, user_agent string, "
+                               "rel_path string")
         commit_round(
             chk_dir, 0, frontier,
-            {"visited": _empty(spark, "url string, host string, depth int, seq long, success boolean, matched boolean, sched_ts double, arrival_rank long"),
+            {"visited": _empty(spark, visited_schema),
              "lineage": _empty(spark, "stage string, partition int, rows long")},
             {"seq_base": 0, "discovered": 0, "round_vt": 0.0, "bootstrap": True, "done": False,
-             "frontier_n": 1, "enqueued_n": 1},
+             "frontier_n": 1, "enqueued_n": 1, "fused": fused},
             sizes={"frontier": 1, "visited": 0, "lineage": 0},
         )
         last = 0
@@ -134,6 +155,25 @@ def run_crawl(
         frontier = frontier.select("url", "host", "depth", "arrival_rank")
         enqueued = frontier.select("url")
         frontier_n, enqueued_n = 1, 1
+
+    extraction = None
+    doc_cols: list = []
+    if fused:
+        from crawl4ai_scraper_spark.functions.udfs import _DOC_COLS
+
+        doc_cols = list(_DOC_COLS)
+        extraction = {
+            "cleaning": dict(
+                custom_nav_patterns=cfg.custom_nav_patterns,
+                custom_footer_patterns=cfg.custom_footer_patterns,
+                custom_skip_patterns=cfg.custom_skip_patterns,
+                min_content_length=cfg.min_content_length,
+                cleaning_profile=cfg.cleaning_profile,
+            ),
+            "naming": (cfg.organization_strategy, cfg.naming_convention, RUN_TS_ISO),
+            "patterns": cfg.patterns,
+            "exclude_patterns": cfg.exclude_patterns,
+        }
 
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
         if max_rounds is not None and rnd > max_rounds:
@@ -155,6 +195,7 @@ def run_crawl(
             seq_base=seq_base, discovered_so_far=discovered_n,
             host_rules=host_rules, bloom=bloom, n_buckets=n_buckets,
             priority_col=priority_col, frontier_count=frontier_n,
+            extraction=extraction,
         )
         timer.lap("run_round (actions: matched count, visit agg, rank+count)")
         visits = virtual_schedule(rr.visits, host_rules, cfg.delay_between_requests, round_vt)
@@ -172,13 +213,16 @@ def run_crawl(
             chk_dir, rnd, rr.new_frontier,
             {
                 "visited": visits.select("url", "host", "depth", "seq", "success",
-                                         "matched", "sched_ts", "arrival_rank"),
+                                         "matched", "sched_ts", "arrival_rank", *doc_cols),
                 "lineage": rr.lineage,
             },
             {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
              "done": done, "counts": rr.counts,
-             "frontier_n": frontier_n, "enqueued_n": enqueued_n},
-            sizes={"frontier": frontier_n, "visited": rr.counts["visited"], "lineage": 0},
+             "frontier_n": frontier_n, "enqueued_n": enqueued_n, "fused": fused},
+            # fused visited rows carry ~1 KB of markdown each → more files
+            sizes={"frontier": frontier_n,
+                   "visited": rr.counts["visited"] * (4 if fused else 1),
+                   "lineage": 0},
         )
         timer.lap("commit_round (3 parquet writes)")
         for cached in rr.caches:  # round state is on disk now — free the memory
@@ -194,7 +238,9 @@ def run_crawl(
     discovered = visited.filter("matched").select("url").orderBy("url")  # O-27 sorted output
 
     documents, summary = (None, {})
-    if extract:
+    if extract and fused:
+        documents, summary = fused_documents(spark, visited, cfg, chk_dir)
+    elif extract:
         documents, summary = extract_pass(spark, pages, discovered, cfg, chk_dir, n_buckets,
                                           n_discovered=discovered_n)
     summary["rounds"] = last
@@ -239,6 +285,32 @@ def extract_pass(
         ),
         EXTRACTED_SCHEMA,
     )
+    return _finalize_documents(spark, docs, cfg, chk_dir)
+
+
+def fused_documents(
+    spark: SparkSession,
+    visited: DataFrame,
+    cfg: CrawlJobConfig,
+    chk_dir: str,
+) -> tuple[DataFrame, Dict]:
+    """documents_out from FUSED visit rows — the matched visits already carry
+    the extracted record (visit_and_expand with extraction), so no second
+    pages scan happens; this just shapes, formats and commits them."""
+    docs = visited.filter("matched").select(
+        "url", "title", "description", "markdown", "content_length", "links_count",
+        F.lit(RUN_TS_ISO).alias("crawled_at"), F.lit(True).alias("success"),
+        "user_agent", F.lit(None).cast("string").alias("error"), "rel_path",
+    )
+    return _finalize_documents(spark, docs, cfg, chk_dir)
+
+
+def _finalize_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: CrawlJobConfig,
+    chk_dir: str,
+) -> tuple[DataFrame, Dict]:
     if cfg.include_metadata:
         # YAML-ish front matter, built NATIVELY (JVM concat — no UDF), matching
         # kernel.naming.format_with_metadata byte for byte.

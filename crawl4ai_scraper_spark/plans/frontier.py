@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 
 from crawl4ai_scraper_spark.config import CrawlJobConfig
 from crawl4ai_scraper_spark.functions.udfs import (
+    _DOC_COLS,
+    VISIT_EXPAND_DOC_SCHEMA,
     VISIT_EXPAND_SCHEMA,
     include_exclude_predicate,
     visit_and_expand,
@@ -136,6 +138,7 @@ def run_round(
     n_buckets: int = 32,
     priority_col: Optional[Callable[[DataFrame], Column]] = None,
     frontier_count: Optional[int] = None,  # tracked by the driver — saves a job
+    extraction: Optional[dict] = None,  # fused extraction (see visit_and_expand)
 ) -> RoundResult:
     # ---- single-pass fetch + expand (O-4/O-18 + O-9/O-13) ----
     # The pages scan is touched ONCE per round. On the broadcast path (the
@@ -150,33 +153,42 @@ def run_round(
     n_frontier = frontier_count if frontier_count is not None else frontier.count()
     in_cols = ["url", "host", "depth", "arrival_rank", "html"]
     visit_cols = ["url", "host", "depth", "arrival_rank", "success"]
+    expand_schema = VISIT_EXPAND_SCHEMA
+    doc_nulls = []
+    if extraction is not None:
+        expand_schema = VISIT_EXPAND_DOC_SCHEMA
+        visit_cols = visit_cols + list(_DOC_COLS)
+        doc_nulls = [F.lit(None).cast("long" if c in ("content_length", "links_count")
+                                      else "string").alias(c) for c in _DOC_COLS]
     # Only rows that will EXPAND need the html column; frontier rows already
     # at max_depth only need an existence probe, so their join reads the
     # (tiny) url column of the pages table and skips the Arrow transfer
     # entirely. In FIFO mode a round's depths are uniform (level-synchronous
     # BFS), so per round one side is simply empty; priority mode can mix.
-    fr_expand = fr.filter(F.col("depth") < cfg.max_depth)
-    fr_final = fr.filter(F.col("depth") >= cfg.max_depth)
+    # FUSED extraction needs the html of max-depth pages too (they are
+    # extracted even though never expanded), so fusion disables the probe.
+    if extraction is None:
+        fr_expand = fr.filter(F.col("depth") < cfg.max_depth)
+        fr_final = fr.filter(F.col("depth") >= cfg.max_depth)
+    else:
+        fr_expand, fr_final = fr, fr.filter(F.lit(False))
     page_side = pages.select("pbucket", "url", "html")  # never warc_ts/text here
     page_urls = pages.select("pbucket", "url")
     broadcast_path = n_frontier <= cfg.broadcast_frontier_threshold
+    udf = visit_and_expand(cfg.max_depth, extraction)
     if broadcast_path:
         hits = page_side.join(F.broadcast(fr_expand), ["pbucket", "url"], "inner")
-        expanded = hits.select(*in_cols).mapInPandas(
-            visit_and_expand(cfg.max_depth), VISIT_EXPAND_SCHEMA
-        ).persist()
+        expanded = hits.select(*in_cols).mapInPandas(udf, expand_schema).persist()
         final_part = page_urls.join(F.broadcast(fr_final), ["pbucket", "url"], "inner").select(
-            "url", "host", "depth", "arrival_rank", F.lit(True).alias("success")
+            "url", "host", "depth", "arrival_rank", F.lit(True).alias("success"), *doc_nulls
         )
     else:
         fetched = fr_expand.join(page_side, ["pbucket", "url"], "left").drop("pbucket")
-        expanded = fetched.select(*in_cols).mapInPandas(
-            visit_and_expand(cfg.max_depth), VISIT_EXPAND_SCHEMA
-        ).persist()
+        expanded = fetched.select(*in_cols).mapInPandas(udf, expand_schema).persist()
         final_part = (
             fr_final.join(page_urls.withColumn("hit", F.lit(True)), ["pbucket", "url"], "left")
             .select("url", "host", "depth", "arrival_rank",
-                    F.coalesce(F.col("hit"), F.lit(False)).alias("success"))
+                    F.coalesce(F.col("hit"), F.lit(False)).alias("success"), *doc_nulls)
         )
     caches = [expanded]
 
@@ -212,7 +224,7 @@ def run_round(
     visit_rows = expanded.filter(kind0).select(*visit_cols).unionByName(final_part)
     if broadcast_path:  # frontier rows with no stored page = fetch failures
         misses = frontier.join(visit_rows.select("url"), "url", "left_anti").select(
-            "url", "host", "depth", "arrival_rank", F.lit(False).alias("success")
+            "url", "host", "depth", "arrival_rank", F.lit(False).alias("success"), *doc_nulls
         )
         visit_rows = visit_rows.unionByName(misses)
     visits = visit_rows.withColumn("matched", F.col("success") & matched_pred).persist()
@@ -260,7 +272,8 @@ def run_round(
         )
         return RoundResult(
             visits=visits.select("url", "host", "depth", "seq", "success", "matched",
-                                 "arrival_rank"),
+                                 "arrival_rank",
+                                 *(list(_DOC_COLS) if extraction is not None else [])),
             new_frontier=new_frontier,
             new_edges=spark.createDataFrame(
                 [], "parent_url string, child_url string, link_pos int"
@@ -358,7 +371,8 @@ def run_round(
     )
 
     return RoundResult(
-        visits=visits.select("url", "host", "depth", "seq", "success", "matched", "arrival_rank"),
+        visits=visits.select("url", "host", "depth", "seq", "success", "matched", "arrival_rank",
+                             *(list(_DOC_COLS) if extraction is not None else [])),
         new_frontier=new_frontier,
         new_edges=new_edges,
         counts=counts,

@@ -49,6 +49,13 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Straggler insurance: a wedged task (observed once: a Python worker
+        # blocked on a full socket while its executor thread polled) gets a
+        # speculative copy instead of stalling the whole round. Our tasks are
+        # deterministic and the commit protocol makes re-execution safe.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
         # NB: runtimeFilter.semiJoinReduction hangs the 4.1.2 planner (infinite
         # optimizer loop observed locally) — deliberately NOT enabled.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
