@@ -37,6 +37,28 @@ class CrawlJobConfig:
     custom_nav_patterns: List[str] = field(default_factory=list)
     custom_footer_patterns: List[str] = field(default_factory=list)
     custom_skip_patterns: List[str] = field(default_factory=list)
+    # Selector-based extraction (crawler.py:66-70; templates selector_utils.py:21-54)
+    content_css_selectors: List[str] = field(default_factory=list)
+    content_xpath: List[str] = field(default_factory=list)
+    exclude_css_selectors: List[str] = field(default_factory=list)
+    exclude_xpath: List[str] = field(default_factory=list)
+    selector_template: str = ""
+
+    def cleaning_kwargs(self) -> dict:
+        """kwargs for CleaningConfig.build — ONE place defines how job config
+        maps to the text-extraction semantics (UDFs + oracle share it)."""
+        return dict(
+            custom_nav_patterns=self.custom_nav_patterns,
+            custom_footer_patterns=self.custom_footer_patterns,
+            custom_skip_patterns=self.custom_skip_patterns,
+            min_content_length=self.min_content_length,
+            cleaning_profile=self.cleaning_profile,
+            content_css_selectors=self.content_css_selectors,
+            content_xpath=self.content_xpath,
+            exclude_css_selectors=self.exclude_css_selectors,
+            exclude_xpath=self.exclude_xpath,
+            selector_template=self.selector_template or None,
+        )
 
     # Output naming (output_manager.py strategies)
     organization_strategy: str = "flat"

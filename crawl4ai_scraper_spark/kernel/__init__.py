@@ -23,6 +23,16 @@ from crawl4ai_scraper_spark.kernel.htmlkit import (
     page_description,
     page_title,
 )
+from crawl4ai_scraper_spark.kernel.selectors import (
+    SELECTOR_TEMPLATES,
+    extract_by_css,
+    extract_by_xpath,
+    extract_combined,
+    extract_with_template,
+    get_template,
+    validate_css_selector,
+    validate_xpath,
+)
 from crawl4ai_scraper_spark.kernel.naming import (
     clean_filename,
     format_with_metadata,
@@ -50,4 +60,12 @@ __all__ = [
     "clean_filename",
     "output_rel_path",
     "format_with_metadata",
+    "SELECTOR_TEMPLATES",
+    "extract_by_css",
+    "extract_by_xpath",
+    "extract_combined",
+    "extract_with_template",
+    "get_template",
+    "validate_css_selector",
+    "validate_xpath",
 ]

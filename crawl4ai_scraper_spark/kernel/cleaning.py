@@ -105,6 +105,17 @@ class CleaningConfig:
     skip_patterns: List[str] = field(default_factory=lambda: list(SKIP_PATTERNS))
     min_content_length: int = 100
     cleaning_profile: str = "moderate"
+    # Selector-based extraction (O-42..O-47): when any of these are set the
+    # extraction path tries extract_combined first and falls back to markdown
+    # cleaning below min_content_length (content_filters.py:445-465).
+    content_css_selectors: List[str] = field(default_factory=list)
+    content_xpath: List[str] = field(default_factory=list)
+    exclude_css_selectors: List[str] = field(default_factory=list)
+    exclude_xpath: List[str] = field(default_factory=list)
+
+    @property
+    def uses_selectors(self) -> bool:
+        return bool(self.content_css_selectors or self.content_xpath)
 
     @classmethod
     def build(
@@ -114,8 +125,31 @@ class CleaningConfig:
         custom_skip_patterns: Optional[List[str]] = None,
         min_content_length: int = 100,
         cleaning_profile: str = "moderate",
+        content_css_selectors: Optional[List[str]] = None,
+        content_xpath: Optional[List[str]] = None,
+        exclude_css_selectors: Optional[List[str]] = None,
+        exclude_xpath: Optional[List[str]] = None,
+        selector_template: Optional[str] = None,
     ) -> "CleaningConfig":
         cfg = cls(min_content_length=min_content_length, cleaning_profile=cleaning_profile)
+        if selector_template:
+            # ≙ set_selector_template (content_filters.py:467-479)
+            from crawl4ai_scraper_spark.kernel.selectors import get_template
+
+            template = get_template(selector_template)
+            if template:
+                cfg.content_css_selectors = list(template.get("css", []))
+                cfg.content_xpath = list(template.get("xpath", []))
+                cfg.exclude_css_selectors = list(template.get("exclude_css", []))
+                cfg.exclude_xpath = list(template.get("exclude_xpath", []))
+        if content_css_selectors:
+            cfg.content_css_selectors = list(content_css_selectors)
+        if content_xpath:
+            cfg.content_xpath = list(content_xpath)
+        if exclude_css_selectors:
+            cfg.exclude_css_selectors = list(exclude_css_selectors)
+        if exclude_xpath:
+            cfg.exclude_xpath = list(exclude_xpath)
         if custom_nav_patterns:
             cfg.nav_indicators.extend(custom_nav_patterns)
         if custom_footer_patterns:

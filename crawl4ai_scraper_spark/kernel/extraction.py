@@ -47,11 +47,30 @@ def pick_user_agent(url: str) -> str:
     return USER_AGENTS[int.from_bytes(digest[:8], "big") % len(USER_AGENTS)]
 
 
+def _selector_content(html, cfg: CleaningConfig) -> Optional[str]:
+    """Combined CSS/XPath extraction when the config carries selectors
+    (≙ extract_with_selectors, content_filters.py:427-443)."""
+    if not cfg.uses_selectors:
+        return None
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
+    from crawl4ai_scraper_spark.kernel.selectors import extract_combined
+
+    return extract_combined(
+        decode_html(html),
+        css_selectors=cfg.content_css_selectors,
+        xpath_expressions=cfg.content_xpath,
+        exclude_css=cfg.exclude_css_selectors,
+        exclude_xpath=cfg.exclude_xpath,
+    )
+
+
 def extract_text(html, url: str, cfg: Optional[CleaningConfig] = None,
                  use_selectors: bool = False, selector_content: Optional[str] = None) -> str:
     """html (binary or str) → the final extracted text for this URL."""
     rendered = fetch_render(html, url)
     cfg = cfg or CleaningConfig()
+    if selector_content is None and cfg.uses_selectors:
+        use_selectors, selector_content = True, _selector_content(html, cfg)
     if use_selectors:
         cleaned = clean_with_selectors(
             "", rendered["markdown"], rendered["title"], cfg, selector_content
@@ -66,7 +85,12 @@ def extract_record(url: str, html, crawled_at: str,
     """Success-path content record, field-for-field ≙ crawler.py:486-496."""
     rendered = fetch_render(html, url)
     cfg = cfg or CleaningConfig()
-    cleaned = clean_markdown(rendered["markdown"], rendered["title"], cfg)
+    if cfg.uses_selectors:
+        cleaned = clean_with_selectors(
+            "", rendered["markdown"], rendered["title"], cfg, _selector_content(html, cfg)
+        )
+    else:
+        cleaned = clean_markdown(rendered["markdown"], rendered["title"], cfg)
     text = finalize_text(cleaned, rendered["cleaned_html"])
     return {
         "url": url,

@@ -93,13 +93,7 @@ def oracle_extract(fetch: Fetch, urls: List[str], cfg: CrawlJobConfig,
     """Content pass ≙ crawler.py:547-599 (order: input list order — the
     reference gathers concurrently but crawls the sorted discovery output; the
     summary is order-insensitive)."""
-    cleaning = CleaningConfig.build(
-        custom_nav_patterns=cfg.custom_nav_patterns,
-        custom_footer_patterns=cfg.custom_footer_patterns,
-        custom_skip_patterns=cfg.custom_skip_patterns,
-        min_content_length=cfg.min_content_length,
-        cleaning_profile=cfg.cleaning_profile,
-    )
+    cleaning = CleaningConfig.build(**cfg.cleaning_kwargs())
     records: List[dict] = []
     for url in urls:
         html = fetch(url)

@@ -163,13 +163,7 @@ def run_crawl(
 
         doc_cols = list(_DOC_COLS)
         extraction = {
-            "cleaning": dict(
-                custom_nav_patterns=cfg.custom_nav_patterns,
-                custom_footer_patterns=cfg.custom_footer_patterns,
-                custom_skip_patterns=cfg.custom_skip_patterns,
-                min_content_length=cfg.min_content_length,
-                cleaning_profile=cfg.cleaning_profile,
-            ),
+            "cleaning": cfg.cleaning_kwargs(),
             "naming": (cfg.organization_strategy, cfg.naming_convention, RUN_TS_ISO),
             "patterns": cfg.patterns,
             "exclude_patterns": cfg.exclude_patterns,
@@ -269,13 +263,7 @@ def extract_pass(
         pages, discovered.select("url"), n_buckets, cfg.broadcast_frontier_threshold,
         frontier_count=n_discovered,
     ).select("url", "html", F.lit(RUN_TS_ISO).alias("crawled_at"))
-    cfg_kwargs = dict(
-        custom_nav_patterns=cfg.custom_nav_patterns,
-        custom_footer_patterns=cfg.custom_footer_patterns,
-        custom_skip_patterns=cfg.custom_skip_patterns,
-        min_content_length=cfg.min_content_length,
-        cleaning_profile=cfg.cleaning_profile,
-    )
+    cfg_kwargs = cfg.cleaning_kwargs()
     # extraction + output-path naming in ONE Arrow pass (a second path UDF
     # would round-trip every (url, title) through Python again)
     docs = fetch.mapInPandas(

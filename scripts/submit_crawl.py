@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--host-rules", help="parquet path: host, crawl_delay, disallow_prefixes")
     p.add_argument("--organization-strategy", default="flat")
     p.add_argument("--naming-convention", default="url_based")
+    p.add_argument("--selector-template",
+                   choices=["blog", "news", "documentation", "ecommerce", "forum"],
+                   help="selector-based extraction template (CSS/XPath subset engine)")
+    p.add_argument("--css-selector", action="append", default=[],
+                   help="explicit content CSS selector (repeatable)")
+    p.add_argument("--exclude-css-selector", action="append", default=[])
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dry-run", action="store_true",
                    help="discovery only (≙ reference --dry-run): no extraction pass")
@@ -71,6 +77,9 @@ def main(argv=None):
     cfg.delay_between_requests = args.delay
     cfg.organization_strategy = args.organization_strategy
     cfg.naming_convention = args.naming_convention
+    cfg.selector_template = args.selector_template or ""
+    cfg.content_css_selectors = args.css_selector
+    cfg.exclude_css_selectors = args.exclude_css_selector
     if args.shuffle_partitions:
         cfg.shuffle_partitions = args.shuffle_partitions
 

@@ -151,3 +151,45 @@ def test_dry_run_discovery_only(spark, pages3, web3, chk_dir):
     ]
     assert len(preview) == min(10, len(oracle.discovered))
     assert all(p.endswith(".md") for p in preview)
+
+
+def test_selector_template_crawl_parity(spark, pages3, web3, chk_dir):
+    """Selector-based extraction (O-42..O-47) flows through the fused engine
+    AND the oracle identically: template selectors extract first, markdown
+    cleaning is the below-threshold fallback (content_filters.py:445-465)."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=2, max_pages=25, selector_template="blog",
+                         min_content_length=40)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=False)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_explicit_css_selectors_crawl_parity(spark, pages3, web3, chk_dir):
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=2, max_pages=15, min_content_length=30,
+                         content_css_selectors=["article.post-content"],
+                         exclude_css_selectors=[".comments"])
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=False)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_priority_frontier_order(spark, pages3, web3, chk_dir):
+    """frontier_order='priority' (our extension): each round's queue is
+    ordered by the caller's priority column first, FIFO rank as tiebreak.
+    The visited SET matches FIFO mode; the intra-round order follows the
+    priority."""
+    from pyspark.sql import functions as F
+
+    cfg_fifo = CrawlJobConfig(max_depth=2, max_pages=1000)
+    fifo = run_crawl(spark, pages3, SEED, cfg_fifo, chk_dir + "_fifo", extract=False,
+                     use_bloom=False)
+    cfg_pri = CrawlJobConfig(max_depth=2, max_pages=1000, frontier_order="priority")
+    pri = run_crawl(spark, pages3, SEED, cfg_pri, chk_dir + "_pri", extract=False,
+                    use_bloom=False, priority_col=lambda df: F.length(F.col("url")))
+    fifo_urls = {r["url"] for r in fifo.visited.collect()}
+    pri_urls = {r["url"] for r in pri.visited.collect()}
+    assert fifo_urls == pri_urls  # same coverage, different order
+    # within round 2 (depth 1), longer urls (higher priority value) come first
+    rows = pri.visited.filter("depth = 1").orderBy("seq").select("url").collect()
+    lengths = [len(r["url"]) for r in rows]
+    assert lengths == sorted(lengths, reverse=True)
