@@ -810,6 +810,65 @@ def multimodal_decode_meta(spark, sf):
     return media_metadata(_t(spark, sf, "documents"))
 
 
+_META_SQL = """SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS sha,
+           (ascii(substr(md5(text), 1, 1)) % 8 + 1) * 64 AS width,
+           (ascii(substr(md5(text), 2, 1)) % 8 + 1) * 64 AS height,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+    FROM documents"""
+
+
+@_q(
+    "multimodal_resize_meta",
+    f"""WITH m AS ({_META_SQL})
+    SELECT media_id, n_bytes, sha, width, height, kind,
+           -- floor, not CAST: DuckDB's double→int cast ROUNDS, pandas truncates
+           CAST(floor(width * least(256.0 / greatest(width, height), 1.0)) AS INT) AS new_width,
+           CAST(floor(height * least(256.0 / greatest(width, height), 1.0)) AS INT) AS new_height
+    FROM m""",
+)
+def multimodal_resize_meta(spark, sf):
+    """Aspect-preserving downscale plan over the decoded metadata — the
+    resize stage of the media pipeline (pixel work stubbed, plumbing real)."""
+    from crawl4ai_scraper_spark.operators.multimodal import resized_media
+
+    return resized_media(_t(spark, sf, "documents"), max_dim=256)
+
+
+@_q(
+    "multimodal_frame_sample",
+    f"""WITH m AS ({_META_SQL})
+    SELECT media_id, CAST(f.frame_idx AS INT) AS frame_idx,
+           md5(sha || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_sha
+    FROM m, UNNEST(range(0, least(n_bytes // 100 + 1, 64), 4)) AS f(frame_idx)
+    WHERE kind = 'video'""",
+)
+def multimodal_frame_sample(spark, sf):
+    """Every-4th-frame sampling of the video rows → one content-addressed row
+    per sampled frame (the frame decode itself is the stubbed part)."""
+    from crawl4ai_scraper_spark.operators.multimodal import video_frames
+
+    return video_frames(_t(spark, sf, "documents"), every_n=4)
+
+
+@_q(
+    "multimodal_embed",
+    f"""WITH m AS ({_META_SQL})
+    SELECT media_id,
+           list_transform(range(0, 8),
+             i -> (strpos('0123456789abcdef', substr(sha, CAST(i AS INT) + 1, 1)) - 1) / 15.0
+           ) AS embedding
+    FROM m""",
+)
+def multimodal_embed(spark, sf):
+    """Hash-derived 8-dim feature vector per media row (native column math —
+    a model swap would move this into an Arrow pass); feeds the ANN ops."""
+    from crawl4ai_scraper_spark.operators.multimodal import media_embeddings
+
+    return media_embeddings(_t(spark, sf, "documents"), dim=8)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-adjacent stateful op, batch-expressible)
 # ---------------------------------------------------------------------------

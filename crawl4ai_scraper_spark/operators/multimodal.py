@@ -82,3 +82,78 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 def media_metadata(docs: DataFrame) -> DataFrame:
     """documents → media metadata via the Arrow decode pass."""
     return media_table_from_documents(docs).mapInPandas(decode_media, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = MEDIA_META_SCHEMA + ", new_width int, new_height int"
+
+
+def resize_meta(max_dim: int = 256):
+    """mapInPandas transformer: decode metadata → resize plan (aspect-ratio
+    preserving, only downscale). The pixel work is the stubbed part; the
+    dimension arithmetic, batch shape and schema are the real plumbing."""
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            scale = (max_dim / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            out["new_width"] = (pdf["width"] * scale).astype(int)
+            out["new_height"] = (pdf["height"] * scale).astype(int)
+            yield out
+
+    return _resize
+
+
+def resized_media(docs: DataFrame, max_dim: int = 256) -> DataFrame:
+    return media_metadata(docs).mapInPandas(resize_meta(max_dim), RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_sha string"
+
+
+def sample_frames(every_n: int = 4, max_frames: int = 64):
+    """mapInPandas transformer: video metadata → one row per sampled frame.
+    Frame count is derived deterministically from the blob size (the real
+    decoder would read the container); frame ids are content-addressed."""
+
+    def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, sha, n_bytes, kind in zip(
+                pdf["media_id"], pdf["sha"], pdf["n_bytes"], pdf["kind"]
+            ):
+                if kind != "video":
+                    continue
+                n_frames = min(int(n_bytes) // 100 + 1, max_frames)
+                for idx in range(0, n_frames, every_n):
+                    rows.append({
+                        "media_id": int(media_id),
+                        "frame_idx": idx,
+                        "frame_sha": hashlib.md5(f"{sha}:{idx}".encode()).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    return _frames
+
+
+def video_frames(docs: DataFrame, every_n: int = 4) -> DataFrame:
+    return media_metadata(docs).mapInPandas(sample_frames(every_n), FRAME_SCHEMA)
+
+
+def media_embeddings(docs: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: media → fixed-dim float vector, derived
+    deterministically from the content hash (hex nibble i → [0,1]) — NATIVE
+    column math (no UDF), so the embedding stage stays in codegen; a real
+    model swap would move this into an Arrow batch pass."""
+    meta = media_metadata(docs)
+
+    def nib(i: int):
+        # the double cast matters: a bare `int / 15.0` is DECIMAL division in
+        # Spark SQL, which would ship Decimal objects instead of doubles
+        return F.expr(
+            f"cast(locate(substring(sha, {i + 1}, 1), '0123456789abcdef') - 1 as double) / 15.0"
+        )
+
+    return meta.select(
+        "media_id",
+        F.array(*[nib(i) for i in range(dim)]).alias("embedding"),
+    )

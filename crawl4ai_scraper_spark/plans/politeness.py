@@ -54,21 +54,53 @@ def virtual_schedule(
     host_rules: Optional[DataFrame],
     default_delay: float,
     round_vt: float,
+    bucket_size: int = 1 << 16,
 ) -> DataFrame:
     """Attach ``sched_ts`` (seconds of virtual time) per visit: rank within
-    host × that host's crawl delay. Partitioned window by host — host-hash
-    distribution, no global sort."""
+    host × that host's crawl delay.
+
+    Skew-proof host rank: a plain ``row_number() OVER (PARTITION BY host)``
+    puts a hot host's entire round into ONE window partition — 10^8 rows of
+    sort-and-spill when a single domain dominates the frontier. Instead the
+    rank is computed in two bounded phases over ``arrival_rank`` buckets:
+
+      1. per-(host, bucket) row counts → per-host running offsets via a
+         window over BUCKET IDS (≤ round_size/bucket_size rows per host);
+      2. local row_number within (host, bucket) (≤ bucket_size rows per
+         window partition) + offset.
+
+    Identical output to the naive window (arrival_rank is a global total
+    order), bounded partition sizes everywhere.
+    """
     if host_rules is not None:
         delays = F.broadcast(host_rules.select("host", "crawl_delay"))
         visits = visits.join(delays, "host", "left")
     else:
         visits = visits.withColumn("crawl_delay", F.lit(None).cast("double"))
-    host_rank = F.row_number().over(Window.partitionBy("host").orderBy("arrival_rank"))
+
+    visits = visits.withColumn("_b", (F.col("arrival_rank") / bucket_size).cast("long"))
+    offsets = (
+        visits.groupBy("host", "_b").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy("host").orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("host", "_b", "_off")
+    )
+    local = F.row_number().over(Window.partitionBy("host", "_b").orderBy("arrival_rank"))
     return (
-        visits.withColumn(
+        visits.join(offsets, ["host", "_b"])
+        .withColumn(
             "sched_ts",
             F.lit(round_vt)
-            + (host_rank - F.lit(1)) * F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
+            + (F.col("_off") + local - F.lit(1))
+            * F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
         )
-        .drop("crawl_delay")
+        .drop("crawl_delay", "_b", "_off")
     )

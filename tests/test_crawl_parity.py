@@ -193,3 +193,25 @@ def test_priority_frontier_order(spark, pages3, web3, chk_dir):
     rows = pri.visited.filter("depth = 1").orderBy("seq").select("url").collect()
     lengths = [len(r["url"]) for r in rows]
     assert lengths == sorted(lengths, reverse=True)
+
+
+def test_virtual_schedule_two_phase_equals_naive(spark):
+    """The skew-proof bucketed host rank must equal the naive window rank —
+    checked with a tiny bucket size so multiple buckets per host occur."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.plans.politeness import virtual_schedule
+
+    rng = random.Random(3)
+    rows = [(f"u{i}", rng.choice(["a.example", "b.example", "hot.example",
+                                  "hot.example", "hot.example"]), i + 1)
+            for i in range(500)]
+    visits = spark.createDataFrame(rows, "url string, host string, arrival_rank long")
+    got = virtual_schedule(visits, None, 1.5, 10.0, bucket_size=16)
+    naive_rank = F.row_number().over(Window.partitionBy("host").orderBy("arrival_rank"))
+    want = visits.withColumn("sched_ts", F.lit(10.0) + (naive_rank - F.lit(1)) * F.lit(1.5))
+    assert {(r["url"], r["sched_ts"]) for r in got.collect()} == \
+           {(r["url"], r["sched_ts"]) for r in want.collect()}
