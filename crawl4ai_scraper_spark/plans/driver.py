@@ -283,14 +283,17 @@ def fused_documents(
     chk_dir: str,
 ) -> tuple[DataFrame, Dict]:
     """documents_out from FUSED visit rows — the matched visits already carry
-    the extracted record (visit_and_expand with extraction), so no second
-    pages scan happens; this just shapes, formats and commits them."""
+    the extracted record (visit_and_expand with extraction), AND that content
+    is already durable in the committed visited snapshots, so the documents
+    table is a lazy VIEW over them (formatting is native concat) — no second
+    pages scan and no redundant re-write of ~N GB of text. Only the summary
+    aggregate runs eagerly (and lands in crawl_summary.json as ever)."""
     docs = visited.filter("matched").select(
         "url", "title", "description", "markdown", "content_length", "links_count",
         F.lit(RUN_TS_ISO).alias("crawled_at"), F.lit(True).alias("success"),
         "user_agent", F.lit(None).cast("string").alias("error"), "rel_path",
     )
-    return _finalize_documents(spark, docs, cfg, chk_dir)
+    return _finalize_documents(spark, docs, cfg, chk_dir, materialize=False)
 
 
 def _finalize_documents(
@@ -298,6 +301,7 @@ def _finalize_documents(
     docs: DataFrame,
     cfg: CrawlJobConfig,
     chk_dir: str,
+    materialize: bool = True,
 ) -> tuple[DataFrame, Dict]:
     if cfg.include_metadata:
         # YAML-ish front matter, built NATIVELY (JVM concat — no UDF), matching
@@ -316,9 +320,10 @@ def _finalize_documents(
         formatted = F.coalesce(F.col("markdown"), F.lit(""))
     docs = docs.withColumn("formatted", F.when(F.col("success"), formatted))
 
-    out_dir = os.path.join(chk_dir, "outputs", "documents")
-    docs.write.mode("overwrite").parquet(out_dir)
-    docs = spark.read.parquet(out_dir)
+    if materialize:
+        out_dir = os.path.join(chk_dir, "outputs", "documents")
+        docs.write.mode("overwrite").parquet(out_dir)
+        docs = spark.read.parquet(out_dir)
 
     agg = docs.agg(
         F.count(F.lit(1)).alias("total_urls"),
@@ -329,6 +334,7 @@ def _finalize_documents(
         ),
     ).collect()[0]
     summary = {k: int(agg[k]) for k in ("total_urls", "successful", "failed", "total_content_length")}
+    os.makedirs(os.path.join(chk_dir, "outputs"), exist_ok=True)
     with open(os.path.join(chk_dir, "outputs", "crawl_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2, sort_keys=True)  # ≙ crawler.py:594-597
     return docs, summary
