@@ -3,5 +3,7 @@ from crawl4ai_scraper_spark.streaming.ingest import (
     read_pages_stream,
     stream_extract,
 )
+from crawl4ai_scraper_spark.streaming.sessions import host_sessions_stream
 
-__all__ = ["host_rate_stream", "read_pages_stream", "stream_extract"]
+__all__ = ["host_rate_stream", "host_sessions_stream", "read_pages_stream",
+           "stream_extract"]

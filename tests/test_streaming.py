@@ -99,3 +99,69 @@ def test_host_rate_stream_windows(spark):
         spark_days[(host, ws[:10])] += n
     assert spark_days == golden
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_host_sessions_stateful_stream(spark):
+    """applyInPandasWithState sessionizer: gap-based per-host sessions match
+    a plain-python oracle over the same rows (sessions closed either by a
+    later in-stream gap or by the event-time timeout at stream end)."""
+    from crawl4ai_scraper_spark.streaming import read_pages_stream
+    from crawl4ai_scraper_spark.streaming.sessions import host_sessions_stream
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    pages_dir = str(TMP / "pages")
+    spec = WebSpec(n_hosts=2, max_secs=3, max_pages=4)
+    rows = _write_host_batch(spark, spec, 0, pages_dir) + _write_host_batch(
+        spark, spec, 1, pages_dir
+    )
+
+    GAP = 6 * 3600  # 6h gap splits sessions; warc_ts spans ~30 days
+    q = (
+        host_sessions_stream(read_pages_stream(spark, pages_dir), gap_seconds=GAP,
+                             watermark="0 seconds")
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(TMP / "chk_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["host"], r["session_start"].isoformat()): (r["fetches"], r["bytes"])
+        for r in spark.table("sessions").collect()
+    }
+
+    # plain-python oracle (all sessions — the final open one may not flush
+    # until the next trigger, so compare as a superset + spot-check counts)
+    from collections import defaultdict
+
+    per_host = defaultdict(list)
+    for r in rows:
+        host = r["url"].split("/")[2]
+        # Spark collect() returns naive UTC datetimes; normalize the oracle's
+        per_host[host].append((r["warc_ts"].replace(tzinfo=None), len(r["html"])))
+    want = {}
+    open_sessions = set()
+    for host, evts in per_host.items():
+        evts.sort()
+        start = end = None
+        fetches = nbytes = 0
+        for ts, nb in evts:
+            if start is None:
+                start, end, fetches, nbytes = ts, ts, 0, 0
+            elif (ts - end).total_seconds() > GAP:
+                want[(host, start.isoformat())] = (fetches, nbytes)
+                start, end, fetches, nbytes = ts, ts, 0, 0
+            end = max(end, ts)
+            fetches += 1
+            nbytes += nb
+        want[(host, start.isoformat())] = (fetches, nbytes)
+        open_sessions.add((host, start.isoformat()))
+
+    assert len(want) > 4  # the gap actually splits sessions
+    for key, val in got.items():
+        assert want[key] == val, key
+    # everything except possibly the last open session per host was emitted
+    missing = set(want) - set(got)
+    assert missing <= open_sessions, missing
+    shutil.rmtree(TMP, ignore_errors=True)
