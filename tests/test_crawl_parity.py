@@ -215,3 +215,27 @@ def test_virtual_schedule_two_phase_equals_naive(spark):
     want = visits.withColumn("sched_ts", F.lit(10.0) + (naive_rank - F.lit(1)) * F.lit(1.5))
     assert {(r["url"], r["sched_ts"]) for r in got.collect()} == \
            {(r["url"], r["sched_ts"]) for r in want.collect()}
+
+
+def test_seed_not_in_pages_table(spark, pages3, chk_dir):
+    """A dangling seed: round 1 is all fetch-misses → one failed visit, no
+    links, no documents — and the crawl terminates cleanly."""
+    cfg = CrawlJobConfig(max_depth=2, max_pages=10)
+    res = run_crawl(spark, pages3, "https://nosuch.example/", cfg, chk_dir,
+                    use_bloom=False)
+    rows = res.visited.collect()
+    assert len(rows) == 1 and not rows[0]["success"]
+    assert res.discovered.count() == 0
+    assert res.summary["successful"] == 0 and res.summary["rounds"] == 1
+
+
+def test_resume_after_done_is_stable(spark, pages3, web3, chk_dir):
+    """Resuming a finished crawl re-runs nothing and returns the same state."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=1, max_pages=50)
+    first = run_crawl(spark, pages3, SEED, cfg, chk_dir)
+    again = run_crawl(spark, pages3, SEED, cfg, chk_dir, resume=True)
+    assert again.rounds == first.rounds
+    assert [r["url"] for r in again.discovered.collect()] == \
+           [r["url"] for r in first.discovered.collect()]
+    assert_parity(again, oracle_crawl(fetch, SEED, cfg))
