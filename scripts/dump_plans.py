@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: the key physical plans, captured from a live session,
+so the optimization claims (broadcast strategy, column pruning, predicate
+pushdown) are inspectable without running anything."""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def plan_of(df) -> str:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[L]?", "#_", s)           # stable attr ids
+    s = re.sub(r"plan_id=\d+", "plan_id=_", s)
+    s = re.sub(r"file:[^\],\s]+", "file:<path>", s)
+    return s.strip()
+
+
+def main():
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark import contract
+    from crawl4ai_scraper_spark.plans.frontier import fetch_join
+    from crawl4ai_scraper_spark.session import build_session
+    from crawl4ai_scraper_spark.sources.pages import read_pages, synthesize_pages
+
+    spark = build_session(app_name="plans", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    web = str(REPO / ".tmp" / "plans_web")
+    shutil.rmtree(web, ignore_errors=True)
+    synthesize_pages(spark, web, n_hosts=2, max_secs=3, max_pages=3)
+    pages = read_pages(spark, web)
+    frontier = spark.createDataFrame(
+        [("https://site0.example/", "site0.example", 0, 1)],
+        "url string, host string, depth int, arrival_rank long",
+    )
+
+    sections = []
+
+    sections.append((
+        "Fetch join — broadcast the needles, scan the haystack",
+        "The frontier is broadcast INTO the pages scan (inner BHJ, build side = "
+        "frontier); the pages table is scanned in place, never shuffled, and the "
+        "scan reads only (pbucket, url, html). A left-outer join with the frontier "
+        "on the left would instead shuffle the entire stored web every round.",
+        plan_of(fetch_join(pages, frontier.select("url"), 32, 1_000_000)),
+    ))
+
+    sections.append((
+        "Max-depth existence probe — no html at all",
+        "Frontier rows at max_depth only need to know the page exists: the join "
+        "reads the url column only (ReadSchema has no html).",
+        plan_of(
+            pages.select("pbucket", "url").join(
+                F.broadcast(
+                    frontier.withColumn(
+                        "pbucket", F.pmod(F.xxhash64("url"), F.lit(32)).cast("int")
+                    )
+                ),
+                ["pbucket", "url"], "inner",
+            )
+        ),
+    ))
+
+    sections.append((
+        "Predicate pushdown — filters reach the parquet scan",
+        "The contract's scan-heavy query shows PushedFilters at the FileScan.",
+        plan_of(contract.queries()["pushdown_filter_agg"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    out = [
+        "# PLANS — captured physical plans (evidence for the optimization claims)",
+        "",
+        "_Regenerate with `python scripts/dump_plans.py`; attribute ids and paths are",
+        "normalized. Assertions over these properties run in `tests/test_plans.py`._",
+        "",
+    ]
+    for title, blurb, plan in sections:
+        out += [f"## {title}", "", blurb, "", "```", plan, "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    shutil.rmtree(web, ignore_errors=True)
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
