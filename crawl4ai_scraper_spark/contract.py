@@ -691,7 +691,9 @@ def ngram_jaccard_pairs(spark, sf):
                       & (1 << (b % 4)) > 0 THEN 1 ELSE -1 END) AS vote
       FROM bits GROUP BY doc, b
     )
-    SELECT doc, SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+    -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the driver canonicalizes
+    -- differently from Spark's BIGINT — pin the output type explicitly.
+    SELECT doc, CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc""",
 )
 def dedup_simhash_q(spark, sf):
@@ -854,19 +856,24 @@ def multimodal_frame_sample(spark, sf):
 
 @_q(
     "multimodal_embed",
+    # Output is EXPLODED (media_id, dim_idx, value) rather than array<double>:
+    # the driver's canonicalizer pandas-sorts every column and list values are
+    # unhashable there, so the contract row must be scalar-only.
     f"""WITH m AS ({_META_SQL})
-    SELECT media_id,
-           list_transform(range(0, 8),
-             i -> (strpos('0123456789abcdef', substr(sha, CAST(i AS INT) + 1, 1)) - 1) / 15.0
-           ) AS embedding
-    FROM m""",
+    SELECT media_id, CAST(i AS INT) AS dim_idx,
+           (strpos('0123456789abcdef', substr(sha, CAST(i AS INT) + 1, 1)) - 1) / 15.0 AS value
+    FROM m, UNNEST(range(0, 8)) AS t(i)""",
 )
 def multimodal_embed(spark, sf):
     """Hash-derived 8-dim feature vector per media row (native column math —
-    a model swap would move this into an Arrow pass); feeds the ANN ops."""
+    a model swap would move this into an Arrow pass); feeds the ANN ops.
+    Exploded to one scalar row per dimension for the driver contract."""
     from crawl4ai_scraper_spark.operators.multimodal import media_embeddings
 
-    return media_embeddings(_t(spark, sf, "documents"), dim=8)
+    emb = media_embeddings(_t(spark, sf, "documents"), dim=8)
+    return emb.select(
+        "media_id", F.posexplode("embedding").alias("dim_idx", "value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -878,8 +885,10 @@ def multimodal_embed(spark, sf):
     """SELECT user_id, session_id, COUNT(*) AS n_events
     FROM (
       SELECT user_id, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB windowed SUM yields HUGEINT; pin to BIGINT to
+             -- match Spark so the driver's value hash agrees.
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
