@@ -70,6 +70,10 @@ class CrawlJobConfig:
     host_salt_buckets: int = 16
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
+    # >1 splits the URL-seen bloom into pmod(hash, S) slices: required at
+    # 10^10-URL scale where a single bit array (~12 GB at 1% fpp) cannot
+    # broadcast; 1 keeps the single-filter build (small/medium crawls).
+    bloom_shards: int = 1
     # Fetch-join strategy switch: a frontier smaller than this (rows) is
     # BROADCAST against the pages scan (needle-in-haystack: no pages shuffle,
     # partition/bloom pruning stays on the scan side); a bigger frontier falls

@@ -772,13 +772,14 @@ def ann_ivf_topk(spark, sf):
     return S.ivf_topk(_t(spark, sf, "embeddings"), n_queries=10, k=5)
 
 
-def _planes_sql(n_planes: int = 8, dim: int = 64) -> str:
+def _planes_sql(n_planes: int = 8, dim: int = 64,
+                vec_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
     planes = S.hyperplanes(n_planes, dim)
     rows = []
     for plane in planes:
         arr = "[" + ", ".join(f"{x:.3f}" for x in plane) + "]"
         rows.append(
-            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0 THEN '1' ELSE '0' END"
+            f"CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN '1' ELSE '0' END"
         )
     return " || ".join(rows)
 
@@ -790,6 +791,35 @@ def _planes_sql(n_planes: int = 8, dim: int = 64) -> str:
 def ann_lsh_buckets(spark, sf):
     """Sign-random-projection LSH buckets from deterministic literal planes."""
     return S.lsh_hyperplane_buckets(_t(spark, sf, "embeddings"))
+
+
+@_q(
+    "dedup_embedding_lsh",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 40),
+    c AS (SELECT vec_id, e FROM v
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(e, x -> x * 1.02 + 0.003) FROM v),
+    bk AS (SELECT vec_id, e, {_planes_sql(vec_expr="e")} AS bucket FROM c)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 4) AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.98""",
+)
+def dedup_embedding_lsh_q(spark, sf):
+    """The SCALE near-dup pipeline: LSH bucket equi-join → exact-cosine
+    verify (operators.dedup.embedding_near_dup_bucketed). Same planted
+    corpus as dedup_embedding_cosine; the brute-force variant stays as the
+    recall baseline."""
+    base = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 40).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    variants = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.02) + F.lit(0.003)).alias("e"),
+    )
+    corpus = base.unionByName(variants)
+    return D.embedding_near_dup_bucketed(corpus, "vec_id", "e", threshold=0.98)
 
 
 # ---------------------------------------------------------------------------

@@ -163,7 +163,7 @@ _DOC_COLS = ("title", "description", "markdown", "content_length", "links_count"
              "user_agent", "rel_path")
 VISIT_EXPAND_DOC_SCHEMA = VISIT_EXPAND_SCHEMA + (
     ", title string, description string, markdown string, content_length long, "
-    "links_count long, user_agent string, rel_path string"
+    "links_count long, user_agent string, rel_path string, doc_matched boolean"
 )
 
 
@@ -205,7 +205,10 @@ def visit_and_expand(max_depth: int, extraction: Optional[dict] = None):
                 "patterns": extraction.get("patterns") or [],
                 "exclude": extraction.get("exclude_patterns") or [],
             }
-            cols = cols + _DOC_COLS
+            # doc_matched is the SINGLE source of truth for pattern membership
+            # in fused mode (the round's matched column reuses it; see
+            # frontier.run_round) — JVM rlike never re-evaluates the patterns.
+            cols = cols + _DOC_COLS + ("doc_matched",)
         for pdf in it:
             out = {k: [] for k in cols}
             for url, host, depth, rank, html in zip(
@@ -223,7 +226,9 @@ def visit_and_expand(max_depth: int, extraction: Optional[dict] = None):
                 out["child_domain"].append(None)
                 out["child_host"].append(None)
                 if ext is not None:
-                    if ok and match_url_pattern(url, ext["patterns"], ext["exclude"]):
+                    m = bool(ok and match_url_pattern(url, ext["patterns"], ext["exclude"]))
+                    out["doc_matched"].append(m)
+                    if m:
                         rec = extract_record(url, html, ext["run_ts_iso"], ext["cleaning"])
                         rec["rel_path"] = output_rel_path(
                             url, rec["title"] or "Untitled",
@@ -254,6 +259,7 @@ def visit_and_expand(max_depth: int, extraction: Optional[dict] = None):
                     out["child_domain"].append(f"{parsed.scheme}://{parsed.netloc}")
                     out["child_host"].append(parsed.netloc)
                     if ext is not None:
+                        out["doc_matched"].append(None)
                         for c in _DOC_COLS:
                             out[c].append(None)
             yield pd.DataFrame(out)

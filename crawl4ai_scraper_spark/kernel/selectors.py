@@ -3,10 +3,22 @@
 The reference's SelectorExtractor (/root/reference/selector_utils.py) runs on
 BeautifulSoup + lxml; neither ships in this environment, so this module
 implements a small DOM + a CSS/XPath SUBSET engine on ``html.parser`` that
-covers every selector the reference's five templates use (tag, ``.class``,
-``#id``, ``[attr=value]`` compounds; descendant and ``>`` combinators;
-``//tag``, ``//tag[@attr='v']``, ``//tag[contains(@attr, 'v')]``), with the
-reference's exact composition semantics:
+covers every selector the reference's five templates use and the general
+forms a user would pass through ``soup.select()`` / lxml:
+
+* CSS compounds: tag, ``*``, ``.class``, ``#id``, ``[attr]``,
+  ``[attr=v]`` ``[attr^=v]`` ``[attr$=v]`` ``[attr*=v]`` ``[attr~=v]``
+  ``[attr|=v]``, pseudo-classes ``:first-child`` ``:last-child``
+  ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``;
+  combinators: descendant, ``>``, ``+``, ``~``; comma groups.
+* XPath: absolute multi-step paths (``//a//b``, ``/a/b``, ``*``),
+  predicates ``[@attr='v']`` ``[@attr]`` ``[contains(@attr,'v')]``
+  ``[contains(text(),'v')]`` ``[text()='v']`` ``[N]`` ``[last()]``
+  ``[position() OP N]``; trailing ``text()`` steps.
+
+Anything outside the subset raises at parse time and is SKIPPED by the
+extraction layer — the reference's invalid-selector semantics. Composition
+matches the reference exactly:
 
 * extract_by_css (selector_utils.py:56-108): selectors applied in order,
   invalid ones skipped; an extracted element is DROPPED when a descendant
@@ -160,14 +172,49 @@ def parse_dom(html: str) -> Node:
 
 
 # ---------------------------------------------------------------------------
-# CSS subset
+# CSS subset — tag / .class / #id / [attr(op)value] / pseudo-classes,
+# combinators: descendant, >, +, ~
 # ---------------------------------------------------------------------------
 
+_ATTR_PART = r"\[[\w-]+(?:[~^$*|]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
+_PSEUDO_PART = r":[\w-]+(?:\([^)]*\))?"
 _COMPOUND_RX = re.compile(
-    r"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
-    r"(?P<rest>(?:[.#][\w-]+|\[[\w-]+=(?:\"[^\"]*\"|'[^']*'|[^\]]*)\])*)$"
+    rf"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    rf"(?P<rest>(?:[.#][\w-]+|{_ATTR_PART}|{_PSEUDO_PART})*)$"
 )
-_PART_RX = re.compile(r"[.#][\w-]+|\[[\w-]+=(?:\"[^\"]*\"|'[^']*'|[^\]]*)\]")
+_PART_RX = re.compile(rf"[.#][\w-]+|{_ATTR_PART}|{_PSEUDO_PART}")
+_NTH_RX = re.compile(r"^\s*(?:(odd|even)|(?:(?P<a>[+-]?\d*)n\s*(?P<b>[+-]\s*\d+)?)|(?P<n>[+-]?\d+))\s*$")
+
+
+def _parse_nth(arg: str) -> Tuple[int, int]:
+    """an+b coefficients for :nth-child(); odd=2n+1, even=2n."""
+    m = _NTH_RX.match(arg)
+    if not m:
+        raise ValueError(f"unsupported nth-child argument: {arg!r}")
+    if m.group(1) == "odd":
+        return 2, 1
+    if m.group(1) == "even":
+        return 2, 0
+    if m.group("n") is not None:
+        return 0, int(m.group("n"))
+    a_raw = m.group("a")
+    a = 1 if a_raw in ("", "+") else (-1 if a_raw == "-" else int(a_raw))
+    b = int(m.group("b").replace(" ", "")) if m.group("b") else 0
+    return a, b
+
+
+def _nth_matches(a: int, b: int, pos: int) -> bool:
+    """True iff pos = a·n + b for some integer n ≥ 0."""
+    if a == 0:
+        return pos == b
+    n, rem = divmod(pos - b, a)
+    return rem == 0 and n >= 0
+
+
+def _element_siblings(node: Node) -> List[Node]:
+    if node.parent is None:
+        return [node]
+    return [c for c in node.parent.children if isinstance(c, Node)]
 
 
 class _Compound:
@@ -178,15 +225,53 @@ class _Compound:
         self.tag = (m.group("tag") or "").lower()
         self.classes: List[str] = []
         self.id: Optional[str] = None
-        self.attrs: List[Tuple[str, str]] = []
+        self.attrs: List[Tuple[str, str, Optional[str]]] = []  # (name, op, value)
+        self.pseudos: List[Tuple] = []
         for part in _PART_RX.findall(m.group("rest") or ""):
             if part.startswith("."):
                 self.classes.append(part[1:])
             elif part.startswith("#"):
                 self.id = part[1:]
-            else:
-                name, _, value = part[1:-1].partition("=")
-                self.attrs.append((name, value.strip("\"'")))
+            elif part.startswith("["):
+                body = part[1:-1]
+                am = re.match(r"^([\w-]+)(?:([~^$*|]?=)(.*))?$", body)
+                name, op, value = am.group(1), am.group(2), am.group(3)
+                if op is None:
+                    self.attrs.append((name, "", None))  # bare presence
+                else:
+                    self.attrs.append((name, op, (value or "").strip("\"'")))
+            else:  # pseudo-class
+                name, _, arg = part[1:].partition("(")
+                name = name.lower()
+                if name in ("first-child", "last-child", "only-child"):
+                    self.pseudos.append((name,))
+                elif name in ("nth-child", "nth-last-child") and arg:
+                    a, b = _parse_nth(arg.rstrip(")"))
+                    self.pseudos.append((name, a, b))
+                else:
+                    raise ValueError(f"unsupported pseudo-class: :{part[1:]}")
+
+    @staticmethod
+    def _attr_match(op: str, actual: Optional[str], value: Optional[str]) -> bool:
+        if op == "":
+            return actual is not None
+        if actual is None:
+            return False
+        if op == "=":
+            return actual == value
+        if not value:  # per spec ^= $= *= with empty value match nothing
+            return False
+        if op == "^=":
+            return actual.startswith(value)
+        if op == "$=":
+            return actual.endswith(value)
+        if op == "*=":
+            return value in actual
+        if op == "~=":
+            return value in actual.split()
+        if op == "|=":
+            return actual == value or actual.startswith(value + "-")
+        return False
 
     def matches(self, node: Node) -> bool:
         if self.tag and self.tag != "*" and node.tag != self.tag:
@@ -197,48 +282,124 @@ class _Compound:
         for cls in self.classes:
             if cls not in classes:
                 return False
-        for name, value in self.attrs:
-            if node.attrs.get(name) != value:
+        for name, op, value in self.attrs:
+            if not self._attr_match(op, node.attrs.get(name), value):
                 return False
+        for pseudo in self.pseudos:
+            sibs = _element_siblings(node)
+            idx = next(i for i, s in enumerate(sibs) if s is node)
+            kind = pseudo[0]
+            if kind == "first-child":
+                if idx != 0:
+                    return False
+            elif kind == "last-child":
+                if idx != len(sibs) - 1:
+                    return False
+            elif kind == "only-child":
+                if len(sibs) != 1:
+                    return False
+            elif kind == "nth-child":
+                if not _nth_matches(pseudo[1], pseudo[2], idx + 1):
+                    return False
+            elif kind == "nth-last-child":
+                if not _nth_matches(pseudo[1], pseudo[2], len(sibs) - idx):
+                    return False
         return True
 
 
+def _tokenize_selector(selector: str) -> List[str]:
+    """Split a complex selector into compound tokens and combinator tokens,
+    respecting brackets, parens and quotes (so ``[attr~=v]`` or
+    ``:nth-child(2n+1)`` never split)."""
+    tokens: List[str] = []
+    buf: List[str] = []
+    depth = 0
+    quote: Optional[str] = None
+    for ch in selector:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch in "[(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in ">+~ ":
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            if ch != " ":
+                tokens.append(ch)
+        else:
+            buf.append(ch)
+    if quote or depth != 0:
+        raise ValueError(f"unbalanced selector: {selector!r}")
+    if buf:
+        tokens.append("".join(buf))
+    return tokens
+
+
 class CssSelector:
-    """One complex selector: compounds joined by descendant/child combinators.
-    Comma groups are handled by ``select``."""
+    """One complex selector: compounds joined by descendant / ``>`` / ``+`` /
+    ``~`` combinators. Comma groups are handled by ``select``."""
 
     def __init__(self, selector: str):
-        tokens = selector.replace(">", " > ").split()
-        if not tokens or tokens[0] == ">" or tokens[-1] == ">":
-            raise ValueError(f"unsupported CSS selector: {selector!r}")
-        self.steps: List[Tuple[str, _Compound]] = []  # (combinator, compound)
+        tokens = _tokenize_selector(selector)
+        if not tokens:
+            raise ValueError(f"empty CSS selector: {selector!r}")
+        self.steps: List[Tuple[str, _Compound]] = []  # (combinator-to-left, compound)
         comb = " "
+        pending = False  # a combinator awaits its right-hand compound
         for tok in tokens:
-            if tok == ">":
-                if comb == ">":
+            if tok in (">", "+", "~"):
+                if pending or not self.steps:  # doubled or leading combinator
                     raise ValueError(f"unsupported CSS selector: {selector!r}")
-                comb = ">"
+                comb = tok
+                pending = True
                 continue
             self.steps.append((comb, _Compound(tok)))
             comb = " "
+            pending = False
+        if pending or not self.steps:  # trailing combinator or nothing at all
+            raise ValueError(f"unsupported CSS selector: {selector!r}")
 
     def matches(self, node: Node) -> bool:
         comb, last = self.steps[-1]
         if not last.matches(node):
             return False
-        return self._match_ancestors(node, len(self.steps) - 2, comb)
+        return self._match_left(node, len(self.steps) - 2, comb)
 
-    def _match_ancestors(self, node: Node, idx: int, comb_to_right: str) -> bool:
+    def _match_left(self, node: Node, idx: int, comb_to_right: str) -> bool:
+        """Match steps[idx] (and leftwards) against the node reachable from
+        ``node`` via ``comb_to_right``."""
         if idx < 0:
             return True
         comb, compound = self.steps[idx]
-        parent = node.parent
         if comb_to_right == ">":
+            parent = node.parent
             if parent is None or parent.tag == "[document]":
                 return False
-            return compound.matches(parent) and self._match_ancestors(parent, idx - 1, comb)
+            return compound.matches(parent) and self._match_left(parent, idx - 1, comb)
+        if comb_to_right in ("+", "~"):
+            sibs = _element_siblings(node)
+            pos = next(i for i, s in enumerate(sibs) if s is node)
+            if comb_to_right == "+":
+                if pos == 0:
+                    return False
+                prev = sibs[pos - 1]
+                return compound.matches(prev) and self._match_left(prev, idx - 1, comb)
+            for prev in sibs[:pos]:
+                if compound.matches(prev) and self._match_left(prev, idx - 1, comb):
+                    return True
+            return False
+        parent = node.parent
         while parent is not None and parent.tag != "[document]":
-            if compound.matches(parent) and self._match_ancestors(parent, idx - 1, comb):
+            if compound.matches(parent) and self._match_left(parent, idx - 1, comb):
                 return True
             parent = parent.parent
         return False
@@ -254,33 +415,173 @@ def css_select(scope: Node, selector: str) -> List[Node]:
 
 
 # ---------------------------------------------------------------------------
-# XPath subset
+# XPath subset — multi-step absolute paths (``//a//b``, ``/a/b``), predicates
+# ``[@attr='v']`` ``[@attr]`` ``[contains(@attr,'v')]`` ``[contains(text(),'v')]``
+# ``[text()='v']`` ``[N]`` ``[last()]`` ``[position() OP N]``, trailing
+# ``text()`` steps (which the extraction layer skips, like the reference's
+# lxml smart-string AttributeError path).
 # ---------------------------------------------------------------------------
 
-_XPATH_RX = re.compile(
-    r"^//(?P<tag>[a-zA-Z][\w-]*)"
-    r"(?:\[(?:@(?P<attr>[\w-]+)=(?P<q>[\"'])(?P<val>.*?)(?P=q)"
-    r"|contains\(@(?P<cattr>[\w-]+),\s*(?P<cq>[\"'])(?P<cval>.*?)(?P=cq)\))\])?$"
-)
+_PRED_ATTR_EQ = re.compile(r"^@([\w-]+)\s*=\s*([\"'])(.*?)\2$")
+_PRED_ATTR = re.compile(r"^@([\w-]+)$")
+_PRED_CONTAINS_ATTR = re.compile(r"^contains\(\s*@([\w-]+)\s*,\s*([\"'])(.*?)\2\s*\)$")
+_PRED_CONTAINS_TEXT = re.compile(r"^contains\(\s*text\(\)\s*,\s*([\"'])(.*?)\1\s*\)$")
+_PRED_TEXT_EQ = re.compile(r"^text\(\)\s*=\s*([\"'])(.*?)\1$")
+_PRED_POS_N = re.compile(r"^(\d+)$")
+_PRED_POS_LAST = re.compile(r"^last\(\)$")
+_PRED_POS_CMP = re.compile(r"^position\(\)\s*(<=|>=|<|>|=)\s*(\d+)$")
+_STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 
-def xpath_select(scope: Node, expr: str) -> List[Node]:
-    m = _XPATH_RX.match(expr.strip())
-    if not m:
-        raise ValueError(f"unsupported XPath: {expr!r}")
-    tag = m.group("tag").lower()
-    out = []
-    for node in scope.iter_nodes():
-        if node.tag != tag:
-            continue
-        if m.group("attr") is not None:
-            if node.attrs.get(m.group("attr")) != m.group("val"):
+class _XStep:
+    __slots__ = ("axis", "name", "preds")
+
+    def __init__(self, axis: str, text: str):
+        self.axis = axis  # "desc" (//) or "child" (/)
+        m = _STEP_RX.match(text)
+        if not m:
+            raise ValueError(f"unsupported XPath step: {text!r}")
+        self.name = m.group(1).lower() if m.group(1) != "text()" else "text()"
+        self.preds: List[Tuple] = []
+        for pm in re.finditer(r"\[([^\]]*)\]", m.group(2) or ""):
+            body = pm.group(1).strip()
+            if (mm := _PRED_ATTR_EQ.match(body)):
+                self.preds.append(("attr=", mm.group(1), mm.group(3)))
+            elif (mm := _PRED_ATTR.match(body)):
+                self.preds.append(("attr?", mm.group(1)))
+            elif (mm := _PRED_CONTAINS_ATTR.match(body)):
+                self.preds.append(("attr~", mm.group(1), mm.group(3)))
+            elif (mm := _PRED_CONTAINS_TEXT.match(body)):
+                self.preds.append(("text~", mm.group(2)))
+            elif (mm := _PRED_TEXT_EQ.match(body)):
+                self.preds.append(("text=", mm.group(2)))
+            elif (mm := _PRED_POS_N.match(body)):
+                self.preds.append(("pos", "=", int(mm.group(1))))
+            elif _PRED_POS_LAST.match(body):
+                self.preds.append(("pos", "last", 0))
+            elif (mm := _PRED_POS_CMP.match(body)):
+                self.preds.append(("pos", mm.group(1), int(mm.group(2))))
+            else:
+                raise ValueError(f"unsupported XPath predicate: [{body}]")
+        if self.name == "text()" and self.preds:
+            raise ValueError("predicates on text() are unsupported")
+
+
+def _parse_xpath(expr: str) -> List[_XStep]:
+    expr = expr.strip()
+    if not expr.startswith("/"):
+        raise ValueError(f"only absolute XPath supported: {expr!r}")
+    steps: List[_XStep] = []
+    i = 0
+    while i < len(expr):
+        if expr.startswith("//", i):
+            axis, i = "desc", i + 2
+        elif expr.startswith("/", i):
+            axis, i = "child", i + 1
+        else:
+            raise ValueError(f"malformed XPath: {expr!r}")
+        j, depth = i, 0
+        while j < len(expr) and (depth > 0 or expr[j] != "/"):
+            if expr[j] == "[":
+                depth += 1
+            elif expr[j] == "]":
+                depth -= 1
+            j += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced brackets in XPath: {expr!r}")
+        step_text = expr[i:j]
+        if not step_text:
+            raise ValueError(f"empty XPath step in: {expr!r}")
+        steps.append(_XStep(axis, step_text))
+        i = j
+    if not steps:
+        raise ValueError(f"empty XPath: {expr!r}")
+    for step in steps[:-1]:
+        if step.name == "text()":
+            raise ValueError("text() must be the final step")
+    return steps
+
+
+def _node_own_text(node: Node) -> str:
+    return "".join(c for c in node.children if isinstance(c, str))
+
+
+def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
+    kind = pred[0]
+    if kind == "attr=":
+        return node.attrs.get(pred[1]) == pred[2]
+    if kind == "attr?":
+        return pred[1] in node.attrs
+    if kind == "attr~":
+        return pred[2] in (node.attrs.get(pred[1]) or "")
+    if kind == "text~":
+        return pred[1] in _node_own_text(node)
+    if kind == "text=":
+        # XPath text()='v' is true when ANY text node equals v
+        return any(isinstance(c, str) and c == pred[1] for c in node.children)
+    raise AssertionError(kind)
+
+
+def _apply_positional(nodes: List[Node], op: str, val: int) -> List[Node]:
+    """XPath positional predicate semantics: position is 1-based WITHIN each
+    parent's group of surviving candidates (``//div[2]`` = every div that is
+    the 2nd matching div of its parent)."""
+    groups: Dict[int, List[Node]] = {}
+    for n in nodes:
+        groups.setdefault(id(n.parent), []).append(n)
+    keep = set()
+    for group in groups.values():
+        size = len(group)
+        for pos0, n in enumerate(group):
+            pos = pos0 + 1
+            ok = (
+                pos == size if op == "last"
+                else pos == val if op == "="
+                else pos < val if op == "<"
+                else pos <= val if op == "<="
+                else pos > val if op == ">"
+                else pos >= val
+            )
+            if ok:
+                keep.add(id(n))
+    return [n for n in nodes if id(n) in keep]
+
+
+def xpath_select(scope: Node, expr: str) -> List:
+    """Evaluate the XPath subset. Returns Nodes (and raw strings for a final
+    ``text()`` step) in document order, deduplicated like lxml node-sets."""
+    steps = _parse_xpath(expr)
+    contexts: List[Node] = [scope]
+    for step in steps:
+        out: List = []
+        seen = set()
+        for ctx in contexts:
+            if step.name == "text()":
+                if step.axis == "child":
+                    out.extend(c for c in ctx.children if isinstance(c, str))
+                else:
+                    out.extend(ctx.iter_text())
                 continue
-        elif m.group("cattr") is not None:
-            if m.group("cval") not in (node.attrs.get(m.group("cattr")) or ""):
-                continue
-        out.append(node)
-    return out
+            if step.axis == "child":
+                cand = [c for c in ctx.children if isinstance(c, Node)]
+            else:
+                cand = list(ctx.iter_nodes())
+            if step.name != "*":
+                cand = [n for n in cand if n.tag == step.name]
+            for pred in step.preds:
+                if pred[0] == "pos":
+                    cand = _apply_positional(cand, pred[1], pred[2])
+                else:
+                    cand = [n for n in cand if _scalar_pred_ok(n, pred)]
+            for n in cand:
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    out.append(n)
+        contexts = out
+        if steps[-1] is step:
+            return out
+        # intermediate steps never contain strings (enforced at parse time)
+    return contexts
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +645,12 @@ def extract_by_xpath(html: str, xpath_expressions: List[str],
             continue
     parts = []
     for element in extracted:
+        if not isinstance(element, Node):
+            # a trailing text() step yields strings; the reference's
+            # ``' '.join(element.itertext())`` raises AttributeError on lxml
+            # smart strings and SKIPS them (selector_utils.py:158-165) —
+            # replicate that skip.
+            continue
         text = element.itertext_join()
         if text:
             parts.append(text)

@@ -87,25 +87,33 @@ def minhash_lsh_pairs(
         shingles(F.col(text_col), k).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
 
-    banded = base.select(
-        "doc", "sh", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
-    ).select("doc", "sh", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    # Side table of exact shingle sets, joined back only AFTER pair dedup.
+    # The band join itself carries (band, bhash, doc) — three scalar columns —
+    # so the ×n_bands explode and the candidate-pair shuffle never replicate
+    # the shingle arrays (at corpus scale those arrays dominate the row size).
+    shingle_tbl = base.select("doc", F.array_distinct("sh").alias("shset"))
 
-    left = banded.select(
-        F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bhash"
-    )
-    right = banded.select(
-        F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bhash"
-    )
+    banded = base.select(
+        "doc", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+
+    left = banded.select(F.col("doc").alias("id_a"), "band", "bhash")
+    right = banded.select(F.col("doc").alias("id_b"), "band", "bhash")
     cand = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-    union = F.size(F.array_union(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    pairs = cand.join(
+        shingle_tbl.select(F.col("doc").alias("id_a"), F.col("shset").alias("sh_a")), "id_a"
+    ).join(
+        shingle_tbl.select(F.col("doc").alias("id_b"), F.col("shset").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -120,34 +128,38 @@ def ngram_jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> DataFrame:
-    """Per-document SimHash: explode tokens × bit positions; bit b of
-    md5(token) votes ±1; sign of the per-position sum sets the bit. One
-    shuffle on (id), fully native. Returns (id, simhash:bigint)."""
+    """Per-document SimHash: bit b of md5(token) votes ±1; sign of the
+    per-position sum sets the bit. Returns (id, simhash:bigint).
+
+    Scale shape: ONE shuffle at 1× token volume. Each (doc, token) row carries
+    its n_bits vote columns natively (hex-nibble arithmetic on the token md5 —
+    no UDF, no row blowup), and the per-doc groupBy map-side-combines them
+    into a single row per doc per partition. The earlier design exploded
+    token × bit (a ×n_bits pre-shuffle row blowup) — at web-corpus token
+    volumes that multiplier IS the shuffle cost, so it's gone."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"))).alias("tok"),
-    )
-    # bit b of the token hash: use hex nibble arithmetic on md5 —
-    # bit(b) = (nibble(b/4) >> (b%4)) & 1, nibble via conv(hexchar,16,10)
-    bits = toks.select(
-        "doc",
-        F.col("tok"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
-    ).withColumn(
-        "bit",
-        # NB: floor(), not CAST(double AS INT) — DuckDB's cast ROUNDS while
-        # Spark's truncates; floor is unambiguous in both engines.
+    ).withColumn("h", F.md5("tok"))
+    # vote for bit b: +1 if bit set in the token hash, else -1.
+    # bit(b) = (nibble(b/4) >> (b%4)) & 1, nibble via hex-char position — the
+    # same arithmetic the DuckDB oracle replays (positions are 1-based).
+    votes = [
         F.expr(
-            "CASE WHEN (locate(substring(md5(tok), CAST(floor(b/4) AS INT) + 1, 1), "
-            "'0123456789abcdef') - 1) & shiftleft(1, b % 4) > 0 THEN 1 ELSE 0 END"
-        ),
+            f"CASE WHEN (locate(substring(h, {b // 4 + 1}, 1), '0123456789abcdef') - 1) "
+            f"& {1 << (b % 4)} > 0 THEN 1 ELSE -1 END"
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    per_tok = toks.select("doc", *votes)
+    agg = per_tok.groupBy("doc").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(n_bits)]
     )
-    votes = bits.groupBy("doc", "b").agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
-    return votes.groupBy("doc").agg(
-        F.sum(
-            F.expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
+    fold = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(n_bits)
     )
+    return agg.select("doc", F.expr(fold).alias("simhash"))
 
 
 def embedding_near_dup_pairs(
@@ -156,13 +168,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.98,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ threshold).
+    """BRUTE-FORCE embedding-cosine near-dup pairs: (id_a < id_b, cos ≥ t).
 
-    Scale path: at 10^8+ vectors the quadratic join is gated behind the
-    sign-random-projection LSH buckets (similarity.lsh_hyperplane_buckets) —
-    join within bucket, then exact-cosine verify; this function is the exact
-    verify step and doubles as the brute-force baseline. The dot products are
-    JVM-side (``aggregate``/``zip_with`` — no Python worker in the loop).
+    This is the O(n²) all-pairs baseline — correct, and fine for a small
+    verification corpus, but NOT the scale path: use
+    ``embedding_near_dup_bucketed`` for real corpora (LSH bucket equi-join →
+    exact verify). The dot products are JVM-side (``aggregate``/``zip_with``
+    — no Python worker in the loop).
     """
     from crawl4ai_scraper_spark.operators.similarity import cosine
 
@@ -172,6 +184,55 @@ def embedding_near_dup_pairs(
     a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
     b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_near_dup_bucketed(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the 100-TB scale path.
+
+    Pipeline: sign-random-projection bucket per vector
+    (similarity.lsh_hyperplane_buckets, deterministic literal planes) →
+    self equi-join on the bucket key (expected bucket population n/2^planes,
+    so candidate generation is a plain hash shuffle, never an all-pairs
+    product) → join the vectors back onto the surviving (id_a, id_b)
+    candidates → exact-cosine verify (JVM-side math).
+
+    Recall is the standard LSH trade-off: only pairs whose sign patterns
+    agree on every plane collide (single-probe); raise recall by lowering
+    ``n_planes`` or unioning several plane seeds (multi-probe) — both keep
+    the same join shape. Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    from crawl4ai_scraper_spark.operators.similarity import (
+        cosine,
+        lsh_hyperplane_buckets,
+    )
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    buckets = lsh_hyperplane_buckets(v, "id", "e", n_planes=n_planes, dim=dim, seed=seed)
+    left = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
+    right = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pairs = cand.join(
+        v.select(F.col("id").alias("id_a"), F.col("e").alias("ea")), "id_a"
+    ).join(v.select(F.col("id").alias("id_b"), F.col("e").alias("eb")), "id_b")
     return (
         pairs.withColumn("cos", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cos") >= F.lit(threshold))

@@ -43,6 +43,24 @@ from pyspark.sql import functions as F
 
 DELTA_TABLES = ("visited", "lineage")
 
+# Bump when the on-disk layout changes incompatibly. Format 2: enqueued/edges
+# are DERIVED from frontier snapshots carrying (parent_url, link_pos); format-1
+# checkpoints (separate state/enqueued + state/edges tables, frontier without
+# parent columns) cannot be resumed by this code.
+CHECKPOINT_FORMAT = 2
+
+
+def check_format(manifest: Dict, chk_dir: str) -> None:
+    """Fail resume EARLY and clearly on a checkpoint written by an
+    incompatible layout (instead of an AnalysisException mid-plan)."""
+    found = manifest.get("format", 1)
+    if found != CHECKPOINT_FORMAT:
+        raise ValueError(
+            f"checkpoint at {chk_dir} has layout format {found}, this engine "
+            f"writes format {CHECKPOINT_FORMAT}; re-run the crawl from scratch "
+            "(old checkpoints cannot be resumed across layout changes)"
+        )
+
 
 def _state_dir(chk_dir: str, name: str) -> str:
     return os.path.join(chk_dir, "state", name)
@@ -92,6 +110,7 @@ def commit_round(
 
     manifest = dict(meta)
     manifest["round"] = rnd
+    manifest["format"] = CHECKPOINT_FORMAT
     tmp = os.path.join(base, ".manifest.tmp")
     os.makedirs(base, exist_ok=True)
     with open(tmp, "w") as fh:

@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 from crawl4ai_scraper_spark.config import CrawlJobConfig
 from crawl4ai_scraper_spark.functions.udfs import EXTRACTED_SCHEMA, extract_documents
 from crawl4ai_scraper_spark.kernel.urls import extract_domain
-from crawl4ai_scraper_spark.plans.bloom import build_bloom
+from crawl4ai_scraper_spark.plans.bloom import build_bloom, build_sharded_bloom
 from crawl4ai_scraper_spark.plans.checkpoint import (
     commit_round,
+    check_format,
     latest_round,
     load_manifest,
     read_edges,
@@ -112,6 +113,7 @@ def run_crawl(
     last = latest_round(chk_dir) if resume else None
     if last is not None:
         meta = load_manifest(chk_dir, last)
+        check_format(meta, chk_dir)
         # Fused-ness is a property of the CHECKPOINT (it widens the visited
         # schema), fixed at bootstrap — a resume continues in the mode the
         # crawl started in, whatever the caller asked for now.
@@ -181,8 +183,12 @@ def run_crawl(
         build_it = use_bloom is True or (use_bloom == "auto" and enqueued_n > 5_000_000)
         bloom = None
         if build_it:
-            bloom = build_bloom(enqueued, "url", capacity=max(cfg.bloom_capacity, enqueued_n * 2),
-                                fpp=cfg.bloom_fpp)
+            cap = max(cfg.bloom_capacity, enqueued_n * 2)
+            if cfg.bloom_shards > 1:
+                bloom = build_sharded_bloom(enqueued, "url", capacity=cap,
+                                            fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards)
+            else:
+                bloom = build_bloom(enqueued, "url", capacity=cap, fpp=cfg.bloom_fpp)
             timer.lap("bloom build")
         rr = run_round(
             pages, frontier, enqueued, cfg, seed_domain,

@@ -45,7 +45,7 @@ from crawl4ai_scraper_spark.functions.udfs import (
     include_exclude_predicate,
     visit_and_expand,
 )
-from crawl4ai_scraper_spark.plans.bloom import BloomFilter, might_contain_col
+from crawl4ai_scraper_spark.plans.bloom import AnyBloom, might_contain_col
 from crawl4ai_scraper_spark.plans.politeness import robots_filter
 from crawl4ai_scraper_spark.plans.ranking import global_rank
 from crawl4ai_scraper_spark.sources.pages import with_pbucket
@@ -134,7 +134,7 @@ def run_round(
     seq_base: int,
     discovered_so_far: int,
     host_rules: Optional[DataFrame] = None,
-    bloom: Optional[BloomFilter] = None,
+    bloom: Optional[AnyBloom] = None,
     n_buckets: int = 32,
     priority_col: Optional[Callable[[DataFrame], Column]] = None,
     frontier_count: Optional[int] = None,  # tracked by the driver — saves a job
@@ -157,9 +157,10 @@ def run_round(
     doc_nulls = []
     if extraction is not None:
         expand_schema = VISIT_EXPAND_DOC_SCHEMA
-        visit_cols = visit_cols + list(_DOC_COLS)
+        visit_cols = visit_cols + list(_DOC_COLS) + ["doc_matched"]
         doc_nulls = [F.lit(None).cast("long" if c in ("content_length", "links_count")
                                       else "string").alias(c) for c in _DOC_COLS]
+        doc_nulls.append(F.lit(None).cast("boolean").alias("doc_matched"))
     # Only rows that will EXPAND need the html column; frontier rows already
     # at max_depth only need an existence probe, so their join reads the
     # (tiny) url column of the pages table and skips the Arrow transfer
@@ -192,7 +193,14 @@ def run_round(
         )
     caches = [expanded]
 
-    matched_pred = include_exclude_predicate(F.col("url"), cfg.patterns, cfg.exclude_patterns)
+    if extraction is None:
+        matched_pred = include_exclude_predicate(F.col("url"), cfg.patterns, cfg.exclude_patterns)
+    else:
+        # Fused mode: the Arrow pass already decided pattern membership when it
+        # emitted (or withheld) the doc columns — reuse ITS flag instead of
+        # re-evaluating the patterns in JVM rlike, so a Java-vs-Python regex
+        # dialect divergence can never yield matched=true rows with null docs.
+        matched_pred = F.coalesce(F.col("doc_matched"), F.lit(False))
 
     # ---- round stats: ONE job ----
     # Aggregates over BOTH join sides (union of two pre-aggregated single

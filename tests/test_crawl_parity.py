@@ -239,3 +239,66 @@ def test_resume_after_done_is_stable(spark, pages3, web3, chk_dir):
     assert [r["url"] for r in again.discovered.collect()] == \
            [r["url"] for r in first.discovered.collect()]
     assert_parity(again, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_bloom_prefilter_parity(spark, pages3, web3, chk_dir):
+    """use_bloom=True (forced, below the auto threshold) must be output-
+    identical to the bloom-less crawl — the bloom is a pre-filter only and
+    the exact anti-join stays authoritative."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=True)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_sharded_bloom_prefilter_parity(spark, pages3, web3, chk_dir):
+    """Same gate with the sharded (pmod-sliced) bloom build."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40, bloom_shards=4)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=True)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_sharded_bloom_no_false_negatives(spark):
+    """Every added key must probe True in both the single and the sharded
+    filter, and the sharded slices together must cover the key space."""
+    import numpy as np
+
+    from crawl4ai_scraper_spark.plans.bloom import (
+        BloomFilter, build_bloom, build_sharded_bloom, might_contain_col,
+    )
+    from pyspark.sql import functions as F
+
+    urls = spark.range(0, 5000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url")
+    )
+    single = build_bloom(urls, "url", capacity=10_000)
+    sharded = build_sharded_bloom(urls, "url", capacity=10_000, n_shards=4)
+
+    probed_single = urls.withColumn("hit", might_contain_col(urls, single, "url"))
+    probed_sharded = urls.withColumn("hit", might_contain_col(urls, sharded, "url"))
+    assert probed_single.filter(~F.col("hit")).count() == 0
+    assert probed_sharded.filter(~F.col("hit")).count() == 0
+
+    # state round-trip used by the broadcast probe
+    rt = BloomFilter.from_state(sharded.state())
+    hs = np.array([123456789, -987654321, 0], dtype=np.int64)
+    assert (rt.probe_signed(hs) == sharded.probe_signed(hs)).all()
+
+
+def test_old_format_checkpoint_refuses_resume(spark, pages3, web3, chk_dir):
+    """A checkpoint written by an incompatible layout must fail resume with a
+    clear error, not an AnalysisException mid-plan."""
+    import glob
+    import json as j
+
+    cfg = CrawlJobConfig(max_depth=2, max_pages=20)
+    run_crawl(spark, pages3, SEED, cfg, chk_dir, max_rounds=1, extract=False,
+              use_bloom=False)
+    mpath = sorted(glob.glob(os.path.join(chk_dir, "round=*", "manifest.json")))[-1]
+    m = j.load(open(mpath))
+    m["format"] = 1  # legacy layout marker
+    j.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="layout format"):
+        run_crawl(spark, pages3, SEED, cfg, chk_dir, resume=True, use_bloom=False)

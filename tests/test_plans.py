@@ -86,3 +86,47 @@ def test_final_depth_probe_reads_no_html(spark, pages3):
         schema_line = chunk.splitlines()[0]
         if "pbucket" in schema_line or "url" in schema_line:
             assert "html" not in schema_line
+
+
+def test_minhash_band_join_carries_no_shingles(spark):
+    """The ×n_bands band explode and the candidate-pair join must shuffle
+    only (band, bhash, id) — shingle arrays join back AFTER pair dedup."""
+    from crawl4ai_scraper_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(8)],
+        "doc long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "text", "doc", k=3, n_hashes=8, n_bands=4)
+    plan = _optimized(pairs)
+    # the band-join keys are (band, bhash); sh/shset may appear only in the
+    # two final verify joins keyed on id_a/id_b
+    band_join = [seg for seg in plan.split("\n") if "bhash" in seg and "Join" in seg]
+    assert band_join, plan
+    for line in band_join:
+        assert "sh" not in line.replace("bhash", ""), line
+
+
+def test_simhash_has_no_bit_explode(spark):
+    """SimHash must explode tokens ONCE (no token × n_bits row blowup)."""
+    from crawl4ai_scraper_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(4)], "doc long, text string"
+    )
+    plan = _optimized(simhash(docs, "text", "doc", n_bits=32))
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_embedding_near_dup_bucketed_is_equi_join(spark):
+    """The scale near-dup path must generate candidates via a bucket
+    EQUI-join — no broadcast nested-loop / cartesian in the plan."""
+    from crawl4ai_scraper_spark.operators.dedup import embedding_near_dup_bucketed
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3)] * 64) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(embedding_near_dup_bucketed(vecs, "vec_id", "embedding"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

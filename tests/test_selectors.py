@@ -62,7 +62,8 @@ class TestCssSubset:
 
     def test_invalid_selector_raises(self):
         root = parse_dom(DOC)
-        for bad in ("p:first-child", "a[href^=x]", "", ">", "div >"):
+        for bad in ("p:hover", "p::before", "", ">", "div >", "div{", "..c",
+                    "#m)", "a[", ":nth-child(x)"):
             try:
                 css_select(root, bad)
                 raised = False
@@ -81,7 +82,8 @@ class TestXpathSubset:
 
     def test_invalid_raises(self):
         root = parse_dom(DOC)
-        for bad in ("//a/b", "article", "//div[text()='x']"):
+        for bad in ("article", "//article[", "//main//", "div[@class='c']",
+                    "//div[count(p)>1]", "//a/text()[1]"):
             try:
                 xpath_select(root, bad)
                 raised = False
@@ -140,7 +142,8 @@ class TestReferenceComposition:
 
     def test_validation_probes(self):
         assert validate_css_selector("article.post-content")[0]
-        assert not validate_css_selector("p:first-child")[0]
+        assert validate_css_selector("p:first-child")[0]  # supported since r2
+        assert not validate_css_selector("p:hover")[0]
         assert validate_xpath('//div[@class="x"]')[0]
         assert not validate_xpath("div")[0]
 
@@ -164,3 +167,109 @@ class TestSelectorCleaningDispatch:
         short = "tiny"
         out = clean_with_selectors("", "# Fallback Markdown Body Here", "T", cfg, short)
         assert "Fallback" in out
+
+
+EXT_DOC = """
+<html><body>
+  <div class="wrap">
+    <p id="p1">alpha</p>
+    <p id="p2">beta</p>
+    <span id="s1">mid</span>
+    <p id="p3">gamma</p>
+    <p id="p4">delta</p>
+  </div>
+  <ul>
+    <li><a href="/docs/intro" lang="en-US" data-k="one two">Intro</a></li>
+    <li><a href="/blog/x.html" title="hello world">Blog</a></li>
+    <li><a href="https://ext.example/page">Ext</a></li>
+  </ul>
+  <section><article><p>only</p></article></section>
+</body></html>
+"""
+
+
+def _ids(nodes):
+    return [n.attrs.get("id") for n in nodes]
+
+
+class TestCssExtensions:
+    """Round-2 additions: pseudo-classes, attribute operators, siblings."""
+
+    def test_first_last_only_child(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(css_select(root, ".wrap p:first-child")) == ["p1"]
+        assert _ids(css_select(root, "p:first-child")) == ["p1", None]  # + article's only p
+        assert _ids(css_select(root, ".wrap p:last-child")) == ["p4"]
+        assert [n.tag for n in css_select(root, "article :only-child")] == ["p"]
+
+    def test_nth_child(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(css_select(root, ".wrap p:nth-child(2)")) == ["p2"]
+        assert _ids(css_select(root, ".wrap :nth-child(odd)")) == ["p1", "s1", "p4"]
+        assert _ids(css_select(root, ".wrap p:nth-child(2n+1)")) == ["p1", "p4"]
+        assert _ids(css_select(root, ".wrap :nth-last-child(1)")) == ["p4"]
+
+    def test_attribute_operators(self):
+        root = parse_dom(EXT_DOC)
+        sel = lambda s: [n.attrs.get("href") for n in css_select(root, s)]
+        assert sel('a[href^="/docs"]') == ["/docs/intro"]
+        assert sel('a[href$=".html"]') == ["/blog/x.html"]
+        assert sel('a[href*="blog"]') == ["/blog/x.html"]
+        assert sel('a[data-k~="two"]') == ["/docs/intro"]
+        assert sel('a[lang|="en"]') == ["/docs/intro"]
+        assert len(css_select(root, "a[title]")) == 1
+        # ^= with empty value matches nothing (spec)
+        assert sel('a[href^=""]') == []
+
+    def test_sibling_combinators(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(css_select(root, "#p2 + span")) == ["s1"]
+        assert _ids(css_select(root, "span + p")) == ["p3"]
+        assert _ids(css_select(root, "#p1 ~ p")) == ["p2", "p3", "p4"]
+        assert css_select(root, "#p3 + span") == []
+
+    def test_quoted_values_with_combinator_chars(self):
+        root = parse_dom(parse_chars_doc := '<div><a title="a > b" href="#">x</a></div>')
+        assert len(css_select(root, 'a[title="a > b"]')) == 1
+
+
+class TestXPathExtensions:
+    """Round-2 additions: multi-step paths, positional predicates, text()."""
+
+    def test_multi_step_paths(self):
+        root = parse_dom(EXT_DOC)
+        assert [n.tag for n in xpath_select(root, "//section//p")] == ["p"]
+        assert len(xpath_select(root, "//ul/li")) == 3
+        assert len(xpath_select(root, "//ul/li/a")) == 3
+        assert xpath_select(root, "//section/p") == []  # p is not a CHILD
+        assert len(xpath_select(root, "//div/*")) == 5
+
+    def test_positional_predicates(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(xpath_select(root, "//div/p[2]")) == ["p2"]
+        assert _ids(xpath_select(root, "//div/p[last()]")) == ["p4"]
+        assert _ids(xpath_select(root, "//div/p[position()<3]")) == ["p1", "p2"]
+        # abbreviated //tag[N]: per-parent position
+        assert len(xpath_select(root, "//li[1]")) == 1
+        assert _ids(xpath_select(root, "//p[1]")) == ["p1", None]  # div group + article group
+
+    def test_attr_presence_and_text_predicates(self):
+        root = parse_dom(EXT_DOC)
+        assert len(xpath_select(root, "//a[@title]")) == 1
+        assert [n.attrs.get("id") for n in xpath_select(root, "//p[text()='alpha']")] == ["p1"]
+        assert _ids(xpath_select(root, "//p[contains(text(), 'amm')]")) == ["p3"]
+
+    def test_text_step_returns_strings_and_extract_skips_them(self):
+        root = parse_dom(EXT_DOC)
+        texts = xpath_select(root, "//div/p/text()")
+        assert texts == ["alpha", "beta", "gamma", "delta"]
+        # the extraction layer skips smart strings like the reference
+        assert extract_by_xpath(EXT_DOC, ["//div/p/text()"]) == ""
+        assert "alpha" in extract_by_xpath(EXT_DOC, ["//div/p[1]"])
+
+    def test_validation_matrix_from_reference(self):
+        # /root/reference/tests/test_selectors.py:95-117 matrix
+        for ok in ("//article", "//div[@class='content']", "//main//p"):
+            assert validate_xpath(ok)[0], ok
+        for bad in ("//article[", "//main//"):
+            assert not validate_xpath(bad)[0], bad
