@@ -103,3 +103,104 @@ PRESETS = {
     "api_docs": CrawlJobConfig(max_depth=2, max_pages=100, concurrent_limit=3,
                                delay_between_requests=1.0),
 }
+
+PRESET_DESCRIPTIONS = {
+    "default": "Default crawling configuration",
+    "fast": "Quick crawling with minimal depth",
+    "comprehensive": "Deep crawling with content extraction",
+    "api_docs": "Optimized for API documentation sites",
+}
+
+
+class ConfigStore:
+    """Named config-file CRUD (≙ ConfigManager,
+    /root/reference/config_manager.py:24-233): one JSON file per named config
+    under ``config_dir`` — the repo-local ``conf/`` by default (the reference
+    uses ``~/.crawl4ai/configs``). save / load / list / delete /
+    export_config / import_config, with a ``default`` entry auto-created and
+    protected from deletion, as in the reference."""
+
+    def __init__(self, config_dir: Optional[Path] = None):
+        if config_dir is None:
+            config_dir = Path(__file__).resolve().parent.parent / "conf"
+        self.config_dir = Path(config_dir)
+        self.config_dir.mkdir(parents=True, exist_ok=True)
+        if not (self.config_dir / "default.json").exists():
+            self.save("default", PRESETS["default"],
+                      description=PRESET_DESCRIPTIONS["default"])
+
+    def _path(self, name: str) -> Path:
+        return self.config_dir / f"{name}.json"
+
+    def save(self, name: str, cfg: CrawlJobConfig, description: str = "") -> Path:
+        payload = {
+            "name": name,
+            "description": description,
+            "settings": asdict(cfg),
+        }
+        path = self._path(name)
+        path.write_text(json.dumps(payload, indent=2, sort_keys=True))
+        return path
+
+    def load(self, name: str) -> Optional[CrawlJobConfig]:
+        path = self._path(name)
+        if not path.exists():
+            return None
+        data = json.loads(path.read_text())
+        return CrawlJobConfig(**data.get("settings", {}))
+
+    def list(self) -> List[dict]:
+        """Config summaries (name, description, file_path), name-sorted."""
+        out = []
+        for path in sorted(self.config_dir.glob("*.json")):
+            try:
+                data = json.loads(path.read_text())
+            except Exception:
+                continue  # unreadable file listed nowhere, as in the reference
+            out.append({
+                "name": data.get("name", path.stem),
+                "description": data.get("description", "No description"),
+                "settings_count": len(data.get("settings", {})),
+                "file_path": str(path),
+            })
+        return out
+
+    def delete(self, name: str) -> bool:
+        if name == "default":  # config_manager.py:145-147
+            return False
+        path = self._path(name)
+        if not path.exists():
+            return False
+        path.unlink()
+        return True
+
+    def export_config(self, name: str, export_path: Path) -> bool:
+        path = self._path(name)
+        if not path.exists():
+            return False
+        Path(export_path).write_text(path.read_text())
+        return True
+
+    def import_config(self, import_path: Path, name: Optional[str] = None) -> Optional[str]:
+        """Returns the stored name, or None on a missing/invalid file."""
+        import_path = Path(import_path)
+        if not import_path.exists():
+            return None
+        try:
+            data = json.loads(import_path.read_text())
+            settings = data.get("settings", {})
+            cfg = CrawlJobConfig(**settings)  # validates the field names
+        except Exception:
+            return None
+        final = name or data.get("name", import_path.stem)
+        self.save(final, cfg, description=data.get("description", ""))
+        return final
+
+
+def seed_builtin_presets(store: ConfigStore) -> None:
+    """Write every builtin preset into the store (the reference ships its
+    four presets as files in the config dir, config_manager.py:264-339)."""
+    for preset_name, preset_cfg in PRESETS.items():
+        if not store._path(preset_name).exists():
+            store.save(preset_name, preset_cfg,
+                       description=PRESET_DESCRIPTIONS.get(preset_name, ""))

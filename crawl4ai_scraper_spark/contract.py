@@ -772,6 +772,52 @@ def ann_ivf_topk(spark, sf):
     return S.ivf_topk(_t(spark, sf, "embeddings"), n_queries=10, k=5)
 
 
+def _centroid_dots_sql(n_cells: int = 8, dim: int = 64, seed: int = 7,
+                       vec_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
+    """DuckDB list literal of dot(v, centroid_j) — same literal centroids as
+    operators.similarity.ivf_assign."""
+    cents = S.hyperplanes(n_cells, dim, seed)
+    dots = []
+    for c in cents:
+        arr = "[" + ", ".join(f"{x:.3f}" for x in c) + "]"
+        dots.append(f"list_dot_product({vec_expr}, {arr})")
+    return "[" + ", ".join(dots) + "]"
+
+
+@_q(
+    "ann_ivf_assign",
+    f"""SELECT vec_id,
+           CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+    FROM (SELECT vec_id, {_centroid_dots_sql()} AS dots FROM embeddings)""",
+)
+def ann_ivf_assign(spark, sf):
+    """IVF coarse-quantizer assignment from deterministic literal centroids —
+    argmax dot, ties to the smallest cell (1-based), reproducible in SQL."""
+    return S.ivf_assign(_t(spark, sf, "embeddings"))
+
+
+@_q(
+    "ann_ivf_assign_topk",
+    f"""WITH a AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+      FROM (SELECT vec_id, embedding, {_centroid_dots_sql()} AS dots FROM embeddings))
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT qa.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                                ORDER BY list_dot_product(qa.e, b.e)
+                                  / (sqrt(list_dot_product(qa.e, qa.e))
+                                     * sqrt(list_dot_product(b.e, b.e))) DESC,
+                                  b.vec_id) AS rank
+      FROM a qa JOIN a b ON b.vec_id <> qa.vec_id AND qa.cell = b.cell
+      WHERE qa.vec_id < 10)
+    WHERE rank <= 5""",
+)
+def ann_ivf_assign_topk(spark, sf):
+    """Full IVF: computed assignment (narrow map) → cell-restricted top-k."""
+    return S.ivf_topk_assigned(_t(spark, sf, "embeddings"), n_queries=10, k=5)
+
+
 def _planes_sql(n_planes: int = 8, dim: int = 64,
                 vec_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
     planes = S.hyperplanes(n_planes, dim)

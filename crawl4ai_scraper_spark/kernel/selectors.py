@@ -706,6 +706,56 @@ def get_template(template_name: str) -> Optional[Dict[str, List[str]]]:
     return SELECTOR_TEMPLATES.get(template_name)
 
 
+def test_selectors(html: str,
+                   css_selectors: Optional[List[str]] = None,
+                   xpath_expressions: Optional[List[str]] = None) -> Dict[str, str]:
+    """≙ SelectorExtractor.test_selectors (selector_utils.py:262-289): run
+    each method and return its extracted content for comparison."""
+    results: Dict[str, str] = {}
+    if css_selectors:
+        results["css"] = extract_by_css(html, css_selectors)
+    if xpath_expressions:
+        results["xpath"] = extract_by_xpath(html, xpath_expressions)
+    if css_selectors and xpath_expressions:
+        results["combined"] = extract_combined(html, css_selectors, xpath_expressions)
+    return results
+
+
+def selector_report(html: str,
+                    css_selectors: Optional[List[str]] = None,
+                    xpath_expressions: Optional[List[str]] = None) -> List[Dict]:
+    """Per-selector debugging report (the data behind the reference's
+    selector-test menu, main.py:534-604): validity, match count, and a
+    200-char preview of the first match's text."""
+    rows: List[Dict] = []
+    root = parse_dom(html or "")
+    for kind, sels, select, text_of in (
+        ("css", css_selectors or [], css_select,
+         lambda n: n.get_text(separator=" ", strip=True)),
+        ("xpath", xpath_expressions or [], xpath_select,
+         lambda n: n.itertext_join() if isinstance(n, Node) else str(n)),
+    ):
+        for sel in sels:
+            row: Dict = {"kind": kind, "selector": sel}
+            try:
+                matches = select(root, sel)
+            except Exception as exc:
+                row.update(valid=False, error=str(exc), matches=0, preview="")
+                rows.append(row)
+                continue
+            first = ""
+            for m in matches:
+                first = text_of(m)
+                if first:
+                    break
+            row.update(
+                valid=True, error=None, matches=len(matches),
+                preview=" ".join(first.split())[:200],
+            )
+            rows.append(row)
+    return rows
+
+
 def extract_with_template(html: str, template_name: str) -> str:
     """Template-driven combined extraction (ConfigurableContentCleaner
     set_selector_template + extract_with_selectors, content_filters.py:467-479

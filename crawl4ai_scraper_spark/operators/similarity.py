@@ -121,6 +121,59 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[float]]:
     return planes
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Coarse-quantizer assignment — the missing first stage of IVF. Cell =
+    argmax over deterministic centroids of dot(v, c_j), ties to the smallest
+    cell id (1-based). Centroids come from the same md5-derived literal
+    construction as the LSH planes, so the assignment is exactly reproducible
+    in any engine (a k-means refinement would iterate this same assignment
+    step against recomputed means — the JOIN SHAPE below is what matters at
+    scale: assignment is a narrow map, no shuffle).
+    Returns (vec_id, cell int)."""
+    cents = hyperplanes(n_cells, dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), dots.alias("_dots"))
+        .select(
+            "vec_id",
+            F.expr("CAST(array_position(_dots, array_max(_dots)) AS INT)").alias("cell"),
+        )
+    )
+
+
+def ivf_topk_assigned(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Full IVF pipeline: computed coarse-cell assignment (the ivf_assign
+    expression, applied as a NARROW map — no join, no shuffle) →
+    cell-restricted search (ivf_topk). The 100-TB ANN shape end to end."""
+    cents = hyperplanes(n_cells, dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+    assigned = (
+        embeddings.select(id_col, vec_col, dots.alias("_dots"))
+        .withColumn("cell", F.expr("CAST(array_position(_dots, array_max(_dots)) AS INT)"))
+        .drop("_dots")
+    )
+    return ivf_topk(assigned, id_col, vec_col, cell_col="cell",
+                    n_queries=n_queries, k=k)
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -32,19 +32,19 @@ if str(REPO) not in sys.path:
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Frontier crawl + extraction job")
-    p.add_argument("--pages", required=True, help="pages table path (parquet, pbucket layout)")
-    p.add_argument("--seed", action="append", required=True,
+    p.add_argument("--pages", help="pages table path (parquet, pbucket layout)")
+    p.add_argument("--seed", action="append", default=[],
                    help="seed URL (repeat for multi-seed discovery union)")
-    p.add_argument("--checkpoint", required=True, help="checkpoint/snapshot root")
-    p.add_argument("--max-depth", type=int, default=2)
-    p.add_argument("--max-pages", type=int, default=50)
+    p.add_argument("--checkpoint", help="checkpoint/snapshot root")
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--max-pages", type=int, default=None)
     p.add_argument("--patterns", action="append", default=[])
     p.add_argument("--exclude-patterns", action="append", default=[])
     p.add_argument("--include-external", action="store_true")
-    p.add_argument("--delay", type=float, default=1.0, help="politeness delay (virtual s)")
+    p.add_argument("--delay", type=float, default=None, help="politeness delay (virtual s)")
     p.add_argument("--host-rules", help="parquet path: host, crawl_delay, disallow_prefixes")
-    p.add_argument("--organization-strategy", default="flat")
-    p.add_argument("--naming-convention", default="url_based")
+    p.add_argument("--organization-strategy", default=None)
+    p.add_argument("--naming-convention", default=None)
     p.add_argument("--selector-template",
                    choices=["blog", "news", "documentation", "ecommerce", "forum"],
                    help="selector-based extraction template (CSS/XPath subset engine)")
@@ -55,6 +55,20 @@ def parse_args(argv=None):
     p.add_argument("--dry-run", action="store_true",
                    help="discovery only (≙ reference --dry-run): no extraction pass")
     p.add_argument("--preset", choices=["default", "fast", "comprehensive", "api_docs"])
+    # Named-config store (≙ config_manager.py CRUD; files live in conf/ by
+    # default, one JSON per config):
+    p.add_argument("--config", help="start from a NAMED stored config")
+    p.add_argument("--config-dir", help="config store directory (default: repo conf/)")
+    p.add_argument("--save-config", metavar="NAME",
+                   help="save the effective config under NAME and continue")
+    p.add_argument("--list-configs", action="store_true",
+                   help="list stored configs as JSON and exit")
+    p.add_argument("--delete-config", metavar="NAME",
+                   help="delete a stored config and exit")
+    p.add_argument("--export-config", nargs=2, metavar=("NAME", "PATH"),
+                   help="export a stored config to PATH and exit")
+    p.add_argument("--import-config", metavar="PATH",
+                   help="import a config file into the store and exit")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
 
@@ -62,26 +76,70 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    from crawl4ai_scraper_spark.config import PRESETS, CrawlJobConfig
+    from crawl4ai_scraper_spark.config import PRESETS, ConfigStore, CrawlJobConfig
     from crawl4ai_scraper_spark.plans.driver import run_crawl, run_multi_seed
     from crawl4ai_scraper_spark.session import build_session
     from crawl4ai_scraper_spark.sources.pages import pages_n_buckets, read_pages
 
+    store = ConfigStore(args.config_dir) if args.config_dir else ConfigStore()
+    # store-only maintenance modes: act and exit (no Spark session needed)
+    if args.list_configs:
+        print(json.dumps(store.list(), indent=2))
+        return
+    if args.delete_config:
+        ok = store.delete(args.delete_config)
+        print(json.dumps({"deleted": ok, "name": args.delete_config}))
+        return
+    if args.export_config:
+        name, path = args.export_config
+        print(json.dumps({"exported": store.export_config(name, Path(path)), "name": name}))
+        return
+    if args.import_config:
+        final = store.import_config(Path(args.import_config))
+        print(json.dumps({"imported": final is not None, "name": final}))
+        return
+
     import dataclasses
-    cfg = dataclasses.replace(PRESETS[args.preset]) if args.preset else CrawlJobConfig()
-    cfg.max_depth = args.max_depth
-    cfg.max_pages = args.max_pages
-    cfg.patterns = args.patterns
-    cfg.exclude_patterns = args.exclude_patterns
-    cfg.include_external = args.include_external
-    cfg.delay_between_requests = args.delay
-    cfg.organization_strategy = args.organization_strategy
-    cfg.naming_convention = args.naming_convention
-    cfg.selector_template = args.selector_template or ""
-    cfg.content_css_selectors = args.css_selector
-    cfg.exclude_css_selectors = args.exclude_css_selector
+    if args.config:
+        cfg = store.load(args.config)
+        if cfg is None:
+            p_err = f"named config {args.config!r} not found in {store.config_dir}"
+            raise SystemExit(p_err)
+    elif args.preset:
+        cfg = dataclasses.replace(PRESETS[args.preset])
+    else:
+        cfg = CrawlJobConfig()
+    # CLI flags override the base config only when explicitly given
+    if args.max_depth is not None:
+        cfg.max_depth = args.max_depth
+    if args.max_pages is not None:
+        cfg.max_pages = args.max_pages
+    if args.patterns:
+        cfg.patterns = args.patterns
+    if args.exclude_patterns:
+        cfg.exclude_patterns = args.exclude_patterns
+    if args.include_external:
+        cfg.include_external = True
+    if args.delay is not None:
+        cfg.delay_between_requests = args.delay
+    if args.organization_strategy is not None:
+        cfg.organization_strategy = args.organization_strategy
+    if args.naming_convention is not None:
+        cfg.naming_convention = args.naming_convention
+    if args.selector_template:
+        cfg.selector_template = args.selector_template
+    if args.css_selector:
+        cfg.content_css_selectors = args.css_selector
+    if args.exclude_css_selector:
+        cfg.exclude_css_selectors = args.exclude_css_selector
     if args.shuffle_partitions:
         cfg.shuffle_partitions = args.shuffle_partitions
+
+    if args.save_config:
+        store.save(args.save_config, cfg)
+
+    if not args.pages or not args.seed or not args.checkpoint:
+        raise SystemExit("--pages, --seed and --checkpoint are required to run a crawl")
 
     spark = build_session(app_name="crawl-job", shuffle_partitions=cfg.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
