@@ -703,6 +703,50 @@ def dedup_simhash_q(spark, sf):
 
 
 @_q(
+    "dedup_simhash_pairs",
+    """WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 8) FROM documents WHERE doc_id < 60
+    ), toks AS (
+      SELECT doc, UNNEST(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+      FROM corpus
+    ), bits AS (
+      SELECT doc, tok, UNNEST(range(0, 32)) AS b FROM toks
+    ), votes AS (
+      SELECT doc, b,
+        SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), CAST(floor(b/4) AS INT) + 1, 1)) - 1)
+                      & (1 << (b % 4)) > 0 THEN 1 ELSE -1 END) AS vote
+      FROM bits GROUP BY doc, b
+    ), sims AS (
+      SELECT doc, CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
+    ), pieces AS (
+      SELECT doc, p, (simhash >> (CAST(p AS INT) * 8)) & 255 AS piece
+      FROM sims, UNNEST(range(0, 4)) AS t(p)
+    ), cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM pieces a JOIN pieces b ON a.p = b.p AND a.piece = b.piece AND a.doc < b.doc
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand JOIN sims sa ON sa.doc = id_a JOIN sims sb ON sb.doc = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""",
+)
+def dedup_simhash_pairs_q(spark, sf):
+    """SimHash near-dup pairing: hamming ≤ 3 via EXACT 4-piece pigeonhole
+    banding (operators.dedup.simhash_near_dup_pairs) over the corpus +
+    planted near-duplicates."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    variants = docs.select((F.col("doc") + 100000).alias("doc"),
+                           F.expr("substr(text, 8)").alias("text"))
+    corpus = docs.unionByName(variants)
+    return D.simhash_near_dup_pairs(corpus, "text", "doc", n_bits=32,
+                                    n_pieces=4, max_hamming=3)
+
+
+@_q(
     "dedup_embedding_cosine",
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                   FROM embeddings WHERE vec_id < 40),
@@ -816,6 +860,27 @@ def ann_ivf_assign(spark, sf):
 def ann_ivf_assign_topk(spark, sf):
     """Full IVF: computed assignment (narrow map) → cell-restricted top-k."""
     return S.ivf_topk_assigned(_t(spark, sf, "embeddings"), n_queries=10, k=5)
+
+
+@_q(
+    "ann_ivf_kmeans_step",
+    f"""WITH a AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e,
+             CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+      FROM (SELECT embedding, {_centroid_dots_sql()} AS dots FROM embeddings)
+    ), x AS (
+      SELECT cell, CAST(i AS INT) AS dim_idx,
+             CAST(e[CAST(i AS INT) + 1] AS DECIMAL(25,12)) AS v
+      FROM a, UNNEST(range(0, 64)) AS t(i))
+    SELECT cell, dim_idx,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid,
+           COUNT(*) AS n_members
+    FROM x GROUP BY cell, dim_idx""",
+)
+def ann_ivf_kmeans_step(spark, sf):
+    """One Lloyd iteration of the IVF coarse quantizer: assign → per-(cell,
+    dim) mean with exact DECIMAL sums (order-free, engine-reproducible)."""
+    return S.ivf_kmeans_step(_t(spark, sf, "embeddings"))
 
 
 def _planes_sql(n_planes: int = 8, dim: int = 64,

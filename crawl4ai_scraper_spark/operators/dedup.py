@@ -162,6 +162,54 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> Data
     return agg.select("doc", F.expr(fold).alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 32,
+    n_pieces: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: each simhash splits into ``n_pieces`` bit-slices
+    and candidates come from an equi-join on (piece_idx, piece_value). By
+    pigeonhole, any pair within Hamming distance < n_pieces agrees on at
+    least one whole piece — so with ``max_hamming < n_pieces`` the banding
+    is EXACT (zero recall loss), while the join only ever compares documents
+    that collide on a slice. Verify: ``bit_count(xor)`` ≤ max_hamming.
+    Scale shape mirrors MinHash-LSH: a ×n_pieces explode of three scalar
+    columns, one hash-shuffle on the slice key, no quadratic stage.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    assert max_hamming < n_pieces, "banding is exact only when max_hamming < n_pieces"
+    piece_bits = n_bits // n_pieces
+    mask = (1 << piece_bits) - 1
+    sims = simhash(df, text_col, id_col, n_bits)  # (doc, simhash)
+    pieces = sims.select(
+        "doc", "simhash",
+        F.explode(F.array(*[F.lit(p) for p in range(n_pieces)])).alias("p"),
+    ).withColumn(
+        "piece",
+        F.expr(f"(simhash >> (p * {piece_bits})) & {mask}"),
+    )
+    left = pieces.select(F.col("doc").alias("id_a"), "p", "piece")
+    right = pieces.select(F.col("doc").alias("id_b"), "p", "piece")
+    cand = (
+        left.join(right, ["p", "piece"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sims.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sims.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -199,6 +247,7 @@ def embedding_near_dup_bucketed(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_probe_seeds: int = 1,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup — the 100-TB scale path.
 
@@ -210,9 +259,12 @@ def embedding_near_dup_bucketed(
     candidates → exact-cosine verify (JVM-side math).
 
     Recall is the standard LSH trade-off: only pairs whose sign patterns
-    agree on every plane collide (single-probe); raise recall by lowering
-    ``n_planes`` or unioning several plane seeds (multi-probe) — both keep
-    the same join shape. Returns (id_a, id_b, cos) with id_a < id_b.
+    agree on every plane collide (single-probe). ``n_probe_seeds > 1`` is
+    the multi-probe variant: an independent plane set per seed, the bucket
+    joins unioned and pair-deduped before the verify — recall loss decays
+    exponentially in the number of probes while the join shape (hash
+    shuffle on the bucket key) is unchanged. Returns (id_a, id_b, cos)
+    with id_a < id_b.
     """
     from crawl4ai_scraper_spark.operators.similarity import (
         cosine,
@@ -222,14 +274,21 @@ def embedding_near_dup_bucketed(
     v = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
     )
-    buckets = lsh_hyperplane_buckets(v, "id", "e", n_planes=n_planes, dim=dim, seed=seed)
-    left = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
-    right = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
-    cand = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+    cand = None
+    for probe in range(n_probe_seeds):
+        buckets = lsh_hyperplane_buckets(
+            v, "id", "e", n_planes=n_planes, dim=dim, seed=seed + probe
+        )
+        left = buckets.select(F.col("vec_id").alias("id_a"), "bucket")
+        right = buckets.select(F.col("vec_id").alias("id_b"), "bucket")
+        probe_cand = (
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = probe_cand if cand is None else cand.unionByName(probe_cand)
+    if n_probe_seeds > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     pairs = cand.join(
         v.select(F.col("id").alias("id_a"), F.col("e").alias("ea")), "id_a"
     ).join(v.select(F.col("id").alias("id_b"), F.col("e").alias("eb")), "id_b")

@@ -174,6 +174,46 @@ def ivf_topk_assigned(
                     n_queries=n_queries, k=k)
 
 
+def ivf_kmeans_step(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """One Lloyd iteration of coarse-quantizer training: assign every vector
+    to its argmax-dot cell (narrow map, same expression as ``ivf_assign``),
+    then the per-(cell, dim) mean of the members — the refreshed centroids.
+
+    Scale shape: ONE hash aggregation keyed on (cell, dim_idx). Map-side
+    combine collapses each partition to ≤ n_cells×dim rows before the
+    shuffle, so the shuffle volume is independent of corpus size. Sums run
+    in DECIMAL (exact, order-free) so the refreshed centroids are
+    bit-reproducible across engines and partitionings — double sums would
+    depend on reduction order. Returns (cell, dim_idx, centroid, n_members).
+    """
+    cents = hyperplanes(n_cells, dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+    assigned = embeddings.select(vec.alias("e"), dots.alias("_dots")).withColumn(
+        "cell", F.expr("CAST(array_position(_dots, array_max(_dots)) AS INT)")
+    )
+    exploded = assigned.select("cell", F.posexplode("e").alias("dim_idx", "value"))
+    return (
+        exploded.groupBy("cell", "dim_idx")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cell", "dim_idx",
+            F.round(F.col("s").cast("double") / F.col("n_members"), 6).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -130,3 +130,52 @@ def test_embedding_near_dup_bucketed_is_equi_join(spark):
     plan = _plan(embedding_near_dup_bucketed(vecs, "vec_id", "embedding"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multi_probe_lsh_recall_not_worse(spark):
+    """Multi-probe near-dup (2 plane seeds) must find a superset of the
+    single-probe pairs, still via equi-joins only."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.dedup import embedding_near_dup_bucketed
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    variants = base.select((F.col("vec_id") + 100000).alias("vec_id"),
+                           F.transform("e", lambda x: x * F.lit(1.02) + F.lit(0.003)).alias("e"))
+    corpus = base.unionByName(variants)
+    one = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_bucketed(corpus, "vec_id", "e", threshold=0.98).collect()}
+    two = {(r.id_a, r.id_b) for r in
+           embedding_near_dup_bucketed(corpus, "vec_id", "e", threshold=0.98,
+                                       n_probe_seeds=2).collect()}
+    assert one <= two
+    plan = _plan(embedding_near_dup_bucketed(corpus, "vec_id", "e", n_probe_seeds=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_near_dup_banding_is_exact(spark):
+    """Pigeonhole banding (4 pieces, hamming<=3) must equal the brute-force
+    hamming filter on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 40
+    ).select(F.col("doc_id").alias("doc"), "text")
+    variants = docs.select((F.col("doc") + 100000).alias("doc"),
+                           F.expr("substr(text, 8)").alias("text"))
+    corpus = docs.unionByName(variants)
+    banded = {(r.id_a, r.id_b, r.hamming) for r in
+              simhash_near_dup_pairs(corpus, "text", "doc").collect()}
+    sims = simhash(corpus, "text", "doc")
+    a = sims.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {(r.id_a, r.id_b, r.hamming) for r in
+             a.join(b, F.col("id_a") < F.col("id_b"))
+              .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+              .filter(F.col("hamming") <= 3)
+              .select("id_a", "id_b", "hamming").collect()}
+    assert banded == brute and len(banded) > 0
