@@ -67,6 +67,18 @@ QUERY_NAMES = [
     "token_counts",
     "doc_fingerprint",
     "multimodal_decode_meta",
+    # round-2 additions (new keys only — round-1 keys unchanged for
+    # apples-to-apples comparison against BENCH_r01.json)
+    "dedup_embedding_lsh",
+    "dedup_simhash_pairs",
+    "ann_ivf_assign_topk",
+    "repetition_signals",
+    "gopher_quality_filter",
+    "top_ngram_stats",
+    "topk_ngrams",
+    "dedup_clusters",
+    "events_asof_join",
+    "url_latest_revision",
 ]
 
 

@@ -1060,6 +1060,224 @@ def sessionize_events(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Repetition / quality-filter signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+_W_SQL = """SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS w,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
+    FROM documents"""
+
+_G2_SQL = "list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1])"
+_G3_SQL = ("list_transform(range(1, greatest(len(w) - 1, 1)), "
+           "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])")
+
+
+@_q(
+    "repetition_signals",
+    f"""WITH w AS ({_W_SQL})
+    SELECT doc_id,
+      CAST(len(w) AS BIGINT) AS n_words,
+      ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 4) AS dup_word_frac,
+      ROUND(1.0 - CAST(len(list_distinct({_G2_SQL})) AS DOUBLE)
+            / greatest(len({_G2_SQL}), 1), 4) AS dup_2gram_frac,
+      ROUND(1.0 - CAST(len(list_distinct({_G3_SQL})) AS DOUBLE)
+            / greatest(len({_G3_SQL}), 1), 4) AS dup_3gram_frac,
+      ROUND(CAST(chars AS DOUBLE) / greatest(len(w), 1), 4) AS mean_word_len,
+      ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+            / greatest(len(w), 1), 4) AS symbol_ratio
+    FROM w""",
+)
+def repetition_signals(spark, sf):
+    """Gopher-style repetition/shape signals per doc — pure column math (no
+    shuffle, codegen'd): duplicate word/2-gram/3-gram fractions, mean word
+    length, symbol-to-word ratio."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("bigint").alias("n_words"),
+        T.dup_word_fraction(F.col("text")).alias("dup_word_frac"),
+        T.dup_ngram_fraction(F.col("text"), 2).alias("dup_2gram_frac"),
+        T.dup_ngram_fraction(F.col("text"), 3).alias("dup_3gram_frac"),
+        T.mean_word_length(F.col("text")).alias("mean_word_len"),
+        T.symbol_word_ratio(F.col("text")).alias("symbol_ratio"),
+    )
+
+
+@_q(
+    "gopher_quality_filter",
+    f"""WITH w AS ({_W_SQL}), m AS (
+      SELECT doc_id,
+        len(w) AS n,
+        ROUND(CAST(chars AS DOUBLE) / greatest(len(w), 1), 4) AS mwl,
+        ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+              / greatest(len(w), 1), 4) AS sym,
+        len(list_filter(w, t -> t IN ({_SW_EN}))) AS sw_hits,
+        ROUND(1.0 - CAST(len(list_distinct({_G3_SQL})) AS DOUBLE)
+              / greatest(len({_G3_SQL}), 1), 4) AS dup3
+      FROM w)
+    SELECT doc_id,
+      n >= {T.GOPHER_MIN_WORDS} AND n <= {T.GOPHER_MAX_WORDS} AS ok_word_count,
+      mwl >= {T.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {T.GOPHER_MAX_MEAN_WORD_LEN} AS ok_mean_word_len,
+      sym <= {T.GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+      sw_hits >= {T.GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords,
+      dup3 <= {T.GOPHER_MAX_DUP_3GRAM_FRAC} AS ok_dup_3gram,
+      (n >= {T.GOPHER_MIN_WORDS} AND n <= {T.GOPHER_MAX_WORDS})
+        AND (mwl >= {T.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {T.GOPHER_MAX_MEAN_WORD_LEN})
+        AND sym <= {T.GOPHER_MAX_SYMBOL_RATIO}
+        AND sw_hits >= {T.GOPHER_MIN_STOPWORD_HITS}
+        AND dup3 <= {T.GOPHER_MAX_DUP_3GRAM_FRAC} AS keep
+    FROM m""",
+)
+def gopher_quality_filter(spark, sf):
+    """Gopher-rule corpus filter: per-rule pass flags + overall keep verdict
+    (the pre-dedup filter pass of an LLM-training-data pipeline). Thresholds
+    are compared on the same 4dp-rounded signals in both engines."""
+    return T.gopher_filter(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@_q(
+    "top_ngram_stats",
+    f"""WITH w AS ({_W_SQL}), g AS (
+      SELECT doc_id, chars, UNNEST({_G2_SQL}) AS gram FROM w
+    ), c AS (
+      SELECT doc_id, chars, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, chars, gram)
+    SELECT doc_id, gram AS top_gram, CAST(cnt AS BIGINT) AS top_count,
+           ROUND(CAST(cnt AS DOUBLE) * length(replace(gram, ' ', ''))
+                 / greatest(CAST(chars AS DOUBLE), 1.0), 4) AS top_char_frac
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1""",
+)
+def top_ngram_stats_q(spark, sf):
+    """Most-frequent 2-gram per doc + its character fraction (Gopher's
+    top-n-gram rule) — explode → count → min-struct argmax (map-side
+    combine; the oracle's window is the same argmax)."""
+    return T.top_ngram_stats(_t(spark, sf, "documents"), "text", "doc_id", n=2)
+
+
+@_q(
+    "topk_ngrams",
+    f"""WITH w AS ({_W_SQL}), g AS (SELECT UNNEST({_G2_SQL}) AS gram FROM w)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
+)
+def topk_ngrams(spark, sf):
+    """Corpus-level top-20 word 2-grams (vocabulary head) — groupBy with
+    map-side combine + TakeOrderedAndProject (no global sort)."""
+    return T.corpus_topk_ngrams(_t(spark, sf, "documents"), "text", n=2, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_clusters",
+    """WITH RECURSIVE e1 AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id < 195 AND doc_id % 15 = 0
+    ), eb AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+    ), nodes AS (SELECT DISTINCT src AS id FROM eb
+    ), reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT eb.src AS id, r.lbl FROM reach r JOIN eb ON eb.dst = r.id
+    )
+    SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id""",
+)
+def dedup_clusters_q(spark, sf):
+    """Connected components over a deterministic near-dup pair graph (5-node
+    stars bridged into chains every 15 ids — multi-round merges exercised).
+    Spark runs iterative min-label propagation (operators.clustering);
+    the oracle computes the same components by recursive transitive closure.
+    The minhash→clusters composition is pytest-verified against a union-find
+    oracle (tests/test_kernel.py)."""
+    from crawl4ai_scraper_spark.operators.clustering import dup_clusters
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    star = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("id_b"),
+    )
+    bridge = docs.filter((F.col("doc_id") < 195) & (F.col("doc_id") % 15 == 0)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 5).alias("id_b")
+    )
+    return dup_clusters(star.unionByName(bridge))
+
+
+# ---------------------------------------------------------------------------
+# Temporal: as-of join + keep-latest revision dedup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_asof_join",
+    """WITH p AS (
+      SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           p.purchase_event_id AS asof_purchase_event_id,
+           -- microsecond DIFFERENCE: exact and timezone-convention-free
+           date_diff('microsecond', p.ts, e.ts) AS gap_us
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)
+def events_asof_join(spark, sf):
+    """Backward-inclusive as-of join: each event gains the latest purchase
+    event at-or-before it for the same user. Spark composes the
+    union-sort-carry pattern (operators.temporal.asof_join — one shuffle);
+    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from crawl4ai_scraper_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    markers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    joined = asof_join(left, markers, key="user_id", left_ts="ts", right_ts="ts",
+                       payload=["purchase_event_id"])
+    return joined.select(
+        "event_id", "user_id",
+        F.col("asof_purchase_event_id"),
+        # ts is TIMESTAMP_NTZ; the cast to (session-tz) TIMESTAMP shifts both
+        # operands identically, so the microsecond difference is exact.
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@_q(
+    "url_latest_revision",
+    """WITH revs AS (
+      SELECT doc_id % 100 AS url_key,
+             1700000000 + (doc_id * 37) % 1000 AS warc_ts,
+             doc_id, n_chars
+      FROM documents)
+    SELECT url_key, warc_ts, doc_id, n_chars FROM revs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY url_key
+                               ORDER BY warc_ts DESC, doc_id DESC) = 1""",
+)
+def url_latest_revision(spark, sf):
+    """Keep-latest revision per URL (recrawl snapshot collapse): single
+    max-struct groupBy — no window, map-side combine — vs the oracle's
+    windowed argmax. Ties on warc_ts break by highest doc_id."""
+    from crawl4ai_scraper_spark.operators.temporal import latest_revision
+
+    revs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 100).alias("url_key"),
+        (F.lit(1700000000) + (F.col("doc_id") * 37) % 1000).alias("warc_ts"),
+        "doc_id", "n_chars",
+    )
+    return latest_revision(revs, key="url_key", ts_col="warc_ts", tiebreak="doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

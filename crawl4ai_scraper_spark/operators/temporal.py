@@ -1,0 +1,91 @@
+"""Temporal operators: as-of join and keep-latest dedup.
+
+Spark has no native ASOF JOIN (DuckDB does — the contract oracle uses it);
+the scalable composition is the union-sort-carry pattern:
+
+    union(left tagged 0-payload, right tagged payload)
+      → window over (key ORDER BY ts, is_left) carrying last non-null payload
+      → filter to left rows
+
+ONE shuffle on the join key, no range explosion, no per-row Python. The sort
+inside each key partition is Spark's normal window sort. Hot keys: a single
+user/host with millions of events sorts within one task — for that regime,
+range-bucket the ts into coarse buckets, carry each bucket's closing payload
+into the next (two passes), same as politeness.py's two-phase rank. The
+simple form here is the right default: key cardinality ≫ executor count and
+per-key row counts are bounded.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Optional[List[str]] = None,
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row gains the payload of
+    the latest right row with right.ts <= left.ts for the same key; left rows
+    with no prior right row keep NULL payload. Matches DuckDB
+    ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
+
+    `payload` defaults to all right columns except key/ts. The right side
+    must be unique per (key, ts) — pre-aggregate if it is not, or the carried
+    row is ill-defined (DuckDB ASOF has the same requirement).
+    """
+    if payload is None:
+        payload = [c for c in right.columns if c not in (key, right_ts)]
+
+    lhs = left.withColumn("_is_left", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.col(right_ts).alias("_asof_ts"),
+        *[F.col(c) for c in payload],
+    )
+    lhs_types = {f.name: f.dataType for f in lhs.schema.fields}
+    rhs_types = {f.name: f.dataType for f in rhs.schema.fields}
+    for c, t in lhs_types.items():
+        if c not in rhs_types:
+            rhs = rhs.withColumn(c, F.lit(None).cast(t))
+    for c, t in rhs_types.items():
+        if c not in lhs_types:
+            lhs = lhs.withColumn(c, F.lit(None).cast(t))
+    both = lhs.select(*sorted(lhs.columns)).unionByName(rhs.select(*sorted(rhs.columns)))
+
+    # right rows sort BEFORE left rows at equal ts (_is_left asc) → inclusive.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        *[c for c in left.columns],
+        F.col("_is_left"),
+        F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in payload],
+    )
+    return carried.filter(F.col("_is_left") == 1).drop("_is_left")
+
+
+def latest_revision(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
+    """Keep-latest dedup: one row per key — the max (ts, tiebreak) revision —
+    via a single max-struct groupBy (map-side combine, no window, no second
+    pass; the struct's leading fields give lexicographic argmax). This is the
+    snapshot-collapse step of a recrawled corpus: many (url, warc_ts)
+    revisions → newest page wins."""
+    others = [c for c in df.columns if c != key]
+    packed = df.groupBy(key).agg(
+        F.max(F.struct(F.col(ts_col), F.col(tiebreak),
+                       *[F.col(c) for c in others if c not in (ts_col, tiebreak)])).alias("r")
+    )
+    return packed.select(key, *[F.col(f"r.{c}").alias(c) for c in others])

@@ -7,7 +7,9 @@ speed. Stopword lists are tiny literals (broadcast-free).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Deterministic mini stopword lists (ordered; the CASE chain below must use
@@ -83,3 +85,152 @@ def fingerprint(text: Column) -> Column:
     (selector_utils.py:199-210, O-31) promoted to a document operator."""
     norm = F.substring(F.regexp_replace(F.lower(text), "\\s+", " "), 1, 100)
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality-filter signals (Gopher-style; Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+# All column builders below are pure expressions (no shuffle, codegen'd);
+# the only shuffled repetition op is top_ngram_stats, which needs a per-doc
+# mode and uses the explode→groupBy→min-struct shape (map-side combine, keys
+# uniform in doc_id — no skew at any corpus size).
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens (the repetition-signal token unit)."""
+    return F.split(F.trim(F.lower(text)), "\\s+")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as an array; docs shorter than n yield one joined gram
+    (same degenerate-case convention as dedup.shingles)."""
+    toks = words(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """1 − distinct/total over words: fraction of word occurrences that are
+    repeats of an earlier word."""
+    w = words(text)
+    n = F.size(w).cast("double")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.greatest(n, F.lit(1.0)), 4
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int) -> Column:
+    """1 − distinct/total over word n-grams (Gopher's duplicate-n-gram
+    fraction, word-stream form)."""
+    g = word_ngrams(text, n)
+    total = F.size(g).cast("double")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.greatest(total, F.lit(1.0)),
+        4,
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace word, 4dp."""
+    n = token_count_ws(text).cast("double")
+    chars = F.length(F.regexp_replace(F.trim(text), "\\s+", "")).cast("double")
+    return F.round(chars / F.greatest(n, F.lit(1.0)), 4)
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Non-alphanumeric symbols per word, 4dp (Gopher's symbol-to-word)."""
+    return F.round(
+        punct_count(text).cast("double")
+        / F.greatest(token_count_ws(text).cast("double"), F.lit(1.0)),
+        4,
+    )
+
+
+# Gopher-inspired keep thresholds, adapted to the synthetic word-stream corpus
+# (documents are 20-100-word single-line streams, so the 50-word floor of the
+# paper would reject most of the corpus; the STRUCTURE of each rule is the
+# paper's).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DUP_3GRAM_FRAC = 0.25
+
+
+def gopher_flags(text: Column) -> Dict[str, Column]:
+    """Named boolean pass/fail columns for each Gopher-style rule."""
+    n = token_count_ws(text)
+    return {
+        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_word_length(text) >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_length(text) <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": symbol_word_ratio(text) <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_stopwords": stopword_hits(text, "en") >= GOPHER_MIN_STOPWORD_HITS,
+        "ok_dup_3gram": dup_ngram_fraction(text, 3) <= GOPHER_MAX_DUP_3GRAM_FRAC,
+    }
+
+
+def gopher_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc rule flags + overall keep verdict. Pure projection — runs at
+    scan speed; at 100 TB this is the pre-dedup corpus filter pass."""
+    flags = gopher_flags(F.col(text_col))
+    keep = None
+    cols = [F.col(id_col)]
+    for name, c in flags.items():
+        cols.append(c.alias(name))
+        keep = c if keep is None else (keep & c)
+    return df.select(*cols, keep.alias("keep"))
+
+
+def top_ngram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
+    """Most frequent word n-gram per document plus the fraction of the doc's
+    non-space characters it accounts for (Gopher's top-n-gram character
+    fraction).
+
+    Shape: explode → groupBy(id, gram) count → min-struct argmax per id.
+    Two shuffles, both keyed by (or prefixed with) the uniform doc id — at
+    100 TB this is two linear passes with map-side combine; ties break
+    deterministically (highest count, then lexicographically smallest gram).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", "")).alias("_chars"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = base.groupBy("_id", "_chars", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    best = counts.groupBy("_id", "_chars").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("g"))).alias("top")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("top.g").alias("top_gram"),
+        (-F.col("top.neg")).alias("top_count"),
+        F.round(
+            (-F.col("top.neg")).cast("double")
+            * F.length(F.regexp_replace(F.col("top.g"), "\\s+", "")).cast("double")
+            / F.greatest(F.col("_chars").cast("double"), F.lit(1.0)),
+            4,
+        ).alias("top_char_frac"),
+    )
+
+
+def corpus_topk_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide vocabulary statistics: the k most frequent word n-grams
+    with their counts, ordered (count desc, gram asc).
+
+    Shape: explode → groupBy(gram) with map-side combine → TakeOrdered
+    (orderBy + limit compiles to TakeOrderedAndProject: per-partition top-k
+    heaps, k rows to the driver — no global sort, no single-partition
+    window). Vocabulary keys follow a Zipf distribution, but partial
+    aggregation collapses the hot head map-side, so the shuffle carries at
+    most distinct-grams-per-partition rows.
+    """
+    grams = df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)

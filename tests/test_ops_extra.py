@@ -1,0 +1,190 @@
+"""Behavioral tests for the round-2 training-data operators: duplicate
+clustering (vs a union-find oracle), as-of join (vs a plain-Python oracle),
+keep-latest dedup, and the Gopher-style repetition/quality signals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_scraper_spark.operators import textops as T
+from crawl4ai_scraper_spark.operators.clustering import dedup_survivors, dup_clusters
+from crawl4ai_scraper_spark.operators.dedup import minhash_lsh_pairs
+from crawl4ai_scraper_spark.operators.temporal import asof_join, latest_revision
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters
+# ---------------------------------------------------------------------------
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dup_clusters_matches_union_find(spark):
+    # deterministic messy graph: chains, stars, singleton pairs, a big merge
+    pairs = [(i, i + 1) for i in range(0, 20, 2)]          # 10 disjoint 2-cliques
+    pairs += [(i, i + 2) for i in range(0, 18, 4)]          # merge some into chains
+    pairs += [(100, 101), (101, 102), (102, 103), (103, 100)]  # cycle
+    pairs += [(200 + i, 200) for i in range(1, 8)]          # star
+    pairs += [(7, 207)]                                     # star-to-chain bridge
+    expected = _union_find_components(pairs)
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert got == expected
+
+
+def test_minhash_pairs_to_clusters_pipeline(spark):
+    # corpus with planted near-dup chains: doc, doc+1000 (prefix-trimmed)
+    base = [
+        (i, " ".join(f"d{i}w{j}" for j in range(40))) for i in range(12)
+    ]
+    variants = [(i + 1000, t[t.index(" ") + 1:]) for i, t in base]
+    df = spark.createDataFrame(base + variants, "doc long, text string")
+    pairs = minhash_lsh_pairs(df, "text", "doc", k=3, n_hashes=8, n_bands=4,
+                              jaccard_threshold=0.5)
+    clusters = dup_clusters(pairs)
+    got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    # every planted variant clusters with (exactly) its original
+    for i, _ in base:
+        assert got.get(i + 1000) == i, f"variant {i + 1000} not clustered to {i}"
+
+    survivors = dedup_survivors(df, clusters, "doc")
+    kept = sorted(r["doc"] for r in survivors.collect())
+    assert kept == [i for i, _ in base]  # originals survive, variants dropped
+
+
+def test_dedup_survivors_keeps_unmatched_rows(spark):
+    corpus = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, t string")
+    clusters = spark.createDataFrame([(2, 1), (1, 1)], "id long, cluster_id long")
+    kept = sorted(r["id"] for r in dedup_survivors(corpus, clusters, "id").collect())
+    assert kept == [1, 3]  # 2 collapsed into 1; 3 untouched (singleton)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_python_oracle(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = [  # (event_id, user, ts_min)
+        (1, "u1", 5), (2, "u1", 10), (3, "u1", 10), (4, "u1", 2),
+        (5, "u2", 7), (6, "u3", 1),
+    ]
+    right = [  # (user, ts_min, payload)
+        ("u1", 3, 30), ("u1", 10, 100), ("u2", 7, 70), ("u2", 9, 90),
+    ]
+    ldf = spark.createDataFrame(
+        [(e, u, ts(m)) for e, u, m in left], "event_id long, user string, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(u, ts(m), p) for u, m, p in right], "user string, ts timestamp, payload long"
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_payload"])
+        for r in asof_join(ldf, rdf, key="user", left_ts="ts", right_ts="ts").collect()
+    }
+
+    def oracle(user, m):
+        cand = [(rm, p) for ru, rm, p in right if ru == user and rm <= m]
+        if not cand:
+            return (None, None)
+        rm, p = max(cand)
+        return (ts(rm), p)
+
+    for e, u, m in left:
+        assert out[e] == oracle(u, m), f"event {e}"
+    # spot-check semantics: equal-ts is inclusive, earlier rows see older marker
+    assert out[2] == (ts(10), 100)
+    assert out[1] == (ts(3), 30)
+    assert out[6] == (None, None)
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    ldf = spark.createDataFrame([(1, "u", dt.datetime(2024, 1, 1))],
+                                "event_id long, user string, ts timestamp")
+    rdf = spark.createDataFrame([("u", dt.datetime(2024, 1, 1), 9)],
+                                "user string, ts timestamp, payload long")
+    plan = asof_join(ldf, rdf, key="user", left_ts="ts", right_ts="ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # union-sort-carry: exactly one exchange feeding the window, and no join
+    assert plan.count("Exchange") <= 2  # union inputs may each show the same exchange
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# latest_revision
+# ---------------------------------------------------------------------------
+
+def test_latest_revision_tiebreak(spark):
+    rows = [
+        ("u1", 10, 1, "a"), ("u1", 20, 2, "b"), ("u1", 20, 3, "c"),  # ts tie → id 3
+        ("u2", 5, 9, "z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, rev long, body string")
+    got = {r["url"]: (r["warc_ts"], r["rev"], r["body"])
+           for r in latest_revision(df, key="url", ts_col="warc_ts", tiebreak="rev").collect()}
+    assert got == {"u1": (20, 3, "c"), "u2": (5, 9, "z")}
+
+
+# ---------------------------------------------------------------------------
+# repetition / gopher signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_planted(spark):
+    clean = "the quick brown fox jumps over the lazy dog near a very calm river " \
+            "and then rests while watching distant birds fly south for winter"
+    loop = ("spam ham eggs " * 12).strip()
+    df = spark.createDataFrame([(1, clean), (2, loop)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.dup_word_fraction(F.col("text")).alias("dw"),
+            T.dup_ngram_fraction(F.col("text"), 3).alias("d3"),
+        ).collect()
+    }
+    assert out[2]["d3"] > 0.9 > out[1]["d3"]
+    assert out[2]["dw"] > 0.9
+
+    flags = {r["doc_id"]: r for r in T.gopher_filter(df, "text", "doc_id").collect()}
+    assert flags[1]["keep"] is True
+    assert flags[2]["keep"] is False and flags[2]["ok_dup_3gram"] is False
+
+
+def test_top_ngram_stats_known(spark):
+    text = "a b a b a b x y"  # top 2-gram: 'a b' ×3 of 7 grams
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = T.top_ngram_stats(df, "text", "doc_id", n=2).collect()[0]
+    assert row["top_gram"] == "a b" and row["top_count"] == 3
+    # char fraction: 3 * len('ab') / len('ababab xy' sans spaces = 8 chars)
+    assert row["top_char_frac"] == pytest.approx(3 * 2 / 8, abs=1e-4)
+
+
+def test_corpus_topk_ngrams_known(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z"), (3, "q r")], "doc_id long, text string"
+    )
+    rows = T.corpus_topk_ngrams(df, "text", n=2, k=2).collect()
+    # counts: 'x y'×3, then ties at 1 break lexicographically → 'q r'
+    assert [(r["gram"], r["cnt"]) for r in rows] == [("x y", 3), ("q r", 1)]
