@@ -79,6 +79,27 @@ def stream_extract(
     return query
 
 
+def url_dedup_stream(
+    pages_stream: DataFrame,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming URL-seen dedup — the incremental analog of the frontier's
+    visited anti-join (O-16): of all page records for the same url arriving
+    within the watermark horizon, only the FIRST survives; re-fetches and
+    fetcher races are dropped before they reach the extraction sink.
+
+    Built on ``dropDuplicatesWithinWatermark``: per-url state lives in the
+    streaming state store (RocksDB on a real cluster), sharded by url hash —
+    uniform keys, no skew — and is evicted once the event-time watermark
+    passes, so state stays bounded by (url arrival rate × watermark) instead
+    of growing with the whole 10^10-URL history. The batch engine's
+    bloom-gated anti-join covers the unbounded-history case; this covers the
+    always-on ingest path."""
+    return pages_stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def host_rate_stream(
     pages_stream: DataFrame,
     window_duration: str = "10 minutes",

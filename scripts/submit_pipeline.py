@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Training-data corpus pipeline — the spark-submit surface for the
+LLM-data-side operators (the crawl side's sibling job):
+
+    spark-submit --py-files crawl4ai_scraper_spark.zip scripts/submit_pipeline.py \
+        --input s3://lake/documents --output s3://lake/clean_corpus
+
+Locally (this sandbox):
+
+    python scripts/submit_pipeline.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --output /root/repo/.tmp/clean_corpus
+
+Stages (each optional via flags, all composed as ONE lazy plan except the
+iterative cluster step):
+
+  1. Gopher-style quality filter     (pure projection — scan speed)
+  2. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
+  3. near-dup MinHash-LSH → connected components → keep-one-per-cluster
+     (band equi-join carries ids only; min-label propagation rounds)
+  4. enrichment: lang-ID, quality, token counts, fingerprint, repetition
+     signals (pure projection)
+  5. parquet write + one-line JSON summary on stdout
+
+The stage order is the cost-correct one for 100 TB: the cheap filter first
+(shrinks everything downstream), exact dedup before near-dup (shrinks the
+pair graph), enrichment last (only survivors pay it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="LLM training-data corpus pipeline")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", help="output parquet path (omit with --dry-run)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--skip-filter", action="store_true", help="skip the Gopher filter stage")
+    p.add_argument("--skip-exact-dedup", action="store_true")
+    p.add_argument("--skip-near-dup", action="store_true")
+    p.add_argument("--min-jaccard", type=float, default=0.8,
+                   help="near-dup verify threshold (default 0.8)")
+    p.add_argument("--n-hashes", type=int, default=8)
+    p.add_argument("--n-bands", type=int, default=4)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the physical plan of each stage; no write")
+    return p.parse_args(argv)
+
+
+def run_pipeline(spark, args):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators import textops as T
+    from crawl4ai_scraper_spark.operators.clustering import dedup_survivors, dup_clusters
+    from crawl4ai_scraper_spark.operators.dedup import minhash_lsh_pairs, text_key
+
+    ic, tc = args.id_col, args.text_col
+    docs = spark.read.parquet(args.input)
+    summary = {"input_rows": docs.count()}
+
+    if not args.skip_filter:
+        flags = T.gopher_filter(docs, tc, ic).filter(F.col("keep")).select(ic)
+        docs = docs.join(flags, ic)  # AQE broadcasts / shuffles as sizes dictate
+        summary["after_filter"] = docs.count()
+
+    if not args.skip_exact_dedup:
+        keep = (
+            docs.groupBy(text_key(F.col(tc)).alias("_k"))
+            .agg(F.min(F.col(ic)).alias(ic))
+            .select(ic)
+        )
+        docs = docs.join(keep, ic)
+        summary["after_exact_dedup"] = docs.count()
+
+    if not args.skip_near_dup:
+        pairs = minhash_lsh_pairs(
+            docs, tc, ic, k=3, n_hashes=args.n_hashes, n_bands=args.n_bands,
+            jaccard_threshold=args.min_jaccard,
+        )
+        clusters = dup_clusters(pairs)
+        docs = dedup_survivors(docs, clusters, ic)
+        summary["after_near_dup"] = docs.count()
+
+    enriched = docs.select(
+        "*",
+        T.lang_id(F.col(tc)).alias("lang_pred"),
+        T.quality_score(F.col(tc)).alias("quality"),
+        T.token_count_ws(F.col(tc)).alias("n_ws_tokens"),
+        T.token_count_bpe(F.col(tc)).cast("bigint").alias("n_bpe_tokens"),
+        T.fingerprint(F.col(tc)).alias("fp"),
+        T.dup_word_fraction(F.col(tc)).alias("dup_word_frac"),
+        T.dup_ngram_fraction(F.col(tc), 3).alias("dup_3gram_frac"),
+        T.mean_word_length(F.col(tc)).alias("mean_word_len"),
+        T.symbol_word_ratio(F.col(tc)).alias("symbol_ratio"),
+    )
+
+    if args.dry_run:
+        enriched.explain("formatted")
+    else:
+        enriched.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        summary["output_rows"] = out.count()
+        summary["output_path"] = args.output
+    return summary
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if not args.dry_run and not args.output:
+        print("error: --output required unless --dry-run", file=sys.stderr)
+        return 2
+
+    from crawl4ai_scraper_spark.session import build_session
+
+    spark = build_session(app_name="corpus-pipeline",
+                          shuffle_partitions=args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    summary = run_pipeline(spark, args)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -188,3 +188,44 @@ def test_corpus_topk_ngrams_known(spark):
     rows = T.corpus_topk_ngrams(df, "text", n=2, k=2).collect()
     # counts: 'x y'×3, then ties at 1 break lexicographically → 'q r'
     assert [(r["gram"], r["cnt"]) for r in rows] == [("x y", 3), ("q r", 1)]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus pipeline job (scripts/submit_pipeline.py)
+# ---------------------------------------------------------------------------
+
+def test_submit_pipeline_end_to_end(spark, tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    # corpus: clean docs + one exact dup + one near dup + one junk doc.
+    # Unique tokens interleaved with stopwords → no repeated 3-grams, so the
+    # Gopher dup-3gram rule passes on the genuinely-clean docs.
+    sw = ["the", "a", "of", "and", "to", "in", "is"]
+
+    def clean_doc(prefix):
+        return " ".join(x for i in range(20) for x in (sw[i % 7], f"{prefix}{i}"))
+
+    base = clean_doc("a")
+    docs = [
+        (1, base),
+        (2, base),                         # exact dup of 1 → dropped
+        (3, base[base.index(" ") + 1:]),   # near dup of 1 → dropped
+        (4, "x " * 5),                     # too short → filtered
+        (5, clean_doc("b")),               # clean, distinct
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+
+    args = parse_args(["--input", inp, "--output", out, "--min-jaccard", "0.5"])
+    summary = run_pipeline(spark, args)
+
+    assert summary["input_rows"] == 5
+    assert summary["after_filter"] == 4        # junk dropped
+    assert summary["after_exact_dedup"] == 3   # doc 2 dropped
+    assert summary["after_near_dup"] == 2      # doc 3 dropped
+    kept = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+    assert "quality" in kept.columns and "dup_3gram_frac" in kept.columns

@@ -165,3 +165,44 @@ def test_host_sessions_stateful_stream(spark):
     missing = set(want) - set(got)
     assert missing <= open_sessions, missing
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_url_dedup_stream_within_and_across_drains(spark):
+    """Streaming URL-seen dedup: duplicate page records for the same url are
+    dropped within a drain AND across checkpointed restarts (state survives
+    in the state store while the url is inside the watermark horizon)."""
+    from crawl4ai_scraper_spark.streaming import read_pages_stream, url_dedup_stream
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    pages_dir, out_dir, chk = str(TMP / "pages"), str(TMP / "uniq"), str(TMP / "chk_dedup")
+    spec = WebSpec(n_hosts=2, max_secs=3, max_pages=4)
+
+    # drain 1: the host-0 batch written TWICE (fetcher race: same urls, two files)
+    batch = _write_host_batch(spark, spec, 0, pages_dir)
+    _write_host_batch(spark, spec, 0, pages_dir)
+
+    def drain():
+        q = (
+            url_dedup_stream(read_pages_stream(spark, pages_dir), watermark="3650 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == len(batch)
+    assert got1.select("url").distinct().count() == len(batch)
+
+    # drain 2: a file re-delivering already-seen urls plus genuinely new ones —
+    # the re-deliveries are dropped by restored state, the new urls pass
+    _write_host_batch(spark, spec, 0, pages_dir)
+    new_rows = _write_host_batch(spark, spec, 1, pages_dir)
+    drain()
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == len(batch) + len(new_rows)
+    assert got2.select("url").distinct().count() == got2.count()
+    shutil.rmtree(TMP, ignore_errors=True)
