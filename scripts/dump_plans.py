@@ -75,6 +75,32 @@ def main():
         plan_of(contract.queries()["pushdown_filter_agg"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "As-of join — union-sort-carry, one shuffle, no range explosion",
+        "Spark has no native ASOF JOIN; operators/temporal.py composes union → "
+        "window(last ignorenulls) → filter. The plan has exactly ONE exchange on "
+        "the join key feeding the window sort, and no Join operator at all — "
+        "contrast with the naive range-join (theta join, O(n·m) compare) or "
+        "per-key collect.",
+        plan_of(contract.queries()["events_asof_join"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Per-doc top-n-gram — explode → count → min-struct argmax",
+        "Both aggregates carry partial_* map-side combine (HashAggregate pairs), "
+        "keys are uniform in doc_id so no skew at any corpus size; the argmax is "
+        "a min(struct(-cnt, gram)) aggregate, NOT a window over a global sort.",
+        plan_of(contract.queries()["top_ngram_stats"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Keep-latest revision — single max-struct groupBy, no window",
+        "latest_revision packs (ts, tiebreak, payload) into a struct and takes "
+        "MAX — one aggregate with map-side combine; the windowed row_number "
+        "equivalent would sort every key group.",
+        plan_of(contract.queries()["url_latest_revision"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
