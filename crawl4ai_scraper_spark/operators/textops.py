@@ -100,10 +100,15 @@ def words(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), "\\s+")
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Word n-grams as an array; docs shorter than n yield one joined gram
-    (same degenerate-case convention as dedup.shingles)."""
-    toks = words(text)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column; docs
+    shorter than n yield one joined gram (same degenerate-case convention as
+    dedup.shingles).
+
+    Callers that explode the grams must materialize the tokens in a prior
+    select: a generator over transform(...slice(split(...))) is evaluated
+    interpreted, re-running the split per gram — O(words²) per doc (measured
+    8× slower at sf0.1)."""
     cnt = F.size(toks)
     return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -111,6 +116,12 @@ def word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams of a text column (for pure-projection ratio use; see
+    ngrams_from_tokens for the explode path)."""
+    return ngrams_from_tokens(words(text), n)
 
 
 def dup_word_fraction(text: Column) -> Column:
@@ -198,10 +209,13 @@ def top_ngram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> Da
     100 TB this is two linear passes with map-side combine; ties break
     deterministically (highest count, then lexicographically smallest gram).
     """
-    base = df.select(
+    toks = df.select(
         F.col(id_col).alias("_id"),
         F.length(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", "")).alias("_chars"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        words(F.col(text_col)).alias("_toks"),
+    )
+    base = toks.select(
+        "_id", "_chars", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
     )
     counts = base.groupBy("_id", "_chars", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     best = counts.groupBy("_id", "_chars").agg(
@@ -231,6 +245,7 @@ def corpus_topk_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) ->
     aggregation collapses the hot head map-side, so the shuffle carries at
     most distinct-grams-per-partition rows.
     """
-    grams = df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    toks = df.select(words(F.col(text_col)).alias("_toks"))
+    grams = toks.select(F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
