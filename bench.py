@@ -79,6 +79,8 @@ QUERY_NAMES = [
     "dedup_clusters",
     "events_asof_join",
     "url_latest_revision",
+    "pii_redaction",
+    "hash_sample",
 ]
 
 

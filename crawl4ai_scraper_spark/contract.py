@@ -1167,6 +1167,59 @@ def topk_ngrams(spark, sf):
     return T.corpus_topk_ngrams(_t(spark, sf, "documents"), "text", n=2, k=20)
 
 
+_PII_T_SQL = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+              "'@mail.example.com or +1 555-123-4567 from 10.0.' || "
+              "CAST(doc_id % 256 AS VARCHAR) || '.7'")
+
+
+@_q(
+    "pii_redaction",
+    f"""WITH p AS (SELECT doc_id, {_PII_T_SQL} AS t FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '{T.EMAIL_RX}', '<EMAIL>', 'g'),
+        '{T.PHONE_RX}', '<PHONE>', 'g'),
+        '{T.IPV4_RX}', '<IP>', 'g') AS redacted,
+      len(regexp_extract_all(t, '{T.EMAIL_RX}')) AS n_emails,
+      len(regexp_extract_all(t, '{T.PHONE_RX}')) AS n_phones,
+      len(regexp_extract_all(t, '{T.IPV4_RX}')) AS n_ips
+    FROM p""",
+)
+def pii_redaction(spark, sf):
+    """PII redaction + per-kind counts over docs with planted email / phone /
+    IPv4 (same Java∩RE2 regex literals in both engines) — pure regexp chain,
+    scan speed."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555-123-4567 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = T.pii_counts(F.col("t"))
+    return docs.select(
+        "doc_id",
+        T.redact_pii(F.col("t")).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+    )
+
+
+@_q(
+    "hash_sample",
+    """SELECT doc_id, lang FROM documents
+    WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '200'""",
+)
+def hash_sample_q(spark, sf):
+    """Deterministic md5-threshold sampling at rate 1/8 — same rows selected
+    by both engines regardless of partitioning (the repeatable dev-slice
+    primitive; at 100 TB the filter pushes to the scan)."""
+    return T.hash_sample(_t(spark, sf, "documents").select("doc_id", "lang"),
+                         "doc_id", rate=0.125, salt="s1")
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution (connected components over the pair graph)
 # ---------------------------------------------------------------------------

@@ -1,8 +1,12 @@
 """Large-scale training-data pipeline operators (first-class, per the build
-brief): deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
-similarity search (brute-force cosine, IVF-cell, LSH hyperplane buckets),
-text analysis (language-ID, quality scoring, token counting, fingerprinting)
-and multimodal binary-column plumbing.
+brief): deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine, plus connected-component duplicate clustering and
+keep-one-per-cluster survivor selection), similarity search (brute-force
+cosine, IVF-cell with computed assignment, LSH hyperplane buckets), text
+analysis (language-ID, quality scoring, token counting, fingerprinting,
+Gopher-style repetition signals and quality filtering, top-n-gram statistics,
+PII redaction, deterministic hash sampling), temporal ops (as-of join,
+keep-latest revision dedup) and multimodal binary-column plumbing.
 
 Everything is built from native ``pyspark.sql.functions`` (JVM-side,
 whole-stage-codegen-friendly) except where binary decoding genuinely needs

@@ -234,6 +234,50 @@ def top_ngram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> Da
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling + PII redaction (training-data pipeline utilities)
+# ---------------------------------------------------------------------------
+
+# Regexes restricted to the Java-regex ∩ RE2 common subset so the SAME
+# pattern string runs in Spark (Java) and the DuckDB oracle (RE2).
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RX = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+IPV4_RX = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / dashed phone numbers / IPv4 literals with typed
+    placeholder tags — pure regexp_replace chain, codegen'd, scan-speed."""
+    out = F.regexp_replace(text, EMAIL_RX, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RX, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RX, "<IP>")
+
+
+def pii_counts(text: Column) -> Dict[str, Column]:
+    """Per-doc counts of each PII kind (for filtering / audit columns)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RX), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RX), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_RX), 0)),
+    }
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "s1") -> DataFrame:
+    """Deterministic, engine-reproducible sampling: keep rows where
+    md5(salt ‖ key) is lexicographically below a hex threshold — a pure
+    filter (no shuffle, no RNG state) whose selection is stable across runs,
+    engines, partitionings and cluster sizes, with 1/4096 rate granularity.
+
+    This is how a 100 TB pipeline takes repeatable dev/eval slices: the same
+    (salt, rate) always selects the same rows, different salts give
+    independent slices, and the filter pushes down to the scan."""
+    steps = max(0, min(4096, round(rate * 4096)))
+    if steps >= 4096:
+        return df
+    digest = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return df.filter(F.substring(digest, 1, 3) < F.lit(format(steps, "03x")))
+
+
 def corpus_topk_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-wide vocabulary statistics: the k most frequent word n-grams
     with their counts, ordered (count desc, gram asc).

@@ -302,6 +302,54 @@ def fused_documents(
     return _finalize_documents(spark, docs, cfg, chk_dir, materialize=False)
 
 
+def _formatted_col(cfg: CrawlJobConfig) -> F.Column:
+    """The file-payload column. With metadata: YAML-ish front matter, built
+    NATIVELY (JVM concat — no UDF), matching kernel.naming.format_with_metadata
+    byte for byte."""
+    if not cfg.include_metadata:
+        return F.coalesce(F.col("markdown"), F.lit(""))
+    return F.concat(
+        F.lit("---\nurl: "), F.col("url"),
+        F.lit("\ntitle: "), F.coalesce(F.col("title"), F.lit("Untitled")),
+        F.lit("\ndescription: "), F.coalesce(F.col("description"), F.lit("")),
+        F.lit("\ncrawled_at: "), F.col("crawled_at"),
+        F.lit("\ncontent_length: "), F.col("content_length").cast("string"),
+        F.lit("\ncapture_mode: enhanced\n---\n# "),
+        F.coalesce(F.col("title"), F.lit("Untitled")),
+        F.lit("\n\n"), F.coalesce(F.col("markdown"), F.lit("")),
+    )
+
+
+def rematerialize_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: CrawlJobConfig,
+    out_dir: Optional[str] = None,
+) -> DataFrame:
+    """Deferred output configuration — the reference's scrape-now-save-later
+    flow (crawler.crawl_urls(save_immediately=False) + OutputManager
+    reconfiguration, tests/test_output_manager.py:13-120) as a snapshot
+    transform: recompute ``rel_path`` and ``formatted`` from an
+    ALREADY-CRAWLED documents table under a NEW naming / organization /
+    metadata config, with no recrawl.
+
+    Cost shape: one narrow Arrow pass over (url, title) for the path kernel
+    plus a native concat — the markdown text itself is never shuffled or
+    re-extracted; at 100 TB a re-organization touches metadata columns only
+    and writes the new layout straight back out."""
+    from crawl4ai_scraper_spark.functions.udfs import make_path_udf
+
+    path_udf = make_path_udf(cfg.organization_strategy, cfg.naming_convention, RUN_TS_ISO)
+    out = docs.withColumn(
+        "rel_path",
+        F.when(F.col("success"), path_udf(F.col("url"), F.col("title"))),
+    ).withColumn("formatted", F.when(F.col("success"), _formatted_col(cfg)))
+    if out_dir:
+        out.write.mode("overwrite").parquet(out_dir)
+        out = spark.read.parquet(out_dir)
+    return out
+
+
 def _finalize_documents(
     spark: SparkSession,
     docs: DataFrame,
@@ -309,22 +357,7 @@ def _finalize_documents(
     chk_dir: str,
     materialize: bool = True,
 ) -> tuple[DataFrame, Dict]:
-    if cfg.include_metadata:
-        # YAML-ish front matter, built NATIVELY (JVM concat — no UDF), matching
-        # kernel.naming.format_with_metadata byte for byte.
-        formatted = F.concat(
-            F.lit("---\nurl: "), F.col("url"),
-            F.lit("\ntitle: "), F.coalesce(F.col("title"), F.lit("Untitled")),
-            F.lit("\ndescription: "), F.coalesce(F.col("description"), F.lit("")),
-            F.lit("\ncrawled_at: "), F.col("crawled_at"),
-            F.lit("\ncontent_length: "), F.col("content_length").cast("string"),
-            F.lit("\ncapture_mode: enhanced\n---\n# "),
-            F.coalesce(F.col("title"), F.lit("Untitled")),
-            F.lit("\n\n"), F.coalesce(F.col("markdown"), F.lit("")),
-        )
-    else:
-        formatted = F.coalesce(F.col("markdown"), F.lit(""))
-    docs = docs.withColumn("formatted", F.when(F.col("success"), formatted))
+    docs = docs.withColumn("formatted", F.when(F.col("success"), _formatted_col(cfg)))
 
     if materialize:
         out_dir = os.path.join(chk_dir, "outputs", "documents")

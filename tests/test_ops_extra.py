@@ -229,3 +229,69 @@ def test_submit_pipeline_end_to_end(spark, tmp_path):
     kept = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
     assert "quality" in kept.columns and "dup_3gram_frac" in kept.columns
+
+
+# ---------------------------------------------------------------------------
+# hash_sample / redact_pii
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_rate(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    s1 = sorted(r["k"] for r in T.hash_sample(df, "k", 0.25, salt="a").collect())
+    s2 = sorted(r["k"] for r in T.hash_sample(df, "k", 0.25, salt="a").collect())
+    assert s1 == s2                                   # repeatable
+    assert 0.20 < len(s1) / 4000 < 0.30               # ~rate
+    # different salt → a (near-)independent slice, not the same rows
+    s3 = set(r["k"] for r in T.hash_sample(df, "k", 0.25, salt="b").collect())
+    overlap = len(set(s1) & s3) / max(len(s3), 1)
+    assert overlap < 0.40
+    # nested property: a lower-rate sample with the same salt is a subset
+    s4 = set(r["k"] for r in T.hash_sample(df, "k", 0.10, salt="a").collect())
+    assert s4 <= set(s1)
+    # rate 1.0 keeps everything
+    assert T.hash_sample(df, "k", 1.0).count() == 4000
+
+
+def test_redact_pii_kinds(spark):
+    text = ("reach me at jane.doe+x@corp.example.org or 555-123-4567, "
+            "server 192.168.0.1 says hi; not-an-ip 1234.5.6.7890 stays-ish")
+    df = spark.createDataFrame([(1, text)], "i long, text string")
+    row = df.select(
+        T.redact_pii(F.col("text")).alias("r"),
+        *[c.alias(n) for n, c in T.pii_counts(F.col("text")).items()],
+    ).collect()[0]
+    assert "<EMAIL>" in row["r"] and "jane" not in row["r"]
+    assert "<PHONE>" in row["r"] and "555-123-4567" not in row["r"]
+    assert "<IP>" in row["r"] and "192.168.0.1" not in row["r"]
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# deferred output reconfiguration (rematerialize_documents)
+# ---------------------------------------------------------------------------
+
+def test_rematerialize_documents_parity_and_reorg(spark, pages3, chk_dir):
+    """Scrape-now-save-later: rematerializing a crawled documents snapshot
+    under the SAME config reproduces rel_path/formatted byte-identically;
+    a different organization strategy rewrites paths but not payloads."""
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import rematerialize_documents, run_crawl
+
+    cfg = CrawlJobConfig(max_depth=2, max_pages=25, shuffle_partitions=4)
+    res = run_crawl(spark, pages3, "https://site0.example/", cfg, chk_dir)
+    stored = {r["url"]: (r["rel_path"], r["formatted"])
+              for r in res.documents.collect()}
+    assert stored
+
+    same = rematerialize_documents(spark, res.documents, cfg)
+    for r in same.collect():
+        assert (r["rel_path"], r["formatted"]) == stored[r["url"]], r["url"]
+
+    dom_cfg = CrawlJobConfig(max_depth=2, max_pages=25, shuffle_partitions=4,
+                             organization_strategy="domain", include_metadata=False)
+    reorg = {r["url"]: (r["rel_path"], r["formatted"])
+             for r in rematerialize_documents(spark, res.documents, dom_cfg).collect()}
+    for url, (path, payload) in reorg.items():
+        assert path.startswith("site0.example/"), path     # new layout
+        assert not payload.startswith("---\n")             # metadata stripped
+        assert payload in stored[url][1]                   # markdown unchanged
