@@ -81,6 +81,8 @@ QUERY_NAMES = [
     "url_latest_revision",
     "pii_redaction",
     "hash_sample",
+    "dedup_survivors",
+    "embedding_quantize",
 ]
 
 

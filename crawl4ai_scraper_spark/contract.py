@@ -1261,6 +1261,67 @@ def dedup_clusters_q(spark, sf):
     return dup_clusters(star.unionByName(bridge))
 
 
+_CLUSTER_SQL = """WITH RECURSIVE e1 AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id < 195 AND doc_id % 15 = 0
+    ), eb AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+    ), nodes AS (SELECT DISTINCT src AS id FROM eb
+    ), reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT eb.src AS id, r.lbl FROM reach r JOIN eb ON eb.dst = r.id
+    ), comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
+
+
+@_q(
+    "dedup_survivors",
+    f"""{_CLUSTER_SQL}
+    SELECT d.doc_id, d.lang FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    WHERE d.doc_id < 200 AND (comp.id IS NULL OR comp.cluster_id = d.doc_id)""",
+)
+def dedup_survivors_q(spark, sf):
+    """Keep-one-per-cluster over the deterministic pair graph: the corpus
+    joined to the component map, rows kept iff unmatched (singleton) or the
+    component minimum — the final stage of the near-dup dedup pipeline."""
+    from crawl4ai_scraper_spark.operators.clustering import dedup_survivors, dup_clusters
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    ids = docs.select("doc_id")
+    star = ids.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("id_b"),
+    )
+    bridge = ids.filter((F.col("doc_id") < 195) & (F.col("doc_id") % 15 == 0)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 5).alias("id_b")
+    )
+    clusters = dup_clusters(star.unionByName(bridge))
+    return dedup_survivors(docs.select("doc_id", "lang"), clusters, "doc_id")
+
+
+@_q(
+    "embedding_quantize",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+                 list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx FROM v)
+    SELECT vec_id, CAST(i AS INT) AS dim_idx,
+           -- + 0: collapse IEEE negative zero (Spark and DuckDB format it
+           -- differently after ROUND of a tiny negative quotient)
+           ROUND(e[CAST(i AS INT) + 1] / nrm, 4) + 0 AS unit_val,
+           -- floor(x+0.5), not round(): DuckDB rounds half-to-even, Spark HALF_UP
+           GREATEST(-127, LEAST(127,
+             CAST(floor(e[CAST(i AS INT) + 1] * 127.0 / mx + 0.5) AS INT))) AS q8
+    FROM m, UNNEST(range(0, 64)) AS t(i)""",
+)
+def embedding_quantize_q(spark, sf):
+    """L2-normalize + symmetric int8 quantization per dimension (exploded
+    scalar rows) — vector preprocessing for the ANN stages; same sequential
+    fold and floor-based rounding in both engines."""
+    return S.embedding_quantize(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Temporal: as-of join + keep-latest revision dedup
 # ---------------------------------------------------------------------------

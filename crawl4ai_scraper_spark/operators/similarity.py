@@ -43,6 +43,57 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm the vector (pure column math, no shuffle) — the standard
+    pre-step before cosine ANN so dot ≡ cosine downstream."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric int8 quantization: q = floor(x·127/max|x| + 0.5), clamped to
+    [-127, 127] — 8× smaller vectors for the candidate-generation stages of a
+    100 TB ANN index (exact re-rank stays on the float column). floor(x+0.5)
+    rather than round(): identical half-way behavior in every engine
+    (Spark's round is HALF_UP, DuckDB's is banker's)."""
+    mx = F.array_max(F.transform(a, F.abs))
+    return F.transform(
+        a,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("int")),
+        ),
+    )
+
+
+def embedding_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension exploded view of (unit-normalized value, int8 code) —
+    the contract-facing form (scalar rows, no array columns in the output)."""
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).select(
+        id_col,
+        F.arrays_zip(
+            # + 0.0 collapses IEEE negative zero after rounding
+            F.transform(l2_normalize(F.col("e")), lambda v: F.round(v, 4) + F.lit(0.0)),
+            quantize_int8(F.col("e")),
+        ).alias("z"),
+    )
+    return base.select(
+        id_col, F.posexplode("z").alias("dim_idx", "pair")
+    ).select(
+        id_col,
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("pair.0").alias("unit_val"),
+        F.col("pair.1").alias("q8"),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",

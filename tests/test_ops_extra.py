@@ -295,3 +295,27 @@ def test_rematerialize_documents_parity_and_reorg(spark, pages3, chk_dir):
         assert path.startswith("site0.example/"), path     # new layout
         assert not payload.startswith("---\n")             # metadata stripped
         assert payload in stored[url][1]                   # markdown unchanged
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing (l2_normalize / quantize_int8)
+# ---------------------------------------------------------------------------
+
+def test_embedding_quantize_known_vector(spark):
+    from crawl4ai_scraper_spark.operators.similarity import embedding_quantize
+
+    df = spark.createDataFrame([(1, [3.0, -4.0, 0.0])], "vec_id long, embedding array<double>")
+    rows = {r["dim_idx"]: (r["unit_val"], r["q8"])
+            for r in embedding_quantize(df).collect()}
+    assert rows[0] == (0.6, 95)      # 3/5; floor(3*127/4 + .5) = floor(95.75)
+    assert rows[1] == (-0.8, -127)   # -4/5; max|x|=4 → floor(-126.5) = -127
+    assert rows[2] == (0.0, 0)
+
+
+def test_quantize_int8_bounds(spark):
+    from crawl4ai_scraper_spark.operators.similarity import quantize_int8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([([1.0, -1.0, 0.5],)], "e array<double>")
+    got = df.select(quantize_int8(F.col("e")).alias("q")).collect()[0]["q"]
+    assert got == [127, -127, 64]    # floor(.5*127+.5)=floor(64)=64
