@@ -153,7 +153,95 @@ class _PageParser(HTMLParser):
         self._flush()
 
 
+# Fast tokenizer for the well-formed-subset fast path: standard tags with
+# double-quoted or bare attributes only. Anything it cannot tokenize EXACTLY
+# (single quotes, comments, CDATA, declarations, stray angle brackets, script
+# bodies containing '<') is detected by the gap check below and falls back to
+# html.parser. The token stream drives the SAME _PageParser handler methods,
+# so the fast path can only differ from the slow one by tokenization — which
+# the gap check makes loss-free — and is differential-tested over the full
+# synthetic corpus (tests/test_kernel.py).
+_FAST_TAG_RX = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_][a-zA-Z0-9_.:\-]*(?:=\"[^\"<>]*\")?)*)\s*(/?)>"
+)
+_FAST_ATTR_RX = re.compile(r"([a-zA-Z_][a-zA-Z0-9_.:\-]*)(?:=\"([^\"]*)\")?")
+
+
+def _fast_feed(html: str, parser: _PageParser) -> bool:
+    """Drive the parser's handler methods from a regex token stream. Returns
+    False (parser untouched semantically — caller must restart) when the
+    document contains anything outside the verified subset."""
+    import html as _htmlmod
+
+    events = []
+    pos = 0
+    while True:
+        m = _FAST_TAG_RX.search(html, pos)
+        if m is None:
+            break
+        gap = html[pos:m.start()]
+        if "<" in gap or ">" in gap:
+            return False  # comment / decl / single-quoted attr / raw '<'
+        if gap:
+            events.append((None, _htmlmod.unescape(gap) if "&" in gap else gap, None))
+        closing, tag, rawattrs, selfclose = m.groups()
+        tag = tag.lower()
+        pos = m.end()
+        if closing:
+            events.append((False, tag, None))
+            continue
+        if rawattrs:
+            attrs = [
+                (am.group(1).lower(),
+                 None if am.group(2) is None
+                 else (_htmlmod.unescape(am.group(2)) if "&" in am.group(2)
+                       else am.group(2)))
+                for am in _FAST_ATTR_RX.finditer(rawattrs)
+            ]
+        else:
+            attrs = []
+        events.append((True, tag, attrs))
+        if selfclose:
+            events.append((False, tag, None))
+        elif tag in ("script", "style"):
+            # CDATA content element (html.parser semantics): everything up to
+            # the matching close tag is raw data — tags/charrefs inert inside.
+            cm = re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE).search(html, pos)
+            if cm is None:
+                if html[pos:]:
+                    events.append((None, html[pos:], None))
+                pos = len(html)
+                break
+            if html[pos:cm.start()]:
+                events.append((None, html[pos:cm.start()], None))
+            events.append((False, tag, None))
+            pos = cm.end()
+    tail = html[pos:]
+    if "<" in tail or ">" in tail:
+        return False
+    if tail:
+        events.append((None, _htmlmod.unescape(tail) if "&" in tail else tail, None))
+
+    start, data, end = parser.handle_starttag, parser.handle_data, parser.handle_endtag
+    for kind, payload, attrs in events:
+        if kind is None:
+            data(payload)
+        elif kind:
+            start(payload, attrs)
+        else:
+            end(payload)
+    parser._flush()
+    return True
+
+
 def _parse(html: str) -> _PageParser:
+    parser = _PageParser()
+    try:
+        if _fast_feed(html, parser):
+            return parser
+    except Exception:
+        pass  # any fast-path surprise → full restart on html.parser
     parser = _PageParser()
     try:
         parser.feed(html)

@@ -317,3 +317,91 @@ class TestScanLinksDifferential:
                 for _ in range(rng.randrange(1, 25))
             )
             assert scan_links(doc, base) == extract_links(doc, base), doc
+
+
+class TestFastHtmlPath:
+    """The regex fast tokenizer must be byte-equivalent to html.parser on the
+    whole synthetic corpus, and must FALL BACK (not misparse) on anything
+    outside its verified subset."""
+
+    def _slow_render(self, html, url):
+        from crawl4ai_scraper_spark.kernel import htmlkit
+
+        parser = htmlkit._PageParser()
+        try:
+            parser.feed(htmlkit.decode_html(html))
+            parser.close()
+        except Exception:
+            parser._flush()
+        return (parser.links, parser.title_parts, parser.description, parser.blocks)
+
+    def _fast_render(self, html, url):
+        from crawl4ai_scraper_spark.kernel import htmlkit
+
+        parser = htmlkit._PageParser()
+        ok = htmlkit._fast_feed(htmlkit.decode_html(html), parser)
+        return ok, (parser.links, parser.title_parts, parser.description, parser.blocks)
+
+    def test_differential_full_corpus(self):
+        from crawl4ai_scraper_spark.fixtures.webgen import WebSpec, iter_pages
+
+        spec = WebSpec(n_hosts=3, max_secs=6, max_pages=8)
+        n = fast_hits = 0
+        for row in iter_pages(spec):
+            n += 1
+            ok, fast = self._fast_render(row["html"], row["url"])
+            assert ok, f"fast path rejected corpus page {row['url']}"
+            fast_hits += 1
+            assert fast == self._slow_render(row["html"], row["url"]), row["url"]
+        assert n > 100 and fast_hits == n
+
+    def test_fallback_cases_stay_correct(self):
+        from crawl4ai_scraper_spark.kernel.htmlkit import fetch_render
+
+        cases = [
+            "<html><body><!-- a > comment --><p>x</p></body></html>",
+            "<html><body><p class='single'>q</p></body></html>",
+            "<html><body><script>if (a<b) { x(); }</script><p>kept</p></body></html>",
+            "<html><body><p>3 > 2 and 1 < 2</p></body></html>",
+            "<!DOCTYPE html><html><body><p>doc</p></body></html>",
+            "<html><body><p>&amp; &lt;tag&gt; &#65;</p></body></html>",
+        ]
+        for html in cases:
+            got = fetch_render(html.encode(), "https://h.example/")
+            # reference behavior = html.parser result (the _parse fallback)
+            import crawl4ai_scraper_spark.kernel.htmlkit as hk
+            parser = hk._PageParser()
+            parser.feed(html)
+            parser.close()
+            want_md = "\n\n".join(parser.blocks)
+            assert got["markdown"] == want_md, html
+
+    def test_fast_path_entities_and_selfclose(self):
+        from crawl4ai_scraper_spark.kernel import htmlkit
+
+        html = ('<html><head><title>T &amp; U</title>'
+                '<meta name="description" content="a &quot;b&quot;"/></head>'
+                '<body><p>x<br/>y <b>z</b> <a href="/a?x=1&amp;y=2">l</a></p></body></html>')
+        ok, fast = self._fast_render(html, "https://h.example/")
+        assert ok
+        assert fast == self._slow_render(html, "https://h.example/")
+
+    def test_fast_path_script_cdata(self):
+        from crawl4ai_scraper_spark.kernel import htmlkit
+
+        cases = [
+            '<html><body><script>var s = \'x\';</script><a href="/real">t</a></body></html>',
+            '<html><body><style>p > a { color: red }</style><p>k</p></body></html>',
+            '<html><body><script>no close tag',
+        ]
+        for html in cases:
+            ok, fast = self._fast_render(html, "https://h.example/")
+            slow = self._slow_render(html, "https://h.example/")
+            if ok:
+                assert fast == slow, html
+        # double-quoted tag markup inside script must NOT leak links
+        leak = ('<html><body><script>var s = "<a href=\\"/in-script\\">x</a>";'
+                '</script><a href="/real">t</a></body></html>')
+        ok, fast = self._fast_render(leak, "https://h.example/")
+        if ok:
+            assert fast == self._slow_render(leak, "https://h.example/")
