@@ -405,3 +405,44 @@ class TestFastHtmlPath:
         ok, fast = self._fast_render(leak, "https://h.example/")
         if ok:
             assert fast == self._slow_render(leak, "https://h.example/")
+
+    def test_fast_path_fuzz_differential(self):
+        """Property: whenever the fast tokenizer ACCEPTS a document, its
+        parse must equal html.parser's — over hypothesis-generated tag soup
+        (nesting errors, unclosed tags, bare attrs, entities, odd spacing)."""
+        from hypothesis import given, settings, strategies as st
+
+        tags = st.sampled_from(
+            ["p", "div", "a", "b", "i", "em", "strong", "li", "ul", "h1", "h2",
+             "pre", "code", "nav", "footer", "script", "style", "title", "br",
+             "meta", "blockquote", "span", "article"])
+        words = st.text(
+            alphabet="abc &;#xX01今é\t\n .,!-", min_size=0, max_size=12)
+        attr = st.sampled_from(
+            ['', ' href="/x"', ' href="/a?b=1&amp;c=2"', ' class="k"',
+             ' name="description" content="d &quot;q&quot;"', ' disabled',
+             ' data-x="1" data-y="2"'])
+
+        @st.composite
+        def chunk(draw):
+            kind = draw(st.integers(0, 3))
+            t = draw(tags)
+            if kind == 0:
+                return draw(words)
+            if kind == 1:
+                return f"<{t}{draw(attr)}>"
+            if kind == 2:
+                return f"</{t}>"
+            return f"<{t}{draw(attr)}/>"
+
+        docs = st.lists(chunk(), min_size=0, max_size=30).map("".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(docs)
+        def prop(body):
+            html = f"<html><body>{body}</body></html>"
+            ok, fast = self._fast_render(html, "https://h.example/")
+            if ok:
+                assert fast == self._slow_render(html, "https://h.example/")
+
+        prop()
