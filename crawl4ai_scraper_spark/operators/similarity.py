@@ -265,6 +265,76 @@ def ivf_kmeans_step(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    n_iter: int = 10,
+    tol: float = 1e-9,
+):
+    """Full coarse-quantizer training: Lloyd iterations (assign → per-cell
+    mean) from the deterministic seed centroids until the max per-coordinate
+    centroid shift drops below ``tol`` or ``n_iter`` is hit.
+
+    Scale shape per iteration: ONE hash aggregation keyed on (cell, dim) with
+    map-side combine — shuffle volume ≤ n_cells×dim rows per partition,
+    independent of corpus size — and a driver collect of exactly n_cells×dim
+    scalar rows (the centroid table; Spark MLlib's k-means does the same via
+    treeAggregate). Sums are DECIMAL-exact so centroids are independent of
+    partitioning/reduction order. Empty cells keep their previous centroid.
+
+    Returns (centroids, shifts): the trained n_cells×dim list and the
+    per-iteration max-shift history.
+    """
+    cents = hyperplanes(n_cells, dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    shifts = []
+    for _ in range(n_iter):
+        dots = F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+        assigned = embeddings.select(vec.alias("e"), dots.alias("_dots")).withColumn(
+            "cell", F.expr("CAST(array_position(_dots, array_max(_dots)) AS INT)")
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("e").alias("dim_idx", "value"))
+            .groupBy("cell", "dim_idx")
+            .agg(
+                F.sum(F.col("value").cast("decimal(25,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        shift = 0.0
+        for r in stats:
+            mean = float(r["s"]) / r["n"]
+            shift = max(shift, abs(mean - new_cents[r["cell"] - 1][r["dim_idx"]]))
+            new_cents[r["cell"] - 1][r["dim_idx"]] = mean
+        shifts.append(shift)
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents, shifts
+
+
+def ivf_assign_to(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment against an explicit (trained) centroid list — the serving
+    counterpart of ivf_build; same narrow-map shape as ivf_assign."""
+    vec = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids])
+    return embeddings.select(F.col(id_col).alias("vec_id"), dots.alias("_dots")).select(
+        "vec_id",
+        F.expr("CAST(array_position(_dots, array_max(_dots)) AS INT)").alias("cell"),
+    )
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -319,3 +319,44 @@ def test_quantize_int8_bounds(spark):
     df = spark.createDataFrame([([1.0, -1.0, 0.5],)], "e array<double>")
     got = df.select(quantize_int8(F.col("e")).alias("q")).collect()[0]["q"]
     assert got == [127, -127, 64]    # floor(.5*127+.5)=floor(64)=64
+
+
+# ---------------------------------------------------------------------------
+# ivf_build (iterative Lloyd training)
+# ---------------------------------------------------------------------------
+
+def test_ivf_build_matches_python_lloyd(spark):
+    """Full k-means training vs a plain-python Lloyd oracle on the same
+    vectors: identical argmax-dot assignment (sequential-fold dot both
+    sides), exact means → centroid histories agree to float precision."""
+    import math
+
+    from crawl4ai_scraper_spark.operators.similarity import (
+        hyperplanes, ivf_assign_to, ivf_build)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = [[float(x) for x in r["embedding"]] for r in emb.orderBy("vec_id").collect()]
+    n_cells, dim, n_iter = 4, 64, 3
+
+    cents, shifts = ivf_build(emb, n_cells=n_cells, dim=dim, n_iter=n_iter)
+
+    # python oracle: same seed centroids, same argmax-first tie-break
+    py = [list(c) for c in hyperplanes(n_cells, dim, 7)]
+    for _ in range(n_iter):
+        members = [[] for _ in range(n_cells)]
+        for v in vecs:
+            dots = [sum(x * c for x, c in zip(v, cc)) for cc in py]
+            members[dots.index(max(dots))].append(v)
+        for j, ms in enumerate(members):
+            if ms:
+                py[j] = [math.fsum(col) / len(ms) for col in zip(*ms)]
+
+    for a, b in zip(cents, py):
+        for x, y in zip(a, b):
+            assert abs(x - y) < 1e-9, (x, y)
+    assert len(shifts) == n_iter and shifts[0] > 0
+
+    # serving assignment against the trained centroids is total + in range
+    assign = ivf_assign_to(emb, cents)
+    cells = [r["cell"] for r in assign.collect()]
+    assert len(cells) == len(vecs) and all(1 <= c <= n_cells for c in cells)
