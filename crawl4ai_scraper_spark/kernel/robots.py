@@ -1,0 +1,81 @@
+"""robots.txt parsing (north_rule: "crawl-delay + robots.txt rules evaluated
+in vectorized pandas/Arrow UDFs").
+
+The reference never implements robots.txt (README.md:609 merely advises it);
+this engine's politeness layer consumes a ``host_rules`` dimension table
+(plans/politeness.py), and THIS module produces that table from raw
+robots.txt documents stored in the pages table — the Common-Crawl situation,
+where robots bodies are captured alongside pages.
+
+Parser = the classic REP subset evaluated for the generic agent ``*``:
+user-agent groups (consecutive ``User-agent`` lines share one group),
+``Disallow`` path prefixes (empty value = allow everything), ``Crawl-delay``
+seconds. ``Allow`` precedence and ``$``/``*`` wildcards are out of scope —
+the politeness filter is prefix-based (politeness.py robots_filter), so the
+parser emits exactly what that filter consumes. Key matching is
+case-insensitive; comments (``#``) and blank lines per the de-facto spec.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+
+def parse_robots(text: str, agent: str = "*") -> Tuple[Optional[float], List[str]]:
+    """→ (crawl_delay seconds or None, disallow path prefixes) for `agent`.
+
+    Groups whose User-agent matches `agent` exactly (case-insensitive) are
+    merged; if none match and `agent` != '*', the '*' groups apply.
+    """
+    groups: List[Tuple[List[str], List[str], Optional[float]]] = []
+    cur_agents: List[str] = []
+    cur_dis: List[str] = []
+    cur_delay: Optional[float] = None
+    in_directives = False
+
+    def close_group():
+        nonlocal cur_agents, cur_dis, cur_delay, in_directives
+        if cur_agents:
+            groups.append((cur_agents, cur_dis, cur_delay))
+        cur_agents, cur_dis, cur_delay = [], [], None
+        in_directives = False
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_directives:  # a new group starts after directives were seen
+                close_group()
+            cur_agents.append(val.lower())
+        elif key == "disallow":
+            in_directives = True
+            if val:
+                cur_dis.append(val)
+        elif key == "crawl-delay":
+            in_directives = True
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+        elif key == "allow":
+            in_directives = True  # recognized, not enforced (prefix filter)
+    close_group()
+
+    agent = agent.lower()
+    for want in ([agent, "*"] if agent != "*" else ["*"]):
+        delay: Optional[float] = None
+        dis: List[str] = []
+        hit = False
+        for agents, d, cd in groups:
+            if want in agents:
+                hit = True
+                dis.extend(d)
+                if cd is not None:
+                    delay = cd
+        if hit:
+            return delay, dis
+    return None, []

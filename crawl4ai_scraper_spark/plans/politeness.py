@@ -32,6 +32,41 @@ def empty_host_rules(spark) -> DataFrame:
     return spark.createDataFrame([], HOST_RULES_SCHEMA)
 
 
+def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
+    """Build the host_rules dimension table from raw robots.txt documents in
+    the pages table (north_rule: robots rules evaluated in vectorized
+    pandas/Arrow UDFs).
+
+    Scan shape: the robots filter is a pushed-down url predicate — of a
+    10^10-page lake only the ~one-row-per-host robots bodies reach the Arrow
+    parse pass, and the output is the same tiny broadcastable dimension the
+    rest of the politeness layer already consumes."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.robots import parse_robots
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
+
+    robots = pages.filter(
+        F.col("url").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+    ).select("url", "html")
+
+    def _parse(batches):
+        from urllib.parse import urlparse
+
+        for pdf in batches:
+            hosts, delays, prefixes = [], [], []
+            for url, body in zip(pdf["url"], pdf["html"]):
+                delay, dis = parse_robots(decode_html(body), default_agent)
+                hosts.append(urlparse(url).netloc)
+                delays.append(delay)
+                prefixes.append(dis)
+            yield pd.DataFrame(
+                {"host": hosts, "crawl_delay": delays, "disallow_prefixes": prefixes}
+            )
+
+    return robots.mapInPandas(_parse, HOST_RULES_SCHEMA)
+
+
 def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> DataFrame:
     """Drop robots-disallowed candidates. Broadcast the (tiny) rules table;
     prefix test is a native EXISTS over the array — no UDF."""

@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--include-external", action="store_true")
     p.add_argument("--delay", type=float, default=None, help="politeness delay (virtual s)")
     p.add_argument("--host-rules", help="parquet path: host, crawl_delay, disallow_prefixes")
+    p.add_argument("--robots-from-pages", action="store_true",
+                   help="derive host rules by parsing the robots.txt documents "
+                        "stored in the pages table (kernel/robots.py)")
     p.add_argument("--organization-strategy", default=None)
     p.add_argument("--naming-convention", default=None)
     p.add_argument("--selector-template",
@@ -145,7 +148,14 @@ def main(argv=None):
     spark.sparkContext.setLogLevel("WARN")
     pages = read_pages(spark, args.pages)
     n_buckets = pages_n_buckets(args.pages)
-    host_rules = read_pages(spark, args.host_rules) if args.host_rules else None
+    if args.host_rules:
+        host_rules = read_pages(spark, args.host_rules)
+    elif args.robots_from_pages:
+        from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
+
+        host_rules = rules_from_robots(pages)
+    else:
+        host_rules = None
 
     if len(args.seed) > 1:
         discovered = run_multi_seed(spark, pages, args.seed, cfg, args.checkpoint,

@@ -446,3 +446,98 @@ class TestFastHtmlPath:
                 assert fast == self._slow_render(html, "https://h.example/")
 
         prop()
+
+
+class TestRobotsParser:
+    def test_groups_and_agent_selection(self):
+        from crawl4ai_scraper_spark.kernel.robots import parse_robots
+
+        txt = """
+# global
+User-agent: googlebot
+Disallow: /private/
+Crawl-delay: 7
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /admin
+Crawl-delay: 2.5
+
+User-agent: evilbot
+Disallow: /
+"""
+        assert parse_robots(txt) == (2.5, ["/tmp/", "/admin"])
+        assert parse_robots(txt, "googlebot") == (7.0, ["/private/"])
+        assert parse_robots(txt, "unknownbot") == (2.5, ["/tmp/", "/admin"])
+        assert parse_robots(txt, "evilbot") == (None, ["/"])
+
+    def test_shared_agent_lines_empty_disallow_comments(self):
+        from crawl4ai_scraper_spark.kernel.robots import parse_robots
+
+        txt = """User-agent: a
+User-agent: *
+Disallow:            # empty = allow all
+Disallow: /x  # trailing comment
+CRAWL-DELAY: 3
+bogus line without colon handling? no-colon lines are skipped
+Allow: /x/ok
+"""
+        delay, dis = parse_robots(txt)
+        assert delay == 3.0 and dis == ["/x"]
+        assert parse_robots("") == (None, [])
+        assert parse_robots(None) == (None, [])
+
+    def test_multiple_star_groups_merge(self):
+        from crawl4ai_scraper_spark.kernel.robots import parse_robots
+
+        txt = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\nCrawl-delay: 1\n"
+        assert parse_robots(txt) == (1.0, ["/a", "/b"])
+
+
+def test_rules_from_robots_pages(spark):
+    from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
+
+    body0 = b"User-agent: *\nDisallow: /sec1/\nCrawl-delay: 4\n"
+    body1 = b"User-agent: other\nDisallow: /all/\n"
+    rows = [
+        ("https://site0.example/robots.txt", body0),
+        ("https://site1.example/robots.txt", body1),
+        ("https://site0.example/robots.txt.bak", b"not robots"),
+        ("https://site0.example/page", b"<html></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["host"]: (r["crawl_delay"], list(r["disallow_prefixes"]))
+           for r in rules_from_robots(pages).collect()}
+    assert got == {
+        "site0.example": (4.0, ["/sec1/"]),
+        "site1.example": (None, []),   # no '*' group → unrestricted
+    }
+
+
+def test_rules_from_robots_drive_the_crawl(spark, pages3, web3, chk_dir):
+    """Parsed robots rules must prune identically to hand-written rules: a
+    crawl with rules_from_robots(robots pages) equals a crawl given the
+    equivalent literal host_rules frame."""
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import run_crawl
+    from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
+
+    robots = spark.createDataFrame(
+        [("https://site0.example/robots.txt",
+          b"User-agent: *\nDisallow: /sec1/\nCrawl-delay: 2\n")],
+        "url string, html binary",
+    )
+    parsed = rules_from_robots(robots)
+    literal = spark.createDataFrame(
+        [("site0.example", 2.0, ["/sec1/"])],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+    cfg = CrawlJobConfig(max_depth=2, max_pages=60, shuffle_partitions=4)
+    res_a = run_crawl(spark, pages3, "https://site0.example/", cfg,
+                      chk_dir + "_a", host_rules=parsed, extract=False)
+    res_b = run_crawl(spark, pages3, "https://site0.example/", cfg,
+                      chk_dir + "_b", host_rules=literal, extract=False)
+    a = [r["url"] for r in res_a.visited.orderBy("seq").collect()]
+    b = [r["url"] for r in res_b.visited.orderBy("seq").collect()]
+    assert a == b and a
+    assert not any("/sec1/" in u for u in a)
