@@ -83,6 +83,8 @@ QUERY_NAMES = [
     "hash_sample",
     "dedup_survivors",
     "embedding_quantize",
+    "stratified_sample",
+    "normalize_text",
 ]
 
 

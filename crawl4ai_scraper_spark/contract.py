@@ -1208,6 +1208,50 @@ def pii_redaction(spark, sf):
 
 
 @_q(
+    "stratified_sample",
+    """SELECT doc_id, lang FROM documents
+    WHERE CASE
+      WHEN lang = 'de' THEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '800'
+      WHEN lang = 'en' THEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '400'
+      ELSE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '080'
+    END""",
+)
+def stratified_sample_q(spark, sf):
+    """Per-language deterministic sampling (corpus rebalancing: keep 1/2 of
+    de, 1/4 of en, 1/32 of everything else) — one CASE'd md5-threshold
+    filter, pushed to the scan."""
+    return T.stratified_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        key_col="doc_id", strata_col="lang",
+        rates={"de": 0.5, "en": 0.25}, default_rate=1 / 32, salt="s1",
+    )
+
+
+@_q(
+    "normalize_text",
+    """SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          nfc_normalize(text || ' combi e' || chr(769) || chr(9) || 'tail' || chr(7)),
+          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+        '\\s+', ' ', 'g')) AS norm_text
+    FROM documents""",
+)
+def normalize_text_q(spark, sf):
+    """Unicode NFC + control strip + whitespace collapse over docs with a
+    planted combining sequence (e + U+0301 → é) , tab and BEL — the
+    canonicalization pass before fingerprint/dedup. NFC runs as an Arrow
+    pandas_udf (Spark has no native NFC); DuckDB's nfc_normalize is the
+    oracle."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" combi é\ttail\x07")).alias("t"),
+    )
+    return docs.select("doc_id", T.normalize_text(F.col("t")).alias("norm_text"))
+
+
+@_q(
     "hash_sample",
     """SELECT doc_id, lang FROM documents
     WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '200'""",

@@ -278,6 +278,81 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "s1") -> D
     return df.filter(F.substring(digest, 1, 3) < F.lit(format(steps, "03x")))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. language rebalancing of a
+    training corpus ({'en': 0.1, 'de': 0.5, ...}). Same md5-threshold
+    mechanics as hash_sample so every stratum's selection is repeatable and
+    nested across rates; one CASE expression, still a pure pushed-down
+    filter (no shuffle, no per-stratum passes)."""
+    digest3 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 3
+    )
+
+    def thresh(rate: float) -> str:
+        return format(max(0, min(4096, round(rate * 4096))), "03x")
+
+    keep = F.lit(None).cast("boolean")
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        hit = F.lit(True) if rate >= 1.0 else (digest3 < F.lit(thresh(rate)))
+        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
+    default_hit = (
+        F.lit(True) if default_rate >= 1.0
+        else (digest3 < F.lit(thresh(default_rate))) if default_rate > 0.0
+        else F.lit(False)
+    )
+    keep = default_hit if expr is None else expr.otherwise(default_hit)
+    return df.filter(keep)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization before hashing/dedup: Unicode NFC via a
+    vectorized Arrow UDF (Spark has no native NFC), then control-char strip
+    and whitespace collapse natively. The NFC step is the ONLY Python here
+    and it is pandas_udf-batched — at 100 TB it rides the same scan pass as
+    the rest of the projection."""
+    normed = _nfc_udf(text)
+    no_ctrl = F.regexp_replace(normed, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    return F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))
+
+
+def _make_nfc_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
+
+    # real type objects (module uses `from __future__ import annotations`, so
+    # inline hints would be unresolvable strings to pandas_udf)
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(_nfc)
+
+
+class _LazyNfc:
+    """Defer pandas_udf creation until first use (needs an active session)."""
+
+    _fn = None
+
+    def __call__(self, col):
+        if _LazyNfc._fn is None:
+            _LazyNfc._fn = _make_nfc_udf()
+        return _LazyNfc._fn(col)
+
+
+_nfc_udf = _LazyNfc()
+
+
 def corpus_topk_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-wide vocabulary statistics: the k most frequent word n-grams
     with their counts, ordered (count desc, gram asc).

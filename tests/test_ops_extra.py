@@ -360,3 +360,31 @@ def test_ivf_build_matches_python_lloyd(spark):
     assign = ivf_assign_to(emb, cents)
     cells = [r["cell"] for r in assign.collect()]
     assert len(cells) == len(vecs) and all(1 <= c <= n_cells for c in cells)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample / normalize_text
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_rates_and_subset(spark):
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    got = T.stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1}).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], set()).add(r["k"])
+    assert 0.42 < len(by["en"]) / 2000 < 0.58
+    assert 0.05 < len(by["de"]) / 2000 < 0.16
+    assert "fr" not in by                       # default rate 0 drops stratum
+    # per-stratum selection is the plain hash_sample of that stratum
+    en_only = set(r["k"] for r in T.hash_sample(
+        df.filter(F.col("lang") == "en"), "k", 0.5).collect())
+    assert by["en"] == en_only
+
+
+def test_normalize_text_known(spark):
+    raw = "ábc \x07 x\t y  "   # a+combining acute, BEL, runs of ws
+    df = spark.createDataFrame([(1, raw)], "i long, t string")
+    got = df.select(T.normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
+    assert got == "\u00e1bc x y"  # NFC-composed á, BEL stripped, ws collapsed
