@@ -1,0 +1,95 @@
+"""WARC source round-trip + crawl-from-WARC parity."""
+
+import shutil
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from crawl4ai_scraper_spark.fixtures.webgen import WebSpec, iter_pages
+from crawl4ai_scraper_spark.sources.warc import (
+    http_body,
+    iter_warc_records,
+    parse_warc_shard,
+    read_warc,
+    write_warc_bytes,
+)
+
+TMP = Path(__file__).resolve().parent.parent / ".tmp" / "pytest_warc"
+
+
+def _corpus_records(spec):
+    return [
+        (r["url"], r["warc_ts"].replace(tzinfo=None) if r["warc_ts"] else None,
+         r["html"]) for r in iter_pages(spec)
+    ]
+
+
+def test_record_codec_roundtrip_plain_and_gzip():
+    recs = [
+        ("https://a.example/x", datetime(2025, 1, 2, 3, 4, 5), b"<html>1</html>"),
+        ("https://a.example/y", None, b""),
+        ("https://b.example/z?q=1", datetime(2024, 12, 31), b"\x00binary\xff"),
+    ]
+    for gz in (False, True):
+        blob = write_warc_bytes(recs, per_record_gzip=gz)
+        got = list(parse_warc_shard(blob))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in recs]
+        assert got[0][1] == datetime(2025, 1, 2, 3, 4, 5)
+        assert got[1][1] == datetime(2025, 1, 1)  # default ts stamped by writer
+
+
+def test_non_response_records_and_garbage_are_skipped():
+    body = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    resp = write_warc_bytes([("https://a.example/", None, b"<p>k</p>")])
+    got = list(parse_warc_shard(body + resp + b"trailing-garbage"))
+    assert [u for u, _, _ in got] == ["https://a.example/"]
+    assert got[0][2] == b"<p>k</p>"
+
+
+def test_http_envelope_strip():
+    assert http_body(b"HTTP/1.1 200 OK\r\nA: b\r\n\r\n<x/>") == b"<x/>"
+    assert http_body(b"<no-envelope/>") == b"<no-envelope/>"
+    # record without HTTP envelope parses too
+    blob = write_warc_bytes([("https://a.example/", None, b"<raw/>")],
+                            with_http_envelope=False)
+    assert list(parse_warc_shard(blob))[0][2] == b"<raw/>"
+
+
+def test_read_warc_matches_parquet_pages_and_crawl_parity(spark, pages3, web3, chk_dir):
+    """The SAME corpus via WARC shards must produce byte-identical html to
+    the parquet pages table, and a crawl over the WARC-sourced table must
+    equal the crawl over the parquet table (order + text)."""
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import run_crawl
+    from crawl4ai_scraper_spark.sources.pages import with_pbucket
+
+    spec, corpus, _fetch = web3
+    recs = _corpus_records(spec)
+    shutil.rmtree(TMP, ignore_errors=True)
+    TMP.mkdir(parents=True)
+    # two shards, one plain + one gzipped — both forms in one read glob
+    half = len(recs) // 2
+    (TMP / "part-0.warc").write_bytes(write_warc_bytes(recs[:half]))
+    (TMP / "part-1.warc.gz").write_bytes(
+        write_warc_bytes(recs[half:], per_record_gzip=True))
+
+    warc_pages = read_warc(spark, str(TMP / "*.warc*"))
+    got = {r["url"]: bytes(r["html"]) for r in warc_pages.collect()}
+    want = {u: bytes(h) for u, _, h in recs}
+    assert got == want  # byte-identical html for every url
+
+    # crawl over a pbucketed write of the WARC-sourced table
+    wdir = str(TMP / "pages_from_warc")
+    with_pbucket(warc_pages, 8).write.partitionBy("pbucket").parquet(wdir)
+    cfg = CrawlJobConfig(max_depth=2, max_pages=40, shuffle_partitions=4)
+    res_w = run_crawl(spark, spark.read.parquet(wdir), "https://site0.example/",
+                      cfg, chk_dir + "_w", n_buckets=8)
+    res_p = run_crawl(spark, pages3, "https://site0.example/", cfg, chk_dir + "_p")
+    vw = [r["url"] for r in res_w.visited.orderBy("seq").collect()]
+    vp = [r["url"] for r in res_p.visited.orderBy("seq").collect()]
+    assert vw == vp and vw
+    dw = {r["url"]: r["markdown"] for r in res_w.documents.collect()}
+    dp = {r["url"]: r["markdown"] for r in res_p.documents.collect()}
+    assert dw == dp
+    shutil.rmtree(TMP, ignore_errors=True)
