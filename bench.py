@@ -85,6 +85,7 @@ QUERY_NAMES = [
     "embedding_quantize",
     "stratified_sample",
     "normalize_text",
+    "json_props_agg",
 ]
 
 

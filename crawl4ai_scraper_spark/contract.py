@@ -1017,6 +1017,29 @@ def multimodal_embed(spark, sf):
     )
 
 
+@_q(
+    "json_props_agg",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+    FROM events
+    GROUP BY 1""",
+)
+def json_props_agg(spark, sf):
+    """Schema-on-read over the semi-structured props column: JSON path
+    extraction (native get_json_object — JSON parse stays JVM-side) feeding a
+    grouped aggregate; sums in DECIMAL so the hash is order-free."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"),
+                  F.round(F.col("value"), 4).cast("decimal(18,4)").alias("v"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("v").cast("decimal(38,4)").alias("sum_value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (streaming-adjacent stateful op, batch-expressible)
 # ---------------------------------------------------------------------------
