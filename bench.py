@@ -86,6 +86,9 @@ QUERY_NAMES = [
     "stratified_sample",
     "normalize_text",
     "json_props_agg",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -1017,6 +1017,124 @@ def multimodal_embed(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational analytics over the TPC-H-ish tables (engine breadth: multi-join
+# planning, broadcast dims, DECIMAL-exact aggregation)
+# ---------------------------------------------------------------------------
+
+# Row-level money math in DOUBLE (identical IEEE trees both engines), rounded
+# to 4dp and cast to DECIMAL BEFORE aggregation → order-free exact sums.
+_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+
+
+@_q(
+    "tpch_q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan-wide grouped DECIMAL aggregation with map-side
+    combine — the full-table agg pattern (4 group keys, partial agg collapses
+    each partition to 4 rows before the shuffle)."""
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round("l_quantity", 4).cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_qty"),
+        F.sum(F.round("l_extendedprice", 4).cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_base_price"),
+        F.sum(rev).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    f"""SELECT l_orderkey,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim filter → 3-way join (AQE broadcasts the
+    filtered customer side) → grouped revenue → TakeOrdered top-10 (orderkey
+    tiebreak for a deterministic LIMIT)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q5_local_supplier_volume",
+    f"""SELECT n_name,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name""",
+)
+def tpch_q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: 6-way join with tiny dims broadcast (region/nation/
+    supplier) and the c_nationkey = s_nationkey locality predicate — the
+    join-reordering/broadcast showcase."""
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = F.broadcast(_t(spark, sf, "supplier"))
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
 @_q(
     "json_props_agg",
     """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -179,3 +179,19 @@ def test_simhash_near_dup_banding_is_exact(spark):
               .filter(F.col("hamming") <= 3)
               .select("id_a", "id_b", "hamming").collect()}
     assert banded == brute and len(banded) > 0
+
+
+def test_tpch_q5_broadcasts_dims_and_q3_takeordered(spark):
+    """Q5: the dim sides (supplier/nation/region) reach the plan as broadcast
+    joins — no shuffle of lineitem against tiny tables. Q3: the top-10 is a
+    TakeOrderedAndProject, not a global sort."""
+    from crawl4ai_scraper_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    q5 = contract.queries()["tpch_q5_local_supplier_volume"](spark, sf)
+    p5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert p5.count("BroadcastHashJoin") >= 3, p5[:2000]
+
+    q3 = contract.queries()["tpch_q3_shipping_priority"](spark, sf)
+    p3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3
