@@ -89,6 +89,8 @@ QUERY_NAMES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "rollup_order_totals",
+    "window_funcs_orders",
 ]
 
 

@@ -1136,6 +1136,75 @@ def tpch_q5_local_supplier_volume(spark, sf):
 
 
 @_q(
+    "rollup_order_totals",
+    """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def rollup_order_totals(spark, sf):
+    """OLAP grouping sets: ROLLUP over (priority, status) with DECIMAL sums —
+    subtotal + grand-total rows computed in one pass (Spark Expand operator,
+    still map-side combinable)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("o_totalprice", 4).cast("decimal(18,4)"))
+            .cast("decimal(38,4)").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n", "total",
+        )
+    )
+
+
+@_q(
+    "window_funcs_orders",
+    """SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w AS order_seq,
+           CAST(COALESCE(date_diff('second',
+               LAG(o_orderdate) OVER w, o_orderdate), -1) AS BIGINT) AS gap_s,
+           CAST(SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,4)) AS running_total,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def window_funcs_orders(spark, sf):
+    """Window-function breadth on one pass: per-customer order sequence
+    (row_number), inter-order gap (lag diff, tz-free seconds), DECIMAL
+    running total, and spend quartile (ntile) — two window specs sharing a
+    single shuffle on the customer key."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    gap = (
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        - F.unix_timestamp(F.lag("o_orderdate").over(w).cast("timestamp"))
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.coalesce(gap, F.lit(-1)).cast("bigint").alias("gap_s"),
+        F.sum(F.round("o_totalprice", 4).cast("decimal(18,4)")).over(run)
+        .cast("decimal(38,4)").alias("running_total"),
+        F.ntile(4).over(wq).alias("spend_quartile"),
+    )
+
+
+@_q(
     "json_props_agg",
     """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
