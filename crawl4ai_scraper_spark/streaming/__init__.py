@@ -1,10 +1,11 @@
 from crawl4ai_scraper_spark.streaming.ingest import (
     host_rate_stream,
     read_pages_stream,
+    stream_dedup_extract,
     stream_extract,
     url_dedup_stream,
 )
 from crawl4ai_scraper_spark.streaming.sessions import host_sessions_stream
 
 __all__ = ["host_rate_stream", "host_sessions_stream", "read_pages_stream",
-           "stream_extract", "url_dedup_stream"]
+           "stream_dedup_extract", "stream_extract", "url_dedup_stream"]

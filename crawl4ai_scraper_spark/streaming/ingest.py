@@ -100,6 +100,37 @@ def url_dedup_stream(
     )
 
 
+def stream_dedup_extract(
+    spark: SparkSession,
+    pages_path: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "1 day",
+    cleaning_kwargs: Optional[dict] = None,
+    run_ts_iso: str = "2025-01-01T00:00:00",
+    await_termination: bool = True,
+):
+    """The composed incremental ingest pipeline: URL-seen dedup IN FRONT OF
+    extraction — re-fetches are dropped from state before any Arrow compute
+    is spent on them, and the sink stays append-only-unique. One streaming
+    query: file source → dropDuplicatesWithinWatermark → mapInPandas
+    extraction → parquet sink, exactly-once across restarts."""
+    deduped = url_dedup_stream(read_pages_stream(spark, pages_path), watermark)
+    docs = deduped.select(
+        "url", "html", F.lit(run_ts_iso).alias("crawled_at")
+    ).mapInPandas(extract_documents(cleaning_kwargs or {}), EXTRACTED_SCHEMA)
+    query = (
+        docs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 def host_rate_stream(
     pages_stream: DataFrame,
     window_duration: str = "10 minutes",

@@ -388,3 +388,24 @@ def test_normalize_text_known(spark):
     df = spark.createDataFrame([(1, raw)], "i long, t string")
     got = df.select(T.normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
     assert got == "\u00e1bc x y"  # NFC-composed á, BEL stripped, ws collapsed
+
+
+def test_crawl_report_tool(spark, pages3, chk_dir, capsys):
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import run_crawl
+
+    import crawl_report
+
+    cfg = CrawlJobConfig(max_depth=2, max_pages=30, shuffle_partitions=4)
+    run_crawl(spark, pages3, "https://site0.example/", cfg, chk_dir)
+    assert crawl_report.main(["--checkpoint", chk_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["last_manifest"]["done"] is True
+    assert out["visited_total"] > 0
+    assert out["top_hosts"][0]["host"] == "site0.example"
+    assert len(out["lineage_by_round"]) == out["last_round"]

@@ -206,3 +206,36 @@ def test_url_dedup_stream_within_and_across_drains(spark):
     assert got2.count() == len(batch) + len(new_rows)
     assert got2.select("url").distinct().count() == got2.count()
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_stream_dedup_extract_composed(spark):
+    """Composed incremental pipeline: duplicate page records are dropped
+    BEFORE extraction, output docs are unique per url and byte-identical to
+    the batch kernel; exactly-once across a second drain that re-delivers."""
+    from crawl4ai_scraper_spark.streaming import stream_dedup_extract
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    pages_dir, out_dir, chk = str(TMP / "pages"), str(TMP / "docs2"), str(TMP / "chk_de")
+    spec = WebSpec(n_hosts=2, max_secs=3, max_pages=4)
+    batch = _write_host_batch(spark, spec, 0, pages_dir)
+    _write_host_batch(spark, spec, 0, pages_dir)  # duplicate delivery
+
+    stream_dedup_extract(spark, pages_dir, out_dir, chk, watermark="3650 days")
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(batch)
+    assert got.select("url").distinct().count() == len(batch)
+
+    sample = batch[1]
+    streamed = got.filter(F.col("url") == sample["url"]).collect()[0]
+    ref = extract_record(sample["url"], sample["html"], "2025-01-01T00:00:00",
+                         CleaningConfig.build())
+    assert streamed["markdown"] == ref["markdown"]
+
+    # second drain: only genuinely-new urls flow through to extraction
+    _write_host_batch(spark, spec, 0, pages_dir)
+    new_rows = _write_host_batch(spark, spec, 1, pages_dir)
+    stream_dedup_extract(spark, pages_dir, out_dir, chk, watermark="3650 days")
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == len(batch) + len(new_rows)
+    assert got2.select("url").distinct().count() == got2.count()
+    shutil.rmtree(TMP, ignore_errors=True)
