@@ -101,6 +101,14 @@ def main():
         plan_of(contract.queries()["url_latest_revision"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "TPC-H Q5 — 6-way join, dims broadcast",
+        "region/nation/supplier reach the plan as BroadcastHashJoins; only the "
+        "fact-side customer⋈orders⋈lineitem chain shuffles. With AQE the "
+        "filtered sides can demote to broadcast at runtime too.",
+        plan_of(contract.queries()["tpch_q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
