@@ -1278,9 +1278,15 @@ _W_SQL = """SELECT doc_id, text,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars
     FROM documents"""
 
-_G2_SQL = "list_transform(range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1])"
-_G3_SQL = ("list_transform(range(1, greatest(len(w) - 1, 1)), "
-           "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])")
+# CASE: a doc shorter than n words yields ONE whole-text gram — the Spark
+# side's ngrams_from_tokens convention (range(...) alone would yield an
+# EMPTY list there, flipping dup fractions / dropping top-ngram rows for
+# ultra-short docs).
+_G2_SQL = ("CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')] "
+           "ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END")
+_G3_SQL = ("CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+           "ELSE list_transform(range(1, len(w) - 1), "
+           "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END")
 
 
 @_q(

@@ -155,8 +155,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 32) -> Data
     agg = per_tok.groupBy("doc").agg(
         *[F.sum(f"v{b}").alias(f"s{b}") for b in range(n_bits)]
     )
+    # shiftleft, not a precomputed literal: 1<<63 written as a literal
+    # overflows BIGINT (nulls the whole hash under non-ANSI casts), while
+    # shiftleft(1L, 63) is the correct two's-complement min-long bit.
     fold = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END"
         for b in range(n_bits)
     )
     return agg.select("doc", F.expr(fold).alias("simhash"))

@@ -43,23 +43,37 @@ def asof_join(
     """
     if payload is None:
         payload = [c for c in right.columns if c not in (key, right_ts)]
+    for reserved in ("_pack", "_is_left", "_ts"):
+        if reserved in left.columns:
+            raise ValueError(f"asof_join: left column name {reserved!r} is reserved")
 
-    lhs = left.withColumn("_is_left", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    # The whole right row rides in ONE struct; left rows carry a NULL struct.
+    # last(_pack, ignorenulls) then means "latest RIGHT row" regardless of
+    # column-name overlap with the left side, and a legitimately-NULL payload
+    # FIELD inside a matched right row is preserved (DuckDB ASOF semantics) —
+    # per-column last() would both read left values on name collision and
+    # skip NULL payloads back to a stale older row.
+    pack = F.struct(
+        F.col(right_ts).alias("_asof_ts"),
+        *[F.col(c).alias(c) for c in payload],
+    )
     rhs = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.col(right_ts).alias("_asof_ts"),
-        *[F.col(c) for c in payload],
+        pack.alias("_pack"),
+    )
+    pack_type = rhs.schema["_pack"].dataType
+    lhs = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(pack_type).alias("_pack"),
     )
     lhs_types = {f.name: f.dataType for f in lhs.schema.fields}
-    rhs_types = {f.name: f.dataType for f in rhs.schema.fields}
     for c, t in lhs_types.items():
-        if c not in rhs_types:
+        if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(t))
-    for c, t in rhs_types.items():
-        if c not in lhs_types:
-            lhs = lhs.withColumn(c, F.lit(None).cast(t))
     both = lhs.select(*sorted(lhs.columns)).unionByName(rhs.select(*sorted(rhs.columns)))
 
     # right rows sort BEFORE left rows at equal ts (_is_left asc) → inclusive.
@@ -71,10 +85,16 @@ def asof_join(
     carried = both.select(
         *[c for c in left.columns],
         F.col("_is_left"),
-        F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in payload],
+        F.last("_pack", ignorenulls=True).over(w).alias("_carried"),
     )
-    return carried.filter(F.col("_is_left") == 1).drop("_is_left")
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            F.col("_carried._asof_ts").alias("asof_ts"),
+            *[F.col(f"_carried.{c}").alias(f"asof_{c}") for c in payload],
+        )
+    )
 
 
 def latest_revision(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:

@@ -298,7 +298,6 @@ def stratified_sample(
     def thresh(rate: float) -> str:
         return format(max(0, min(4096, round(rate * 4096))), "03x")
 
-    keep = F.lit(None).cast("boolean")
     expr = None
     for stratum, rate in sorted(rates.items()):
         cond = F.col(strata_col) == stratum

@@ -46,25 +46,41 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
     from crawl4ai_scraper_spark.kernel.robots import parse_robots
     from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
 
+    if "warc_ts" not in pages.columns:  # ad-hoc frames; real tables have it
+        pages = pages.withColumn("warc_ts", F.lit(None).cast("timestamp"))
     robots = pages.filter(
         F.col("url").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
-    ).select("url", "html")
+    ).select("url", "warc_ts", "html")
 
     def _parse(batches):
         from urllib.parse import urlparse
 
         for pdf in batches:
-            hosts, delays, prefixes = [], [], []
-            for url, body in zip(pdf["url"], pdf["html"]):
+            hosts, urls, tss, delays, prefixes = [], [], [], [], []
+            for url, ts, body in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 delay, dis = parse_robots(decode_html(body), default_agent)
                 hosts.append(urlparse(url).netloc)
+                urls.append(url)
+                tss.append(ts)
                 delays.append(delay)
                 prefixes.append(dis)
             yield pd.DataFrame(
-                {"host": hosts, "crawl_delay": delays, "disallow_prefixes": prefixes}
+                {"host": hosts, "url": urls, "warc_ts": tss,
+                 "crawl_delay": delays, "disallow_prefixes": prefixes}
             )
 
-    return robots.mapInPandas(_parse, HOST_RULES_SCHEMA)
+    parsed = robots.mapInPandas(
+        _parse, "host string, url string, warc_ts timestamp, " + HOST_RULES_SCHEMA.split(", ", 1)[1]
+    )
+    # EXACTLY one row per host: duplicate robots records (http/https variants,
+    # recrawl revisions — both arise from WARC ingests) would otherwise fan
+    # out every left join downstream (virtual_schedule, robots_filter),
+    # duplicating visit rows. Keep the latest (warc_ts, url) revision.
+    from crawl4ai_scraper_spark.operators.temporal import latest_revision
+
+    return latest_revision(parsed, key="host", ts_col="warc_ts", tiebreak="url").drop(
+        "url", "warc_ts"
+    )
 
 
 def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> DataFrame:

@@ -36,9 +36,15 @@ def main(argv=None):
     spark.sparkContext.setLogLevel("WARN")
     pages = with_pbucket(read_warc(spark, args.warc), args.buckets)
     pages.write.mode("overwrite").partitionBy("pbucket").parquet(args.out)
-    # bucket-count marker: the crawl's fetch probe must use the same modulus
-    with open(f"{args.out}/_table_meta.json", "w") as fh:
-        json.dump({"n_buckets": args.buckets}, fh)
+    # bucket-count marker: the crawl's fetch probe must use the same modulus.
+    # builtin open() only works for local paths; on object stores
+    # (s3://, hdfs://) pass --n-buckets to submit_crawl.py instead.
+    if "://" not in args.out:
+        with open(f"{args.out}/_table_meta.json", "w") as fh:
+            json.dump({"n_buckets": args.buckets}, fh)
+    else:
+        print(f"note: no _table_meta.json on {args.out} — "
+              f"run crawls with --n-buckets {args.buckets}", file=sys.stderr)
     out = spark.read.parquet(args.out)
     print(json.dumps({"pages": out.count(), "out": args.out, "buckets": args.buckets}))
     return 0

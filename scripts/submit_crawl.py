@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--include-external", action="store_true")
     p.add_argument("--delay", type=float, default=None, help="politeness delay (virtual s)")
     p.add_argument("--host-rules", help="parquet path: host, crawl_delay, disallow_prefixes")
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="pbucket modulus of the pages table (overrides the "
+                        "_table_meta.json marker; REQUIRED to be correct — a "
+                        "mismatched modulus silently misses pages)")
     p.add_argument("--robots-from-pages", action="store_true",
                    help="derive host rules by parsing the robots.txt documents "
                         "stored in the pages table (kernel/robots.py)")
@@ -147,7 +151,7 @@ def main(argv=None):
     spark = build_session(app_name="crawl-job", shuffle_partitions=cfg.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
     pages = read_pages(spark, args.pages)
-    n_buckets = pages_n_buckets(args.pages)
+    n_buckets = args.n_buckets if args.n_buckets else pages_n_buckets(args.pages)
     if args.host_rules:
         host_rules = read_pages(spark, args.host_rules)
     elif args.robots_from_pages:

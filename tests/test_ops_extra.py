@@ -409,3 +409,106 @@ def test_crawl_report_tool(spark, pages3, chk_dir, capsys):
     assert out["visited_total"] > 0
     assert out["top_hosts"][0]["host"] == "site0.example"
     assert len(out["lineage_by_round"]) == out["last_round"]
+
+
+# ---------------------------------------------------------------------------
+# asof_join regression: payload name collision + NULL-payload preservation
+# ---------------------------------------------------------------------------
+
+def test_asof_join_payload_name_collision_with_left(spark):
+    """Right payload column sharing a name with a left column must carry the
+    RIGHT side's value, never the left row's own."""
+    t0 = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(100, "u", t0 + dt.timedelta(minutes=9))],
+        "event_id long, user string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [("u", t0 + dt.timedelta(minutes=5), 7)],
+        "user string, ts timestamp, event_id long",  # collides with left
+    )
+    row = asof_join(ldf, rdf, key="user", left_ts="ts", right_ts="ts",
+                    payload=["event_id"]).collect()[0]
+    assert row["event_id"] == 100          # left column untouched
+    assert row["asof_event_id"] == 7       # right value, NOT 100
+
+
+def test_asof_join_null_payload_preserved(spark):
+    """A matched right row whose payload is legitimately NULL must yield
+    NULL (DuckDB ASOF semantics), not a stale older payload."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame([(1, "u", ts(10))],
+                                "event_id long, user string, ts timestamp")
+    rdf = spark.createDataFrame(
+        [("u", ts(5), 100), ("u", ts(9), None)],
+        "user string, ts timestamp, payload long",
+    )
+    row = asof_join(ldf, rdf, key="user", left_ts="ts", right_ts="ts").collect()[0]
+    assert row["asof_ts"] == ts(9)
+    assert row["asof_payload"] is None     # not 100
+
+
+def test_simhash_64bit_no_overflow(spark):
+    from crawl4ai_scraper_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    rows = simhash(df, "text", "doc_id", n_bits=64).collect()
+    assert rows[0]["simhash"] is not None  # bit-63 literal used to null it
+
+
+def test_ngram_contracts_degenerate_short_docs(spark):
+    """Docs shorter than n words: Spark and the DuckDB oracle must agree on
+    the one-whole-text-gram convention (was: oracle emitted an empty list)."""
+    import pandas as pd
+
+    from tests.contract_check import frame_fingerprint
+
+    from crawl4ai_scraper_spark import contract
+
+    # patch a tiny documents table containing 1- and 2-word docs
+    tiny = pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": ["one", "two words", "now three words"],
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [3, 9, 15],
+    })
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    tiny.to_parquet(os.path.join(d, "documents.parquet"))
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    for name in ("repetition_signals", "top_ngram_stats"):
+        fn = contract.queries()[name]
+        sql = contract.oracle_sql()[name]
+        sdf = fn(spark, d)
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(sql)
+        drows = [tuple(r) for r in res.fetchall()]
+        assert len(srows) == len(drows), name
+        assert frame_fingerprint(sdf.columns, srows) == \
+            frame_fingerprint([c[0] for c in res.description], drows), name
+
+
+def test_rules_from_robots_dedups_per_host(spark):
+    """Duplicate robots records (scheme variants / revisions) collapse to ONE
+    row per host — the latest warc_ts wins."""
+    from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://h.example/robots.txt", t0, b"User-agent: *\nDisallow: /old/\n"),
+        ("https://h.example/robots.txt", t0 + dt.timedelta(days=1),
+         b"User-agent: *\nDisallow: /new/\nCrawl-delay: 9\n"),
+        ("http://h.example/robots.txt", t0 - dt.timedelta(days=1),
+         b"User-agent: *\nDisallow: /ancient/\n"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = rules_from_robots(pages).collect()
+    assert len(got) == 1
+    assert got[0]["host"] == "h.example"
+    assert list(got[0]["disallow_prefixes"]) == ["/new/"]
+    assert got[0]["crawl_delay"] == 9.0
