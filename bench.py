@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "tpch_q5_local_supplier_volume",
     "rollup_order_totals",
     "window_funcs_orders",
+    "bm25_scores",
 ]
 
 

@@ -1269,6 +1269,39 @@ def sessionize_events(spark, sf):
     )
 
 
+_BM25_TERMS = ["spark", "shuffle", "vector"]
+
+
+def _bm25_sql(terms, k1=1.2, b=0.75) -> str:
+    tf = {t: f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE)" for t in terms}
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN {tf[t]} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = " + ".join(
+        f"ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * ({tf[t]} * {k1 + 1.0}) / ({tf[t]} + {k1} * ({1.0 - b} + {b} * dl / avgdl))"
+        for i, t in enumerate(terms)
+    )
+    return f"""WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {dfs}
+      FROM d)
+    SELECT doc_id, ROUND({parts}, 4) AS bm25 FROM d, stats"""
+
+
+@_q("bm25_scores", _bm25_sql(_BM25_TERMS))
+def bm25_scores_q(spark, sf):
+    """Okapi BM25 of every doc against a fixed query-term set — per-row array
+    math + ONE scalar-row corpus-stats aggregate broadcast back (no explode,
+    no payload shuffle); identical float expression tree in the oracle."""
+    return T.bm25_scores(_t(spark, sf, "documents"), "text", "doc_id", _BM25_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # Repetition / quality-filter signals (Gopher-style)
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ speed. Stopword lists are tiny literals (broadcast-free).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -350,6 +350,59 @@ class _LazyNfc:
 
 
 _nfc_udf = _LazyNfc()
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: List[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term set
+    (Robertson et al.; the idf form is ln((N − df + 0.5)/(df + 0.5) + 1)).
+
+    Scale shape: term frequencies are per-row array math (no explode); the
+    corpus statistics (N, avgdl, per-term document frequencies) are ONE
+    single-row aggregate cross-joined back as a broadcast — so the whole op
+    is a scan + one scalar-sized agg, no per-term passes and no shuffle of
+    document payloads. All float math is the same expression tree the DuckDB
+    oracle evaluates, rounded to 4dp at the end."""
+    toks = words(F.col(text_col))
+
+    def term_freq(term: str) -> Column:
+        # closure, NOT a defaulted lambda parameter: a 2-arg lambda would be
+        # interpreted by F.filter as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("_dl"),
+        *[term_freq(t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .cast("double").alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5)) + F.lit(1.0)
+        )
+        tf = F.col(f"_tf_{i}")
+        part = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = part if score is None else score + part
+    return joined.select(id_col, F.round(score, 4).alias("bm25"))
 
 
 def corpus_topk_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:

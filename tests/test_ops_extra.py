@@ -512,3 +512,15 @@ def test_rules_from_robots_dedups_per_host(spark):
     assert got[0]["host"] == "h.example"
     assert list(got[0]["disallow_prefixes"]) == ["/new/"]
     assert got[0]["crawl_delay"] == 9.0
+
+
+def test_bm25_ranks_relevant_docs_higher(spark):
+    docs = [
+        (1, "spark shuffle vector spark shuffle"),   # all query terms, repeated
+        (2, "spark something else entirely here"),   # one term
+        (3, "totally unrelated words only here"),    # none
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"]
+           for r in T.bm25_scores(df, "text", "doc_id", ["spark", "shuffle", "vector"]).collect()}
+    assert got[1] > got[2] > got[3] == 0.0
