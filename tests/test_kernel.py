@@ -541,3 +541,69 @@ def test_rules_from_robots_drive_the_crawl(spark, pages3, web3, chk_dir):
     b = [r["url"] for r in res_b.visited.orderBy("seq").collect()]
     assert a == b and a
     assert not any("/sec1/" in u for u in a)
+
+
+class TestKernelProperties:
+    """Hypothesis invariants for the parity-critical URL/naming kernels —
+    the deterministic functions every UDF and the oracle share."""
+
+    def test_canon_url_idempotent_and_scheme_fixup_stable(self):
+        from hypothesis import given, settings, strategies as st
+
+        from crawl4ai_scraper_spark.kernel.urls import canon_url, fixup_scheme
+
+        url_bits = st.text(
+            alphabet="abcz09./-_?=&#%:~ ", min_size=0, max_size=40)
+
+        # canon_url mirrors the reference's normalize_url quirk-for-quirk:
+        # on SCHEME-LESS input both produce '://netloc…' (non-idempotent) —
+        # the engine never feeds it one (seeds pass fixup_scheme first), so
+        # the property holds over the actual input domain: scheme-full urls.
+        # …and its trailing-slash strip runs AFTER the query re-append, so a
+        # query ending in '/' leaves a dangling '?' on the first pass (the
+        # reference does the same, crawler.py:161-163). The faithful
+        # invariant is therefore stabilization by the second application.
+        @settings(max_examples=300, deadline=None)
+        @given(st.sampled_from(["https://", "http://"]), url_bits)
+        def prop(scheme, rest):
+            u = scheme + "h.example/" + rest
+            c2 = canon_url(canon_url(u))
+            assert canon_url(c2) == c2          # stable from the 2nd pass
+            f = fixup_scheme(u)
+            assert f.startswith(("http://", "https://"))
+            assert fixup_scheme(f) == f         # idempotent
+
+        prop()
+
+    def test_filenames_are_safe_and_deterministic(self):
+        from hypothesis import given, settings, strategies as st
+
+        from crawl4ai_scraper_spark.kernel.naming import (
+            clean_filename, output_rel_path, url_to_filename)
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(min_size=0, max_size=300))
+        def prop_clean(name):
+            out = clean_filename(name)
+            assert out == clean_filename(name)          # deterministic
+            assert len(out) <= 252                      # reference cap
+            assert out                                   # never empty
+            # ord<32 stripped; '/' passes through — SAME as the reference's
+            # _clean_filename (output_manager.py:344-365): callers replace
+            # slashes upstream (url_to_filename), quirk preserved verbatim.
+            assert "\x00" not in out
+            assert not out.endswith((".", " "))
+
+        prop_clean()
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet="abz09./-_?=&", min_size=0, max_size=60),
+               st.sampled_from(["flat", "domain", "mirror", "date"]))
+        def prop_path(tail, strategy):
+            url = "https://h.example/" + tail
+            fn = url_to_filename(url)
+            assert fn.endswith(".md") and "/" not in fn
+            rel = output_rel_path(url, "T", strategy, "url_based")
+            assert not rel.startswith("/") and ".." not in rel.split("/")
+
+        prop_path()
