@@ -559,16 +559,25 @@ class TestKernelProperties:
         # on SCHEME-LESS input both produce '://netloc…' (non-idempotent) —
         # the engine never feeds it one (seeds pass fixup_scheme first), so
         # the property holds over the actual input domain: scheme-full urls.
-        # …and its trailing-slash strip runs AFTER the query re-append, so a
-        # query ending in '/' leaves a dangling '?' on the first pass (the
-        # reference does the same, crawler.py:161-163). The faithful
-        # invariant is therefore stabilization by the second application.
+        # …and it is a CONTRACTION, not idempotent: each pass strips at most
+        # one trailing slash, and a slash-terminated query leaves a dangling
+        # '?' for the next pass (both exactly the reference's behavior,
+        # crawler.py:155-163). The faithful invariant: repeated application
+        # reaches a fixpoint, and the fixpoint keeps scheme+host and carries
+        # no fragment.
         @settings(max_examples=300, deadline=None)
         @given(st.sampled_from(["https://", "http://"]), url_bits)
         def prop(scheme, rest):
             u = scheme + "h.example/" + rest
-            c2 = canon_url(canon_url(u))
-            assert canon_url(c2) == c2          # stable from the 2nd pass
+            c = canon_url(u)
+            for _ in range(len(u) + 2):
+                nxt = canon_url(c)
+                if nxt == c:
+                    break
+                c = nxt
+            assert canon_url(c) == c            # fixpoint reached
+            assert c.startswith(scheme + "h.example")
+            assert "#" not in c                 # fragment dropped
             f = fixup_scheme(u)
             assert f.startswith(("http://", "https://"))
             assert fixup_scheme(f) == f         # idempotent
