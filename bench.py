@@ -92,6 +92,7 @@ QUERY_NAMES = [
     "rollup_order_totals",
     "window_funcs_orders",
     "bm25_scores",
+    "pagerank_step",
 ]
 
 

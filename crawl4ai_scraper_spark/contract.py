@@ -1615,6 +1615,54 @@ def embedding_quantize_q(spark, sf):
     return S.embedding_quantize(_t(spark, sf, "embeddings"))
 
 
+@_q(
+    "pagerank_step",
+    """WITH e1 AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id < 195 AND doc_id % 15 = 0
+    ), eb AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+    ), nodes AS (SELECT DISTINCT src AS id FROM eb
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), deg AS (SELECT src, COUNT(*) AS outdeg FROM eb GROUP BY src
+    ), r0 AS (
+      SELECT id, CAST(ROUND(1.0 / n, 12) AS DECIMAL(28,12)) AS rank FROM nodes, nn
+    ), contrib AS (
+      SELECT eb.dst AS id,
+             CAST(SUM(CAST(ROUND(0.85 * CAST(r0.rank AS DOUBLE) / deg.outdeg, 12)
+                           AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS in_sum
+      FROM eb JOIN deg ON deg.src = eb.src JOIN r0 ON r0.id = eb.src
+      GROUP BY eb.dst)
+    SELECT nodes.id,
+           CAST(CAST(ROUND(0.15 / n, 12) AS DECIMAL(28,12))
+                + COALESCE(in_sum, CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN contrib ON contrib.id = nodes.id""",
+)
+def pagerank_step_q(spark, sf):
+    """One PageRank power iteration over the deterministic link graph (the
+    same star/bridge topology as dedup_clusters, both directions): per-edge
+    contributions rounded to 12dp and summed in DECIMAL — order-free, so
+    the oracle reproduces the ranks bit-for-bit. Multi-iteration pagerank()
+    is pytest-verified against a python oracle."""
+    from crawl4ai_scraper_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    star = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("dst"),
+    )
+    bridge = docs.filter((F.col("doc_id") < 195) & (F.col("doc_id") % 15 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 5).alias("dst")
+    )
+    directed = star.unionByName(bridge)
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank(edges, n_iter=1)
+
+
 # ---------------------------------------------------------------------------
 # Temporal: as-of join + keep-latest revision dedup
 # ---------------------------------------------------------------------------

@@ -524,3 +524,34 @@ def test_bm25_ranks_relevant_docs_higher(spark):
     got = {r["doc_id"]: r["bm25"]
            for r in T.bm25_scores(df, "text", "doc_id", ["spark", "shuffle", "vector"]).collect()}
     assert got[1] > got[2] > got[3] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_python_oracle(spark):
+    """3 power iterations vs a plain-python oracle with the identical
+    per-edge 12dp rounding; mass conservation and hub dominance checked."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]  # 1 is the hub; 4 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from crawl4ai_scraper_spark.operators.graph import pagerank
+
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: round(1.0 / n, 12) for v in nodes}
+    for _ in range(3):
+        in_sum = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            in_sum[d] += round(0.85 * rank[s] / outdeg[s], 12)
+        rank = {v: round(0.15 / n, 12) + in_sum[v] for v in nodes}
+
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+    assert got[1] == max(got.values())            # hub collects the most
+    assert got[4] == min(got.values())            # nothing links to 4
