@@ -209,8 +209,9 @@ def _fast_feed(html: str, parser: _PageParser) -> bool:
             # the matching close tag is raw data — tags/charrefs inert inside.
             cm = re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE).search(html, pos)
             if cm is None:
-                if html[pos:]:
-                    events.append((None, html[pos:], None))
+                # Unterminated CDATA: html.parser DISCARDS the content
+                # (goahead() breaks without a handle_data when cdata_elem is
+                # set and no close tag arrives) — emit nothing, not the tail.
                 pos = len(html)
                 break
             if html[pos:cm.start()]:
