@@ -93,6 +93,8 @@ QUERY_NAMES = [
     "window_funcs_orders",
     "bm25_scores",
     "pagerank_step",
+    "segment_dedup",
+    "decontaminate_ngrams",
 ]
 
 

@@ -1733,6 +1733,61 @@ def url_latest_revision(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-hygiene passes: segment-level dedup + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "segment_dedup",
+    """WITH w AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    s AS (SELECT doc_id, CAST(ceil(len(w)/3.0) AS BIGINT) AS n_segments,
+                 u.pos, u.seg FROM (
+        SELECT doc_id, len(w) AS lw,
+               UNNEST(list_transform(range(0, CAST(ceil(len(w)/3.0) AS BIGINT)),
+                   i -> {'pos': CAST(i AS INTEGER),
+                         'seg': array_to_string(w[(i*3+1):(i*3+3)], ' ')})) AS u,
+               w FROM w)),
+    k AS (SELECT doc_id, n_segments, pos, seg FROM s
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1)
+    SELECT doc_id, n_segments, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           array_to_string(list(seg ORDER BY pos), ' ') AS dedup_text
+    FROM k GROUP BY doc_id, n_segments""",
+)
+def segment_dedup_q(spark, sf):
+    """Paragraph-surrogate segment dedup: globally-first occurrence of every
+    3-word segment survives (min-struct first-appender on md5(segment), one
+    uniform shuffle), docs reassembled positionally. The oracle's windowed
+    ROW_NUMBER()=1 is the same first-appender."""
+    return D.segment_dedup(_t(spark, sf, "documents"), "text", "doc_id", seg_words=3)
+
+
+@_q(
+    "decontaminate_ngrams",
+    f"""WITH w AS ({_W_SQL}),
+    g AS (SELECT doc_id, UNNEST(list_distinct({_G3_SQL})) AS gram FROM w),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    t AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(COUNT(b.gram) AS BIGINT) AS n_hits
+          FROM g LEFT JOIN b USING (gram)
+          WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_grams, 4) AS contaminated_frac,
+           ROUND(CAST(n_hits AS DOUBLE) / n_grams, 4) >= 0.05 AS contaminated
+    FROM t""",
+)
+def decontaminate_ngrams(spark, sf):
+    """Benchmark decontamination: per-train-doc distinct-3-gram overlap vs
+    the deterministic eval slice (doc_id % 97 = 0) — eval gram set broadcast
+    into the train scan (no corpus-wide gram shuffle); flag at 5% set
+    overlap on the 4dp-rounded fraction in both engines."""
+    return T.contamination(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        eval_mod=97, n=3, threshold=0.05,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

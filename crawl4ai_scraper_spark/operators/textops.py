@@ -420,3 +420,59 @@ def corpus_topk_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) ->
     grams = toks.select(F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("gram")).limit(k)
+
+
+def contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_mod: int = 97,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose word n-grams
+    overlap the held-out eval slice's n-gram set (the standard "n-gram
+    collision" test-set-contamination check run before LLM training).
+
+    The eval set here is the deterministic slice ``id % eval_mod == 0`` of
+    the same table (in production: the benchmark suite). Its distinct n-gram
+    set is SMALL relative to the corpus — eval suites are MBs against a
+    100 TB corpus — so the plan broadcasts it into the scan side:
+
+    * eval grams: filter → explode → distinct (one small shuffle);
+    * train side: explode distinct grams per doc, LEFT join against
+      broadcast(eval grams) — no corpus-wide shuffle on gram; the only
+      big-data shuffle is the per-doc count groupBy on doc_id (uniform key);
+    * at eval sets too large for a broadcast hash table, the same shape
+      degrades to a bloom-filter pre-gate + shuffled semi-join.
+
+    Per-doc n-grams are SET-deduped (array_distinct) so the fraction is
+    set-overlap, not occurrence-weighted. Output: (doc_id, n_grams, n_hits,
+    contaminated_frac, contaminated) over the train slice only.
+    """
+    grams = F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+    base = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), grams.alias("_g"))
+    eval_grams = (
+        base.filter(F.col(id_col) % eval_mod == 0)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = base.filter(F.col(id_col) % eval_mod != 0).select(
+        F.col(id_col), F.explode("_g").alias("gram")
+    )
+    counted = (
+        train.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("hit").alias("n_hits"))
+    )
+    frac = F.round(F.col("n_hits") / F.col("n_grams"), 4)
+    return counted.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_hits"),
+        frac.alias("contaminated_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )

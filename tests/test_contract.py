@@ -23,6 +23,8 @@ SUBSET = [
     "lang_id_stopwords",
     "quality_score",
     "multimodal_decode_meta",
+    "segment_dedup",
+    "decontaminate_ngrams",
 ]
 
 
