@@ -95,6 +95,9 @@ QUERY_NAMES = [
     "pagerank_step",
     "segment_dedup",
     "decontaminate_ngrams",
+    "c4_quality_filter",
+    "unigram_lm_ppl",
+    "doc_length_stats",
 ]
 
 

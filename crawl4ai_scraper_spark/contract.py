@@ -1788,6 +1788,97 @@ def decontaminate_ngrams(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# C4 cleaning, CCNet-style LM scoring, corpus length distribution
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c4_quality_filter",
+    """WITH l AS (
+      SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS nt
+      FROM documents
+    ), s AS (
+      SELECT doc_id, nt, string_split(nt, chr(10)) AS lines FROM l
+    ), k AS (
+      SELECT doc_id, nt, lines,
+             list_filter(lines, x -> len(list_filter(
+                 string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 8) AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           -- empty list: DuckDB array_to_string → NULL, Spark array_join → ''
+           COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+           contains(lower(nt), 'lorem ipsum') AS has_lorem,
+           contains(nt, '{') AS has_brace,
+           (len(kept) >= 2 AND NOT contains(lower(nt), 'lorem ipsum')
+            AND NOT contains(nt, '{')) AS keep
+    FROM k""",
+)
+def c4_quality_filter(spark, sf):
+    """C4-style line/doc cleaning over a deterministically line-broken copy
+    of the corpus (every ' the ' becomes a newline — the testdata has no
+    newlines of its own): lines under 8 words are dropped, docs keeping
+    fewer than 2 lines (or containing 'lorem ipsum'/'{') are rejected.
+    Pure column math, scan speed. The terminal-punctuation rule is exercised
+    in pytest (the synthetic corpus has no sentence punctuation)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), " the ", "\n").alias("text")
+    )
+    return T.c4_filter(
+        docs, "text", "doc_id",
+        min_words_per_line=8, min_lines=2, require_terminal_punct=False,
+    )
+
+
+@_q(
+    "unigram_lm_ppl",
+    """WITH w AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    t AS (SELECT doc_id, UNNEST(w) AS tok FROM w),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
+    v AS (SELECT tok, CAST(ROUND(ln(cnt / total), 12) AS DECIMAL(28,12)) AS logp
+          FROM (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok) c CROSS JOIN tot
+          ORDER BY cnt DESC, tok LIMIT 30),
+    s AS (SELECT t.doc_id,
+                 COALESCE(v.logp,
+                          CAST(ROUND(ln(0.5 / total), 12) AS DECIMAL(28,12))) AS lp
+          FROM t CROSS JOIN tot LEFT JOIN v USING (tok))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS perplexity
+    FROM s GROUP BY doc_id""",
+)
+def unigram_lm_ppl(spark, sf):
+    """CCNet-style unigram-LM document scoring: top-30 vocabulary fit on the
+    corpus (TakeOrdered, no global sort), broadcast into the token stream,
+    OOV floored at ln(0.5/total); per-token log-probs rounded to 12dp and
+    summed in DECIMAL so the mean is order-free in both engines."""
+    return T.unigram_lm_scores(
+        _t(spark, sf, "documents"), "text", "doc_id", vocab_size=30, alpha=0.5
+    )
+
+
+@_q(
+    "doc_length_stats",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS mean_val,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+    FROM documents GROUP BY lang""",
+)
+def doc_length_stats(spark, sf):
+    """Exact per-language length quantiles (truncation/packing budget
+    report): Spark's exact ``percentile`` aggregate uses the same linear
+    interpolation as DuckDB quantile_cont, so the values hash-match at 6dp;
+    one group-key shuffle, map-side partials."""
+    return T.length_percentiles(_t(spark, sf, "documents"), "n_chars", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

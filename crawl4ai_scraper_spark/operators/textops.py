@@ -476,3 +476,135 @@ def contamination(
         frac.alias("contaminated_frac"),
         (frac >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line/document cleaning (Raffel et al. 2020, §2.2 of the T5
+    paper): keep only lines with ≥ ``min_words_per_line`` words (and, when
+    ``require_terminal_punct``, ending in terminal punctuation ``. ! ? "``);
+    drop whole documents that retain fewer than ``min_lines`` lines, mention
+    "lorem ipsum", or contain ``{`` (the code-page heuristic).
+
+    Pure Column math — line split, lambda filter, rejoin — no UDF, no
+    shuffle: at 100 TB this runs at scan speed inside whole-stage codegen,
+    exactly like the Gopher signals above. Output keeps both the verdict and
+    the cleaned text so the pipeline can either filter or rewrite.
+    """
+    text = F.col(text_col)
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        wc = F.size(F.filter(F.split(t, "\\s+"), lambda w: w != ""))
+        cond = wc >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            cond = cond & t.rlike('[.!?"”]$')
+        return cond
+
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, _keep)
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= F.lit(min_lines)) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style unigram-LM scoring: fit a unigram language model on the
+    corpus (top-``vocab_size`` tokens by frequency, ties broken
+    lexicographically), then score every document by its mean token
+    log-probability; ``perplexity = exp(-avg_logprob)``. CCNet buckets docs
+    into head/middle/tail on exactly this kind of score (there with a
+    KenLM 5-gram; the unigram model keeps this sandbox dependency-free while
+    exercising the same plan shape).
+
+    Scale shape (two passes, both shuffle-light):
+    * **fit** — token counts with map-side combine (one shuffle at distinct-
+      token volume, not token volume), then ``orderBy(cnt desc, tok).limit``
+      = TakeOrderedAndProject — no global sort; the resulting vocab is a
+      model artifact of ≤ vocab_size rows.
+    * **score** — the corpus token stream LEFT-joins the *broadcast* vocab
+      (OOV tokens get the ``ln(alpha/total)`` floor) and aggregates per doc:
+      the only big-data shuffle is the map-side-combined per-doc partial sum.
+    Per-token log-probs are rounded to 12dp and summed in DECIMAL(28,12) so
+    the sum is order-free and an external oracle reproduces it exactly.
+
+    In production the LM is fit on a reference corpus (CCNet uses Wikipedia)
+    and only the score pass touches the 100 TB corpus; fitting on ``df``
+    itself (as here) adds one more scan but no new shuffle shape.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # total from the (distinct-token-sized) counts, not a second corpus scan;
+    # Catalyst reuses the token-count exchange for both consumers.
+    total_row = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total_row))
+        .select(
+            "tok",
+            F.round(F.log(F.col("cnt") / F.col("_total")), 12)
+            .cast("decimal(28,12)")
+            .alias("logp"),
+        )
+    )
+    floor_lp = (
+        F.round(F.log(F.lit(float(alpha)) / F.col("_total")), 12).cast("decimal(28,12)")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total_row))
+        .select(F.col(id_col), F.coalesce(F.col("logp"), floor_lp).alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("_sum"))
+    )
+    avg = F.col("_sum").cast("double") / F.col("n_tokens")
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    )
+
+
+def length_percentiles(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Exact per-group quantiles (p25/p50/p75/p90) + count/mean of a numeric
+    column — the corpus length-distribution report that decides truncation
+    and packing budgets before training. Uses the exact ``percentile``
+    aggregate (linear interpolation at rank (n-1)·p, the same convention as
+    DuckDB/Postgres ``quantile_cont``): one shuffle on the group key; at
+    100 TB swap in ``approx_percentile`` for a sketch-merge of the same
+    shape when groups no longer fit the exact buffer."""
+    v = F.col(value_col)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(v), 6).alias("mean_val"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile(v, F.lit(0.9)), 6).alias("p90"),
+    )

@@ -555,3 +555,88 @@ def test_pagerank_matches_python_oracle(spark):
         assert abs(got[v] - rank[v]) < 1e-9, v
     assert got[1] == max(got.values())            # hub collects the most
     assert got[4] == min(got.values())            # nothing links to 4
+
+
+# ---------------------------------------------------------------------------
+# C4 filter / unigram LM / length percentiles
+# ---------------------------------------------------------------------------
+
+def test_c4_filter_rules_planted(spark):
+    docs = [
+        # keeps 3 lines (≥5 words + terminal punct), drops short + punctless
+        (1, "This is a proper sentence with enough words.\n"
+            "Too short.\n"
+            "this line has many words but no terminal punctuation\n"
+            'Another good line that is long enough, yes!\n'
+            'A third keeper line with a quoted ending, "done."'),
+        # lorem ipsum → rejected even with good lines
+        (2, "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed.\n"
+            "A second fine sentence with plenty of words here.\n"
+            "A third fine sentence with plenty of words here."),
+        # curly brace (code page) → rejected
+        (3, "function f() { return 1; } is code not prose words.\n"
+            "A second fine sentence with plenty of words here.\n"
+            "A third fine sentence with plenty of words here."),
+        # only 2 keepers < min_lines=3 → rejected
+        (4, "One good long sentence that ends properly here.\n"
+            "Two good long sentence that ends properly here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.c4_filter(df, "text", "doc_id").collect()
+    }
+    assert out[1]["keep"] and out[1]["n_kept_lines"] == 3 and out[1]["n_lines"] == 5
+    assert "Too short." not in out[1]["kept_text"]
+    assert "no terminal punctuation" not in out[1]["kept_text"]
+    assert not out[2]["keep"] and out[2]["has_lorem"]
+    assert not out[3]["keep"] and out[3]["has_brace"]
+    assert not out[4]["keep"] and out[4]["n_kept_lines"] == 2
+
+
+def test_unigram_lm_matches_python_oracle(spark):
+    import math
+
+    texts = {
+        10: "a a b c",
+        11: "a b b d",
+        12: "zz zz zz a",   # zz forced OOV by vocab_size=2
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.unigram_lm_scores(df, "text", "doc_id",
+                                     vocab_size=2, alpha=0.5).collect()
+    }
+    # python oracle: counts a=4, b=3, zz=3, c=1, d=1; total=12
+    # vocab top-2 by (cnt desc, tok): a(4), b(3); zz, c, d OOV
+    toks_all = " ".join(texts.values()).split()
+    total = float(len(toks_all))
+    cnt = {t: toks_all.count(t) for t in set(toks_all)}
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    floor = round(math.log(0.5 / total), 12)
+    for did, text in texts.items():
+        lps = [
+            round(math.log(vocab[t] / total), 12) if t in vocab else floor
+            for t in text.split()
+        ]
+        avg = sum(lps) / len(lps)
+        assert out[did]["n_tokens"] == len(lps)
+        assert out[did]["avg_logprob"] == pytest.approx(round(avg, 6), abs=1e-9)
+        assert out[did]["perplexity"] == pytest.approx(round(math.exp(-avg), 4), abs=1e-6)
+    # OOV-heavy doc must score worse (higher perplexity) than in-vocab docs
+    assert out[12]["perplexity"] > out[10]["perplexity"]
+
+
+def test_length_percentiles_interpolation(spark):
+    # one group, values 10..13: p50 of 4 values = 11.5 (linear interpolation)
+    df = spark.createDataFrame(
+        [("en", v) for v in (10, 11, 12, 13)], "lang string, n_chars int"
+    )
+    row = T.length_percentiles(df, "n_chars", "lang").collect()[0]
+    assert row["n_docs"] == 4
+    assert row["p25"] == 10.75
+    assert row["p50"] == 11.5
+    assert row["p75"] == 12.25
+    assert row["p90"] == pytest.approx(12.7)
+    assert row["mean_val"] == 11.5
