@@ -98,6 +98,8 @@ QUERY_NAMES = [
     "c4_quality_filter",
     "unigram_lm_ppl",
     "doc_length_stats",
+    "frontier_hygiene",
+    "host_budget_cap",
 ]
 
 

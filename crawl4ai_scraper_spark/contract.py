@@ -1788,6 +1788,103 @@ def decontaminate_ngrams(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Frontier hygiene (crawler-trap defenses) + per-host budget cap
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "frontier_hygiene",
+    """WITH u AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+             || repeat('/s' || CAST(doc_id % 7 AS VARCHAR),
+                       CAST(1 + doc_id % 6 AS INT))
+             || CASE WHEN doc_id % 17 = 0 THEN '/img.jpg' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN '?a=1&b=2&c=3&d=4&e=5'
+                     WHEN doc_id % 3 = 0 THEN '?a=1' ELSE '' END AS url
+      FROM documents
+    ), p AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''),
+                            '[?#].*$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM u
+    ), s AS (
+      SELECT doc_id, url, path,
+             list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+             CASE WHEN qs = '' THEN 0
+                  ELSE len(string_split(qs, '&')) END AS n_params
+      FROM p
+    )
+    SELECT doc_id, url,
+           length(url) > 45 AS too_long,
+           len(segs) > 4 AS too_deep,
+           n_params > 3 AS too_many_params,
+           (len(segs) - len(list_distinct(segs))) > 2 AS loop_suspect,
+           regexp_matches(lower(path),
+               '\\.(jpg|jpeg|png|gif|webp|ico|svg|css|js|mp3|mp4|avi|mov|zip|gz|tar|rar|7z|exe|dmg|iso|pdf|doc|docx|ppt|xls)$')
+               AS blocked_ext,
+           (length(url) <= 45 AND len(segs) <= 4 AND n_params <= 3
+            AND (len(segs) - len(list_distinct(segs))) <= 2
+            AND NOT regexp_matches(lower(path),
+                '\\.(jpg|jpeg|png|gif|webp|ico|svg|css|js|mp3|mp4|avi|mov|zip|gz|tar|rar|7z|exe|dmg|iso|pdf|doc|docx|ppt|xls)$'))
+               AS keep
+    FROM s""",
+)
+def frontier_hygiene(spark, sf):
+    """Crawler-trap defenses over a deterministically trap-seeded synthetic
+    frontier (repeated path segments, query-param explosions, asset
+    extensions, over-long URLs): every flag is a pure Column predicate —
+    frontier candidates are screened at scan speed BEFORE the seen-set
+    anti-join, because a trap mints unbounded NEW urls the anti-join alone
+    cannot contain."""
+    from crawl4ai_scraper_spark.plans.politeness import hygiene_flags
+
+    seg = F.concat(F.lit("/s"), (F.col("doc_id") % 7).cast("string"))
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example"),
+        F.repeat(seg, (F.lit(1) + F.col("doc_id") % 6).cast("int")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("/img.jpg")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("?a=1&b=2&c=3&d=4&e=5"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    flags = hygiene_flags(
+        F.col("url"), max_url_len=45, max_path_depth=4,
+        max_query_params=3, max_repeated_segments=2,
+    )
+    order = ["too_long", "too_deep", "too_many_params", "loop_suspect", "blocked_ext"]
+    keep = F.lit(True)
+    for k in order:
+        keep = keep & ~flags[k]
+    return docs.select(
+        "doc_id", "url", *[flags[k].alias(k) for k in order], keep.alias("keep")
+    )
+
+
+@_q(
+    "host_budget_cap",
+    """SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id % 5 ORDER BY doc_id) <= 30""",
+)
+def host_budget_cap_q(spark, sf):
+    """Per-host frontier fairness cap: first 30 candidates per host in
+    arrival order, via the skew-proof two-phase bucketed rank (bucket_size
+    64 here so even the small contract input exercises the multi-bucket
+    offset path); the oracle is the naive window it must equal."""
+    from crawl4ai_scraper_spark.plans.politeness import host_budget_cap
+
+    fr = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("host"),
+        F.col("doc_id").alias("arrival_rank"),
+    )
+    return host_budget_cap(fr, 30, bucket_size=64).select("doc_id", "host")
+
+
+# ---------------------------------------------------------------------------
 # C4 cleaning, CCNet-style LM scoring, corpus length distribution
 # ---------------------------------------------------------------------------
 

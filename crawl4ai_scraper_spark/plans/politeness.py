@@ -155,3 +155,101 @@ def virtual_schedule(
         )
         .drop("crawl_delay", "_b", "_off")
     )
+
+
+def bucketed_rank(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    bucket_size: int = 1 << 16,
+    out_col: str = "_rank",
+) -> DataFrame:
+    """Skew-proof per-group rank (the virtual_schedule two-phase trick as a
+    reusable primitive): per-(group, bucket) counts → running offsets over
+    bucket IDS, plus a local row_number bounded by ``bucket_size`` rows per
+    window partition. Identical to ``row_number() OVER (PARTITION BY group
+    ORDER BY order_col)`` when ``order_col`` is globally unique, without
+    ever sorting a hot group's 10^8 rows in one partition."""
+    df = df.withColumn("_b", (F.col(order_col) / bucket_size).cast("long"))
+    offsets = (
+        df.groupBy(part_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy(part_col).orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(part_col, "_b", "_off")
+    )
+    local = F.row_number().over(
+        Window.partitionBy(part_col, "_b").orderBy(order_col)
+    )
+    return (
+        df.join(offsets, [part_col, "_b"])
+        .withColumn(out_col, (F.col("_off") + local).cast("long"))
+        .drop("_b", "_off")
+    )
+
+
+def host_budget_cap(
+    frontier: DataFrame,
+    max_per_host: int,
+    host_col: str = "host",
+    order_col: str = "arrival_rank",
+    bucket_size: int = 1 << 16,
+) -> DataFrame:
+    """Per-host frontier budget: keep each host's first ``max_per_host``
+    candidates in arrival order (fairness cap — one huge site must not
+    monopolize a crawl round). Built on the bucketed rank so a host holding
+    30% of a 10^10-URL frontier still ranks in bounded partitions."""
+    ranked = bucketed_rank(
+        frontier, host_col, order_col, bucket_size=bucket_size, out_col="_host_rank"
+    )
+    return ranked.filter(F.col("_host_rank") <= max_per_host).drop("_host_rank")
+
+
+# Media/asset extensions a text crawl never fetches.
+BLOCKED_EXTENSIONS = (
+    "jpg|jpeg|png|gif|webp|ico|svg|css|js|mp3|mp4|avi|mov|"
+    "zip|gz|tar|rar|7z|exe|dmg|iso|pdf|doc|docx|ppt|xls"
+)
+
+
+def hygiene_flags(url: F.Column, *, max_url_len: int = 2048,
+                  max_path_depth: int = 16, max_query_params: int = 8,
+                  max_repeated_segments: int = 2) -> dict:
+    """Crawler-trap heuristics as pure Column predicates (no UDF, scan
+    speed): over-long URLs, calendar/faceted-search query explosions,
+    path-loop traps (/a/b/a/b/a/b — repeated path segments), excessive path
+    depth, and binary/asset extensions. These guard the frontier BEFORE the
+    seen-set: a trap generates unbounded NEW urls, so the anti-join alone
+    cannot contain it."""
+    path_q = F.regexp_replace(url, "^[a-z]+://[^/]*", "")
+    path = F.regexp_replace(path_q, "[?#].*$", "")
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    qs = F.regexp_extract(url, "\\?([^#]*)", 1)
+    n_params = F.when(qs == "", F.lit(0)).otherwise(F.size(F.split(qs, "&")))
+    return {
+        "too_long": F.length(url) > max_url_len,
+        "too_deep": F.size(segs) > max_path_depth,
+        "too_many_params": n_params > max_query_params,
+        "loop_suspect": (F.size(segs) - F.size(F.array_distinct(segs)))
+        > max_repeated_segments,
+        "blocked_ext": F.lower(path).rlike(
+            f"\\.({BLOCKED_EXTENSIONS})$"
+        ),
+    }
+
+
+def hygiene_filter(candidates: DataFrame, url_col: str = "child_url",
+                   **limits) -> DataFrame:
+    """Drop frontier candidates that trip any hygiene flag."""
+    flags = hygiene_flags(F.col(url_col), **limits)
+    keep = ~flags["too_long"]
+    for name in ("too_deep", "too_many_params", "loop_suspect", "blocked_ext"):
+        keep = keep & ~flags[name]
+    return candidates.filter(keep)

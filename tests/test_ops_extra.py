@@ -640,3 +640,47 @@ def test_length_percentiles_interpolation(spark):
     assert row["p75"] == 12.25
     assert row["p90"] == pytest.approx(12.7)
     assert row["mean_val"] == 11.5
+
+
+# ---------------------------------------------------------------------------
+# Frontier hygiene + host budget cap
+# ---------------------------------------------------------------------------
+
+def test_hygiene_flags_planted_traps(spark):
+    from crawl4ai_scraper_spark.plans.politeness import hygiene_filter
+
+    urls = [
+        (1, "https://ok.example/docs/guide"),                      # clean
+        (2, "https://t.example/a/b/a/b/a/b/a"),                    # loop trap
+        (3, "https://t.example/img/photo.JPG"),                    # asset ext
+        (4, "https://t.example/p?" + "&".join(f"k{i}=v" for i in range(12))),  # param blowup
+        (5, "https://t.example/" + "/".join(f"d{i}" for i in range(20))),      # too deep
+        (6, "https://t.example/x?page=" + "9" * 3000),             # over-long
+    ]
+    df = spark.createDataFrame(urls, "id long, child_url string")
+    kept = [r["id"] for r in hygiene_filter(df).select("id").collect()]
+    assert kept == [1]
+
+
+def test_host_budget_cap_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    from crawl4ai_scraper_spark.plans.politeness import host_budget_cap
+
+    # skewed hosts: host h0 gets ~70% of arrivals; bucket_size=16 forces the
+    # multi-bucket offset path
+    rows = [(i, f"h{0 if i % 10 < 7 else i % 10}", i) for i in range(1000)]
+    fr = spark.createDataFrame(rows, "id long, host string, arrival_rank long")
+    got = {
+        r["id"]
+        for r in host_budget_cap(fr, 25, bucket_size=16).select("id").collect()
+    }
+    w = Window.partitionBy("host").orderBy("arrival_rank")
+    want = {
+        r["id"]
+        for r in fr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("id")
+        .collect()
+    }
+    assert got == want and len(got) == 25 * 4  # h0,h7,h8,h9 all hit the cap
