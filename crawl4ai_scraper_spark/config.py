@@ -83,6 +83,17 @@ class CrawlJobConfig:
     # Priority mode: "fifo" replicates the reference's BFS queue exactly;
     # "priority" orders each round by (priority desc, arrival) — our extension.
     frontier_order: str = "fifo"
+    # Frontier hygiene (crawler-trap defenses, plans/politeness.hygiene_flags)
+    # and the per-host fairness cap. BOTH default off: the reference has no
+    # such screens, and crawl-order/seen-set parity is defined without them.
+    hygiene_enabled: bool = False
+    hygiene_max_url_len: int = 2048
+    hygiene_max_path_depth: int = 16
+    hygiene_max_query_params: int = 8
+    hygiene_max_repeated_segments: int = 2
+    # Max NEW urls enqueued per host per round (0 = unlimited). Applied to
+    # first-appender survivors via the skew-proof bucketed rank.
+    max_new_urls_per_host_round: int = 0
 
     def dump(self, path: Path) -> None:
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -46,7 +46,11 @@ from crawl4ai_scraper_spark.functions.udfs import (
     visit_and_expand,
 )
 from crawl4ai_scraper_spark.plans.bloom import AnyBloom, might_contain_col
-from crawl4ai_scraper_spark.plans.politeness import robots_filter
+from crawl4ai_scraper_spark.plans.politeness import (
+    host_budget_cap,
+    hygiene_filter,
+    robots_filter,
+)
 from crawl4ai_scraper_spark.plans.ranking import global_rank
 from crawl4ai_scraper_spark.sources.pages import with_pbucket
 
@@ -304,6 +308,17 @@ def run_round(
     if not cfg.include_external:
         candidates = candidates.filter(F.col("child_domain") == F.lit(seed_domain))
     candidates = robots_filter(candidates, host_rules)
+    if cfg.hygiene_enabled:
+        # trap defenses BEFORE the first-appender shuffle: cheap scan-side
+        # predicates that shrink the groupBy input (a trap's minted URLs are
+        # exactly the rows that would otherwise flood it)
+        candidates = hygiene_filter(
+            candidates, "child_url",
+            max_url_len=cfg.hygiene_max_url_len,
+            max_path_depth=cfg.hygiene_max_path_depth,
+            max_query_params=cfg.hygiene_max_query_params,
+            max_repeated_segments=cfg.hygiene_max_repeated_segments,
+        )
 
     # ---- first-appender-wins (O-17/O-25): min(struct) keeps the earliest
     # (parent_seq, link_pos); partial aggregation combines hot children
@@ -329,6 +344,19 @@ def run_round(
         survivors = needs_check.join(seen, "child_url", "left_anti").unionByName(definitely_new)
     else:
         survivors = first.join(seen, "child_url", "left_anti")
+
+    if cfg.max_new_urls_per_host_round > 0:
+        # per-host fairness cap on NEW enqueues, in first-appearance order.
+        # link_pos < 2^20 per page (a page with a million links died in
+        # hygiene long before), so the packed order key is collision-free.
+        survivors = host_budget_cap(
+            survivors.withColumn(
+                "_order", F.col("parent_seq") * F.lit(1 << 20) + F.col("link_pos")
+            ),
+            cfg.max_new_urls_per_host_round,
+            host_col="child_host",
+            order_col="_order",
+        ).drop("_order")
 
     # ---- next-round queue order (O-24): two-phase global rank, FIFO by
     # (parent's global seq, in-page link position); "priority" mode (our

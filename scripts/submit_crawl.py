@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--import-config", metavar="PATH",
                    help="import a config file into the store and exit")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--hygiene", action="store_true",
+                   help="enable crawler-trap hygiene screens on the frontier")
+    p.add_argument("--host-cap", type=int, default=None,
+                   help="max NEW urls enqueued per host per round (fairness cap)")
     return p.parse_args(argv)
 
 
@@ -141,6 +145,10 @@ def main(argv=None):
         cfg.exclude_css_selectors = args.exclude_css_selector
     if args.shuffle_partitions:
         cfg.shuffle_partitions = args.shuffle_partitions
+    if args.hygiene:
+        cfg.hygiene_enabled = True
+    if args.host_cap is not None:
+        cfg.max_new_urls_per_host_round = args.host_cap
 
     if args.save_config:
         store.save(args.save_config, cfg)

@@ -302,3 +302,44 @@ def test_old_format_checkpoint_refuses_resume(spark, pages3, web3, chk_dir):
     j.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="layout format"):
         run_crawl(spark, pages3, SEED, cfg, chk_dir, resume=True, use_bloom=False)
+
+
+def test_hygiene_enabled_noop_parity(spark, pages3, web3, chk_dir):
+    """hygiene_enabled=True with default limits must not perturb parity on a
+    trap-free corpus (the screens only remove trap-shaped URLs)."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=2, max_pages=40, hygiene_enabled=True)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
+def test_host_cap_bounds_round_enqueues(spark, pages3, web3, chk_dir):
+    """max_new_urls_per_host_round caps every committed round's frontier at
+    N per host, keeps first-appearance order (the kept set is a prefix of
+    the uncapped per-host order), and the crawl still completes."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.plans.checkpoint import latest_round, read_frontier
+
+    cap = 4
+    cfg = CrawlJobConfig(max_depth=3, max_pages=100,
+                         max_new_urls_per_host_round=cap)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir)
+    assert res.visited.count() > 0
+    last = latest_round(chk_dir)
+    assert last >= 1
+    for rnd in range(1, last + 1):
+        fr = read_frontier(spark, chk_dir, rnd)
+        per_host = fr.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+        assert all(r["n"] <= cap for r in per_host), f"round {rnd} exceeds cap"
+
+    # prefix property vs the uncapped crawl at round 1 (children of the seed)
+    chk2 = chk_dir + "_uncapped"
+    cfg2 = CrawlJobConfig(max_depth=3, max_pages=100)
+    run_crawl(spark, pages3, SEED, cfg2, chk2)
+    capped = read_frontier(spark, chk_dir, 1).orderBy("arrival_rank")
+    uncapped = read_frontier(spark, chk2, 1).orderBy("arrival_rank")
+    for host in {r["host"] for r in capped.select("host").distinct().collect()}:
+        c = [r["url"] for r in capped.filter(F.col("host") == host).collect()]
+        u = [r["url"] for r in uncapped.filter(F.col("host") == host).collect()]
+        assert c == u[: len(c)], f"host {host}: capped set is not an order-prefix"
