@@ -343,3 +343,49 @@ def test_host_cap_bounds_round_enqueues(spark, pages3, web3, chk_dir):
         c = [r["url"] for r in capped.filter(F.col("host") == host).collect()]
         u = [r["url"] for r in uncapped.filter(F.col("host") == host).collect()]
         assert c == u[: len(c)], f"host {host}: capped set is not an order-prefix"
+
+
+def test_hygiene_blocks_planted_traps(spark, chk_dir):
+    """A hand-built corpus with real trap links (path loop, asset, query
+    explosion): hygiene off → the crawl walks into the trap chain; hygiene
+    on → only the clean pages are ever enqueued or visited."""
+    import datetime as dt
+
+    from crawl4ai_scraper_spark.sources.pages import with_pbucket
+
+    host = "trap.example"
+
+    def page(path, links):
+        body = "".join(f'<a href="{l}">l</a>' for l in links)
+        html = (f"<html><head><title>p</title></head><body>"
+                f"<p>Intro text for {path} page here.</p>{body}</body></html>")
+        return (f"https://{host}{path}", dt.datetime(2025, 1, 1),
+                html.encode(), "t", "en")
+
+    trap = "/a/b/a/b/a/b/a"  # repeated-segment loop shape
+    rows = [
+        page("/", ["/good", trap, "/logo.png",
+                   "/q?" + "&".join(f"k{i}=1" for i in range(12))]),
+        page("/good", ["/good2"]),
+        page("/good2", []),
+        page(trap, [trap + "/a/b"]),  # the trap keeps minting deeper URLs
+        page(trap + "/a/b", []),
+    ]
+    pages = with_pbucket(
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ),
+        8,
+    )
+    seed = f"https://{host}/"
+
+    off = run_crawl(spark, pages, seed, CrawlJobConfig(max_depth=3, max_pages=50),
+                    chk_dir + "_off", n_buckets=8, extract=False)
+    visited_off = {r["url"] for r in off.visited.select("url").collect()}
+    assert any("/a/b/a/b" in u for u in visited_off), "trap not walked when unguarded"
+
+    on = run_crawl(spark, pages, seed,
+                   CrawlJobConfig(max_depth=3, max_pages=50, hygiene_enabled=True),
+                   chk_dir + "_on", n_buckets=8, extract=False)
+    visited_on = {r["url"] for r in on.visited.select("url").collect()}
+    assert visited_on == {seed, f"https://{host}/good", f"https://{host}/good2"}
