@@ -100,6 +100,8 @@ QUERY_NAMES = [
     "doc_length_stats",
     "frontier_hygiene",
     "host_budget_cap",
+    "ccnet_quality_buckets",
+    "mixture_rebalance",
 ]
 
 

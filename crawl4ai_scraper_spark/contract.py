@@ -1929,9 +1929,8 @@ def c4_quality_filter(spark, sf):
     )
 
 
-@_q(
-    "unigram_lm_ppl",
-    """WITH w AS (SELECT doc_id,
+# Shared by unigram_lm_ppl and ccnet_quality_buckets.
+_UNIGRAM_SQL = """WITH w AS (SELECT doc_id,
            string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
     t AS (SELECT doc_id, UNNEST(w) AS tok FROM w),
     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
@@ -1945,8 +1944,10 @@ def c4_quality_filter(spark, sf):
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
            ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS perplexity
-    FROM s GROUP BY doc_id""",
-)
+    FROM s GROUP BY doc_id"""
+
+
+@_q("unigram_lm_ppl", _UNIGRAM_SQL)
 def unigram_lm_ppl(spark, sf):
     """CCNet-style unigram-LM document scoring: top-30 vocabulary fit on the
     corpus (TakeOrdered, no global sort), broadcast into the token stream,
@@ -1954,6 +1955,61 @@ def unigram_lm_ppl(spark, sf):
     summed in DECIMAL so the mean is order-free in both engines."""
     return T.unigram_lm_scores(
         _t(spark, sf, "documents"), "text", "doc_id", vocab_size=30, alpha=0.5
+    )
+
+
+@_q(
+    "ccnet_quality_buckets",
+    f"""WITH u AS ({_UNIGRAM_SQL}),
+    cuts AS (SELECT ROUND(quantile_cont(perplexity, 1.0/3), 6) AS c1,
+                    ROUND(quantile_cont(perplexity, 2.0/3), 6) AS c2 FROM u)
+    SELECT doc_id, perplexity,
+           CASE WHEN perplexity <= c1 THEN 'head'
+                WHEN perplexity <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM u CROSS JOIN cuts""",
+)
+def ccnet_quality_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing by unigram-LM perplexity terciles —
+    the cut points come from a 2-value exact-percentile aggregate broadcast
+    back into the scored frame (NOT a whole-corpus ntile window: no single
+    partition ever orders the corpus)."""
+    return T.quality_buckets(
+        _t(spark, sf, "documents"), "text", "doc_id", vocab_size=30, alpha=0.5
+    )
+
+
+@_q(
+    "mixture_rebalance",
+    """WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total FROM s),
+    t AS (SELECT s.*, total,
+                 -- CAST: DuckDB types this CASE as DECIMAL(2,1), Spark map
+                 -- values are DOUBLE
+                 CAST(CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                                  WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                                  ELSE 0.0 END AS DOUBLE) AS target_share
+          FROM s CROSS JOIN tot)
+    SELECT source, n_docs, tokens,
+           ROUND(tokens / total, 6) AS actual_share,
+           target_share,
+           ROUND(LEAST(1.0, target_share * total / tokens), 6) AS keep_rate,
+           ROUND(target_share * total / tokens, 4) AS oversample_factor
+    FROM t""",
+)
+def mixture_rebalance(spark, sf):
+    """Data-mixture rebalancing: per-source token shares vs a target mixture
+    (src0..src3 at 40/30/20/10%, the rest dropped) → deterministic keep
+    rates for the hash_sample pass; one map-side-combined groupBy(source) +
+    a scalar total broadcast."""
+    return T.mixture_weights(
+        _t(spark, sf, "documents"), "source", "text",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
     )
 
 

@@ -608,3 +608,75 @@ def length_percentiles(
         F.round(F.percentile(v, F.lit(0.75)), 6).alias("p75"),
         F.round(F.percentile(v, F.lit(0.9)), 6).alias("p90"),
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing: score every doc with the
+    unigram LM, compute the corpus perplexity terciles, and label each doc
+    by which side of the cuts it falls on.
+
+    The scale-relevant part is HOW the terciles are applied: not a global
+    ``ntile(3)`` window (one partition sorting the whole corpus) but a
+    2-value percentile aggregate broadcast back into the scan — the
+    compute-thresholds-then-broadcast pattern that replaces any
+    whole-corpus-ordering window at 100 TB."""
+    scored = unigram_lm_scores(df, text_col, id_col, vocab_size, alpha)
+    cuts = scored.agg(
+        F.round(F.percentile(F.col("perplexity"), F.lit(1.0 / 3)), 6).alias("c1"),
+        F.round(F.percentile(F.col("perplexity"), F.lit(2.0 / 3)), 6).alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        F.col("perplexity"),
+        F.when(F.col("perplexity") <= F.col("c1"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    targets: Dict[str, float],
+) -> DataFrame:
+    """Data-mixture rebalancing (Pile/Dolma-style): given target corpus
+    shares per source, compute each source's actual token share and the
+    per-source keep rate (≤1) that realizes the target under downsampling;
+    ``oversample_factor`` reports how far above 1× an undersized source
+    would need replication. Feed ``keep_rate`` into ``hash_sample`` for the
+    deterministic filter pass.
+
+    One groupBy(source) aggregate (map-side combined) + a scalar total
+    broadcast back — sources number in the dozens, so every join side after
+    the first agg is tiny."""
+    tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), "\\s+")))
+    stats = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).alias("tokens"),
+    )
+    total = stats.agg(F.sum("tokens").cast("double").alias("_total"))
+    pairs = []
+    for k in sorted(targets):
+        pairs += [F.lit(k), F.lit(float(targets[k]))]
+    tmap = F.create_map(*pairs)
+    tgt = F.coalesce(tmap[F.col(source_col)], F.lit(0.0))
+    raw = tgt * F.col("_total") / F.col("tokens")
+    return stats.crossJoin(F.broadcast(total)).select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.col("tokens"),
+        F.round(F.col("tokens") / F.col("_total"), 6).alias("actual_share"),
+        tgt.alias("target_share"),
+        F.round(F.least(F.lit(1.0), raw), 6).alias("keep_rate"),
+        F.round(raw, 4).alias("oversample_factor"),
+    )

@@ -684,3 +684,34 @@ def test_host_budget_cap_equals_naive_window(spark):
         .collect()
     }
     assert got == want and len(got) == 25 * 4  # h0,h7,h8,h9 all hit the cap
+
+
+def test_quality_buckets_order_consistent(spark):
+    # 9 docs with graded OOV fractions → strictly ordered perplexities
+    rows = [(i, " ".join(["common"] * (9 - i) + [f"rare{i}x{j}" for j in range(i)]))
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.quality_buckets(df, "text", "doc_id", vocab_size=1).collect()
+    by_ppl = sorted(out, key=lambda r: r["perplexity"])
+    labels = [r["bucket"] for r in by_ppl]
+    # buckets are contiguous runs head → middle → tail over the ppl order
+    assert labels == sorted(labels, key=["head", "middle", "tail"].index)
+    assert {"head", "middle", "tail"} == set(labels)
+    # the lowest-perplexity doc is the all-in-vocab one
+    assert by_ppl[0]["doc_id"] == 0
+
+
+def test_mixture_weights_known(spark):
+    rows = [("a", "w " * 80), ("a", "w " * 20),   # a: 100 tokens
+            ("b", "w " * 50),                     # b: 50
+            ("c", "w " * 50)]                     # c: 50
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in
+           T.mixture_weights(df, "source", "text", {"a": 0.25, "b": 0.5}).collect()}
+    assert out["a"]["tokens"] == 100 and out["a"]["actual_share"] == 0.5
+    # a: target 0.25 of 200 = 50 tokens from 100 → keep half
+    assert out["a"]["keep_rate"] == 0.5
+    # b: target 0.5 of 200 = 100 from 50 → capped at 1, oversample 2×
+    assert out["b"]["keep_rate"] == 1.0 and out["b"]["oversample_factor"] == 2.0
+    # c: no target → dropped
+    assert out["c"]["keep_rate"] == 0.0 and out["c"]["target_share"] == 0.0
