@@ -102,6 +102,7 @@ QUERY_NAMES = [
     "host_budget_cap",
     "ccnet_quality_buckets",
     "mixture_rebalance",
+    "sequence_pack",
 ]
 
 

@@ -2014,6 +2014,38 @@ def mixture_rebalance(spark, sf):
 
 
 @_q(
+    "sequence_pack",
+    """WITH n AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cum_before
+      FROM n)
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // 512 AS seq_id,
+           cum_before % 512 AS offset_in_seq
+    FROM c""",
+)
+def sequence_pack_q(spark, sf):
+    """Training-sequence packing layout: docs laid end-to-end in doc_id
+    order into 512-token sequences. The oracle's single-partition
+    ``SUM OVER (ORDER BY)`` is replaced by the two-phase bucketed global
+    cumsum (bucket_size=64 here so even the contract input crosses
+    buckets); integer math end to end."""
+    from crawl4ai_scraper_spark.operators.packing import sequence_pack
+
+    docs = _t(spark, sf, "documents")
+    return sequence_pack(docs, "doc_id", T.token_count_ws(F.col("text")),
+                         seq_len=512, bucket_size=64)
+
+
+@_q(
     "doc_length_stats",
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(AVG(n_chars), 6) AS mean_val,

@@ -715,3 +715,25 @@ def test_mixture_weights_known(spark):
     assert out["b"]["keep_rate"] == 1.0 and out["b"]["oversample_factor"] == 2.0
     # c: no target → dropped
     assert out["c"]["keep_rate"] == 0.0 and out["c"]["target_share"] == 0.0
+
+
+def test_sequence_pack_matches_python_cumsum(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 300)) for i in range(0, 2000, 3)]  # gappy ids
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(8)
+    out = {
+        r["doc_id"]: r
+        for r in __import__(
+            "crawl4ai_scraper_spark.operators.packing", fromlist=["sequence_pack"]
+        ).sequence_pack(df, "doc_id", F.col("n"), seq_len=256, bucket_size=32).collect()
+    }
+    cum = 0
+    for i, n in rows:  # rows are already in doc_id order
+        r = out[i]
+        assert (r["cum_before"], r["seq_id"], r["offset_in_seq"]) == (
+            cum, cum // 256, cum % 256
+        ), f"doc {i}"
+        cum += n
+    assert max(r["seq_id"] for r in out.values()) > 5  # actually spans sequences
