@@ -103,6 +103,7 @@ QUERY_NAMES = [
     "ccnet_quality_buckets",
     "mixture_rebalance",
     "sequence_pack",
+    "crawl_snapshot_delta",
 ]
 
 

@@ -2014,6 +2014,39 @@ def mixture_rebalance(spark, sf):
 
 
 @_q(
+    "crawl_snapshot_delta",
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+    n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           -- the operator compares md5(content); equal-hash ⇔ equal-text here
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed'
+                ELSE 'same' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+)
+def crawl_snapshot_delta(spark, sf):
+    """Recrawl snapshot diff over two deterministic slices of the corpus
+    (doc_id%11 dropped from old → added; doc_id%7 dropped from new →
+    removed; doc_id%5 rewritten → changed): full-outer key join comparing
+    md5 content hashes — the content itself never shuffles."""
+    from crawl4ai_scraper_spark.operators.temporal import snapshot_delta
+
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_delta(old, new, "doc_id", "text")
+
+
+@_q(
     "sequence_pack",
     """WITH n AS (
       SELECT doc_id,

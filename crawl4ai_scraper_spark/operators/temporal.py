@@ -109,3 +109,33 @@ def latest_revision(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> Data
                        *[F.col(c) for c in others if c not in (ts_col, tiebreak)])).alias("r")
     )
     return packed.select(key, *[F.col(f"r.{c}").alias(c) for c in others])
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    content_col: str,
+) -> DataFrame:
+    """Recrawl snapshot diff: classify every URL across two crawl snapshots
+    as ``added`` (new only), ``removed`` (old only), ``changed`` (content
+    hash differs), or ``same``. The scheduling signal for incremental
+    recrawls — changed/added urls feed the next frontier with priority.
+
+    One full-outer equi-join on the key, hash comparison on md5(content):
+    co-partitioned by the join key, no skew (urls are unique per side), and
+    the content column never shuffles — only its 32-char hash does."""
+    o = old.select(
+        F.col(key), F.md5(F.col(content_col).cast("binary")).alias("_oh")
+    )
+    n = new.select(
+        F.col(key), F.md5(F.col(content_col).cast("binary")).alias("_nh")
+    )
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(F.col(key), status.alias("status"))

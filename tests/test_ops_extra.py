@@ -737,3 +737,17 @@ def test_sequence_pack_matches_python_cumsum(spark):
         ), f"doc {i}"
         cum += n
     assert max(r["seq_id"] for r in out.values()) > 5  # actually spans sequences
+
+
+def test_snapshot_delta_statuses(spark):
+    from crawl4ai_scraper_spark.operators.temporal import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, body string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "b"), ("u3", "CHANGED"), ("u4", "d")], "url string, body string"
+    )
+    got = {r["url"]: r["status"]
+           for r in snapshot_delta(old, new, "url", "body").collect()}
+    assert got == {"u1": "removed", "u2": "same", "u3": "changed", "u4": "added"}
