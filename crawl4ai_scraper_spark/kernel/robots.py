@@ -79,3 +79,41 @@ def parse_robots(text: str, agent: str = "*") -> Tuple[Optional[float], List[str
         if hit:
             return delay, dis
     return None, []
+
+
+def parse_sitemaps(text: str) -> List[str]:
+    """``Sitemap:`` directive URLs from a robots.txt body. Per the REP these
+    are GLOBAL (independent of any user-agent group), so they are collected
+    from every line; order preserved, duplicates dropped."""
+    out: List[str] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            url = val.strip()
+            if url not in out:
+                out.append(url)
+    return out
+
+
+def urls_from_sitemap_xml(body: str) -> List[str]:
+    """``<loc>`` entries of a sitemap (or sitemap-index) XML document, in
+    document order, entity-unescaped, deduped. A full XML parser is
+    deliberately avoided: real-world sitemaps are frequently ill-formed, and
+    the ``<loc>`` scrape is what production crawlers (and Common Crawl's own
+    tooling) do."""
+    import re
+
+    out: List[str] = []
+    for m in re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", body or "", re.IGNORECASE):
+        url = (
+            m.group(1)
+            .replace("&amp;", "&")
+            .replace("&lt;", "<")
+            .replace("&gt;", ">")
+            .replace("&quot;", '"')
+            .replace("&apos;", "'")
+        )
+        if url not in out:
+            out.append(url)
+    return out

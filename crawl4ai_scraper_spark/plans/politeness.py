@@ -253,3 +253,66 @@ def hygiene_filter(candidates: DataFrame, url_col: str = "child_url",
     for name in ("too_deep", "too_many_params", "loop_suspect", "blocked_ext"):
         keep = keep & ~flags[name]
     return candidates.filter(keep)
+
+
+def sitemaps_from_robots(pages: DataFrame) -> DataFrame:
+    """(host, sitemap_url) rows from the ``Sitemap:`` directives of stored
+    robots.txt documents — same pushed-down robots scan as
+    ``rules_from_robots``, Arrow-side parse, tiny output."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
+    from crawl4ai_scraper_spark.kernel.robots import parse_sitemaps
+
+    robots = pages.filter(
+        F.col("url").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+    ).select("url", "html")
+
+    def _parse(batches):
+        from urllib.parse import urlparse
+
+        for pdf in batches:
+            hosts, sitemap_urls = [], []
+            for url, body in zip(pdf["url"], pdf["html"]):
+                host = urlparse(url).netloc
+                for sm in parse_sitemaps(decode_html(body)):
+                    hosts.append(host)
+                    sitemap_urls.append(sm)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": sitemap_urls})
+
+    return robots.mapInPandas(_parse, "host string, sitemap_url string").dropDuplicates(
+        ["host", "sitemap_url"]
+    )
+
+
+def seeds_from_sitemaps(pages: DataFrame, sitemaps: DataFrame) -> DataFrame:
+    """Expand stored sitemap documents into a seed-URL frame: the (tiny)
+    sitemap-url list is broadcast against the pages scan (needles into the
+    haystack, like the fetch join), each hit's ``<loc>`` entries scraped in
+    one Arrow pass. Single-level: sitemap-INDEX entries come back as rows
+    too and can be fed through a second call. Output: (host, sitemap_url,
+    seed_url, loc_pos)."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
+    from crawl4ai_scraper_spark.kernel.robots import urls_from_sitemap_xml
+
+    hits = pages.select("url", "html").join(
+        F.broadcast(sitemaps.select("host", F.col("sitemap_url").alias("url"))),
+        "url",
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = {"host": [], "sitemap_url": [], "seed_url": [], "loc_pos": []}
+            for host, url, body in zip(pdf["host"], pdf["url"], pdf["html"]):
+                for i, loc in enumerate(urls_from_sitemap_xml(decode_html(body))):
+                    rows["host"].append(host)
+                    rows["sitemap_url"].append(url)
+                    rows["seed_url"].append(loc)
+                    rows["loc_pos"].append(i)
+            yield pd.DataFrame(rows)
+
+    return hits.mapInPandas(
+        _parse, "host string, sitemap_url string, seed_url string, loc_pos int"
+    )

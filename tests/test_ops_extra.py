@@ -751,3 +751,36 @@ def test_snapshot_delta_statuses(spark):
     got = {r["url"]: r["status"]
            for r in snapshot_delta(old, new, "url", "body").collect()}
     assert got == {"u1": "removed", "u2": "same", "u3": "changed", "u4": "added"}
+
+
+def test_sitemap_discovery_pipeline(spark):
+    from crawl4ai_scraper_spark.plans.politeness import (
+        seeds_from_sitemaps,
+        sitemaps_from_robots,
+    )
+
+    robots_body = (b"User-agent: *\nDisallow: /private\n"
+                   b"Sitemap: https://s.example/sitemap.xml\n"
+                   b"Sitemap: https://s.example/sitemap2.xml\n")
+    sm1 = (b"<?xml version='1.0'?><urlset>"
+           b"<url><loc>https://s.example/a</loc></url>"
+           b"<url><loc> https://s.example/b?x=1&amp;y=2 </loc></url></urlset>")
+    rows = [
+        ("https://s.example/robots.txt", robots_body),
+        ("https://s.example/sitemap.xml", sm1),
+        ("https://other.example/robots.txt", b"User-agent: *\nDisallow:\n"),
+        ("https://s.example/page", b"<html><body>x</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    sms = sitemaps_from_robots(pages)
+    got_sms = {(r["host"], r["sitemap_url"]) for r in sms.collect()}
+    assert got_sms == {("s.example", "https://s.example/sitemap.xml"),
+                       ("s.example", "https://s.example/sitemap2.xml")}
+
+    seeds = seeds_from_sitemaps(pages, sms).orderBy("loc_pos").collect()
+    # sitemap2.xml is not stored → contributes nothing; sitemap.xml yields 2
+    assert [r["seed_url"] for r in seeds] == [
+        "https://s.example/a", "https://s.example/b?x=1&y=2"
+    ]
+    assert all(r["host"] == "s.example" for r in seeds)
