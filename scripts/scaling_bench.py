@@ -139,8 +139,18 @@ def main():
         "(produced by `python bench.py`). Raw scaling JSON: rerun",
         "`python scripts/scaling_bench.py`.",
     ]
-    (REPO / "BENCH.md").write_text("\n".join(lines) + "\n")
-    print(f"wrote {REPO / 'BENCH.md'}")
+    # Preserve everything from the per-operator section on (written by hand
+    # from bench.py runs) — this script owns only the scaling section above.
+    bench_md = REPO / "BENCH.md"
+    tail = ""
+    if bench_md.exists():
+        old = bench_md.read_text()
+        for marker in ("## Per-operator timings", "## Host-variance disclosure"):
+            if marker in old:
+                tail = "\n\n" + old[old.index(marker):].rstrip() + "\n"
+                break
+    bench_md.write_text("\n".join(lines) + "\n" + tail)
+    print(f"wrote {bench_md}")
 
 
 if __name__ == "__main__":
