@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "mixture_rebalance",
     "sequence_pack",
     "crawl_snapshot_delta",
+    "sitemap_seed_expansion",
 ]
 
 

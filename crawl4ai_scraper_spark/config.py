@@ -74,6 +74,11 @@ class CrawlJobConfig:
     # 10^10-URL scale where a single bit array (~12 GB at 1% fpp) cannot
     # broadcast; 1 keeps the single-filter build (small/medium crawls).
     bloom_shards: int = 1
+    # URL-seen pre-filter family (north_rule: "Bloom/cuckoo"): "bloom" or
+    # "cuckoo". The cuckoo variant is denser (~2.4 bytes/key at fpp≈1.2e-4)
+    # and deletable (recrawl un-mark); always built sharded (cuckoo tables
+    # don't OR-merge, so each pmod slice builds whole inside one task).
+    seen_filter: str = "bloom"
     # Fetch-join strategy switch: a frontier smaller than this (rows) is
     # BROADCAST against the pages scan (needle-in-haystack: no pages shuffle,
     # partition/bloom pruning stays on the scan side); a bigger frontier falls

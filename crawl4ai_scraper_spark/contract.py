@@ -1884,6 +1884,81 @@ def host_budget_cap_q(spark, sf):
     return host_budget_cap(fr, 30, bucket_size=64).select("doc_id", "host")
 
 
+@_q(
+    "sitemap_seed_expansion",
+    """WITH sel AS (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                  AS BIGINT) AS loc_pos
+      FROM documents WHERE doc_id % 100 < 20)
+    SELECT source || '.example' AS host,
+           'https://' || source || '.example/sitemap.xml' AS sitemap_url,
+           'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 200 < 20 THEN '?a=1&b=2' ELSE '' END
+             AS seed_url,
+           loc_pos
+    FROM sel""",
+)
+def sitemap_seed_expansion(spark, sf):
+    """Sitemap discovery end-to-end: robots ``Sitemap:`` directives → broadcast
+    sitemap fetch join → ``<loc>`` scrape (plans/politeness.py
+    sitemaps_from_robots + seeds_from_sitemaps; REP sitemap semantics per
+    reference seed handling, main.py:247-269 analogue). Synthesizes a pages
+    table (one robots.txt + one sitemap.xml per source host) from
+    ``documents`` with the REAL Arrow-side parsers in the path; the oracle
+    constructs the expected (host, sitemap_url, seed_url, loc_pos) rows
+    directly. Duplicate/lowercase ``Sitemap:`` directives, comment lines,
+    ``<loc>`` whitespace trimming and ``&amp;`` entity-unescaping are all
+    exercised on the way."""
+    from crawl4ai_scraper_spark.plans.politeness import (
+        seeds_from_sitemaps,
+        sitemaps_from_robots,
+    )
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    robots_body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /private\nSitemap: https://"),
+        host,
+        F.lit("/sitemap.xml\nsitemap: https://"),
+        host,
+        F.lit("/sitemap.xml\n"),
+    )
+    robots = docs.select("source").distinct().select(
+        F.concat(F.lit("https://"), host, F.lit("/robots.txt")).alias("url"),
+        F.encode(robots_body, "UTF-8").alias("html"),
+    )
+    loc_entry = F.concat(
+        F.lit("<url><loc> https://"),
+        host,
+        F.lit("/docs/d"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 200 < 20, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        F.lit(" </loc></url>"),
+    )
+    per = docs.filter(F.col("doc_id") % 100 < 20).select(
+        "source", F.col("doc_id").alias("k"), loc_entry.alias("e")
+    )
+    sitemap_pages = per.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "e"))), lambda s: s["e"]
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("body")
+    ).select(
+        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias("url"),
+        F.encode(F.col("body"), "UTF-8").alias("html"),
+    )
+    pages = robots.unionByName(sitemap_pages)
+    seeds = seeds_from_sitemaps(pages, sitemaps_from_robots(pages))
+    return seeds.withColumn("loc_pos", F.col("loc_pos").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # C4 cleaning, CCNet-style LM scoring, corpus length distribution
 # ---------------------------------------------------------------------------

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from crawl4ai_scraper_spark.config import CrawlJobConfig
 from crawl4ai_scraper_spark.functions.udfs import EXTRACTED_SCHEMA, extract_documents
 from crawl4ai_scraper_spark.kernel.urls import extract_domain
-from crawl4ai_scraper_spark.plans.bloom import build_bloom, build_sharded_bloom
+from crawl4ai_scraper_spark.plans.bloom import (
+    build_bloom,
+    build_sharded_bloom,
+    build_sharded_cuckoo,
+)
 from crawl4ai_scraper_spark.plans.checkpoint import (
     commit_round,
     check_format,
@@ -184,12 +188,15 @@ def run_crawl(
         bloom = None
         if build_it:
             cap = max(cfg.bloom_capacity, enqueued_n * 2)
-            if cfg.bloom_shards > 1:
+            if cfg.seen_filter == "cuckoo":
+                bloom = build_sharded_cuckoo(enqueued, "url", capacity=cap,
+                                             n_shards=max(cfg.bloom_shards, 1))
+            elif cfg.bloom_shards > 1:
                 bloom = build_sharded_bloom(enqueued, "url", capacity=cap,
                                             fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards)
             else:
                 bloom = build_bloom(enqueued, "url", capacity=cap, fpp=cfg.bloom_fpp)
-            timer.lap("bloom build")
+            timer.lap("seen-filter build")
         rr = run_round(
             pages, frontier, enqueued, cfg, seed_domain,
             seq_base=seq_base, discovered_so_far=discovered_n,

@@ -81,6 +81,8 @@ def parse_args(argv=None):
                    help="enable crawler-trap hygiene screens on the frontier")
     p.add_argument("--host-cap", type=int, default=None,
                    help="max NEW urls enqueued per host per round (fairness cap)")
+    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default=None,
+                   help="URL-seen pre-filter family (north_rule Bloom/cuckoo)")
     return p.parse_args(argv)
 
 
@@ -149,6 +151,8 @@ def main(argv=None):
         cfg.hygiene_enabled = True
     if args.host_cap is not None:
         cfg.max_new_urls_per_host_round = args.host_cap
+    if args.seen_filter:
+        cfg.seen_filter = args.seen_filter
 
     if args.save_config:
         store.save(args.save_config, cfg)

@@ -25,6 +25,7 @@ SUBSET = [
     "multimodal_decode_meta",
     "segment_dedup",
     "decontaminate_ngrams",
+    "sitemap_seed_expansion",
 ]
 
 

@@ -287,6 +287,80 @@ def test_sharded_bloom_no_false_negatives(spark):
     assert (rt.probe_signed(hs) == sharded.probe_signed(hs)).all()
 
 
+def test_cuckoo_filter_unit():
+    """No false negatives, bounded fpp, state round-trip, deletion — the
+    north_rule's cuckoo alternative, pure-numpy path."""
+    import numpy as np
+
+    from crawl4ai_scraper_spark.plans.bloom import BloomFilter, CuckooFilter
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(-2**63, 2**63 - 1, size=20_000, dtype=np.int64))
+    cf = CuckooFilter.sized(len(keys), load=0.9)
+    cf.add_many(keys.view(np.uint64))
+    assert cf.probe_signed(keys).all()  # no false negatives, ever
+
+    other = np.setdiff1d(
+        rng.integers(-2**63, 2**63 - 1, size=50_000, dtype=np.int64), keys
+    )
+    assert cf.probe_signed(other).mean() < 0.005  # 16-bit fp → ~1.2e-4 expected
+
+    clone = BloomFilter.from_state(cf.state())  # the broadcast probe path
+    assert clone.probe_signed(keys).all()
+
+    victims, kept = keys[:500], keys[500:]
+    assert cf.delete_many(victims) == 500
+    assert cf.probe_signed(kept).all()  # deletion never false-negativizes others
+    assert cf.probe_signed(victims).mean() < 0.05  # residual hits = fp collisions
+
+
+def test_cuckoo_kick_and_stash_under_pressure():
+    """At ~0.98 load the bulk placement overflows into the kick loop (and
+    possibly the stash); membership must still be exact for added keys."""
+    import numpy as np
+
+    from crawl4ai_scraper_spark.plans.bloom import CuckooFilter
+
+    cf = CuckooFilter(n_buckets=64)  # 256 slots
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(-2**63, 2**63 - 1, size=250, dtype=np.int64))
+    cf.add_many(keys.view(np.uint64))
+    assert cf.probe_signed(keys).all()
+
+
+def test_sharded_cuckoo_build_no_false_negatives(spark):
+    """Distributed pmod-sharded cuckoo build + broadcast probe column."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.plans.bloom import (
+        BloomFilter, build_sharded_cuckoo, might_contain_col,
+    )
+
+    urls = spark.range(0, 5000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url")
+    )
+    cuckoo = build_sharded_cuckoo(urls, "url", capacity=10_000, n_shards=4)
+    probed = urls.withColumn("hit", might_contain_col(urls, cuckoo, "url"))
+    assert probed.filter(~F.col("hit")).count() == 0
+
+    rt = BloomFilter.from_state(cuckoo.state())
+    hs = np.array([123456789, -987654321, 0], dtype=np.int64)
+    assert (rt.probe_signed(hs) == cuckoo.probe_signed(hs)).all()
+
+
+def test_cuckoo_prefilter_parity(spark, pages3, web3, chk_dir):
+    """seen_filter="cuckoo" (forced build) must be output-identical to the
+    filter-less crawl — like the bloom, it is a pre-filter only and the
+    exact anti-join stays authoritative."""
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40, seen_filter="cuckoo",
+                         bloom_shards=4)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, use_bloom=True)
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg))
+
+
 def test_old_format_checkpoint_refuses_resume(spark, pages3, web3, chk_dir):
     """A checkpoint written by an incompatible layout must fail resume with a
     clear error, not an AnalysisException mid-plan."""

@@ -784,3 +784,48 @@ def test_sitemap_discovery_pipeline(spark):
         "https://s.example/a", "https://s.example/b?x=1&y=2"
     ]
     assert all(r["host"] == "s.example" for r in seeds)
+
+
+def test_sitemap_index_two_level_chain(spark):
+    """A sitemap INDEX's <loc> rows come back as level-1 seeds; feeding them
+    through a second seeds_from_sitemaps call expands the sub-sitemaps."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.plans.politeness import (
+        seeds_from_sitemaps,
+        sitemaps_from_robots,
+    )
+
+    robots = (b"User-agent: *\n"
+              b"Sitemap: https://i.example/sitemap_index.xml\n")
+    index = (b"<?xml version='1.0'?><sitemapindex>"
+             b"<sitemap><loc>https://i.example/sm_a.xml</loc></sitemap>"
+             b"<sitemap><loc>https://i.example/sm_b.xml</loc></sitemap>"
+             b"</sitemapindex>")
+    sm_a = (b"<urlset><url><loc>https://i.example/p1</loc></url>"
+            b"<url><loc>https://i.example/p2</loc></url></urlset>")
+    sm_b = b"<urlset><url><loc>https://i.example/p3</loc></url></urlset>"
+    pages = spark.createDataFrame(
+        [
+            ("https://i.example/robots.txt", robots),
+            ("https://i.example/sitemap_index.xml", index),
+            ("https://i.example/sm_a.xml", sm_a),
+            ("https://i.example/sm_b.xml", sm_b),
+        ],
+        "url string, html binary",
+    )
+
+    level1 = seeds_from_sitemaps(pages, sitemaps_from_robots(pages))
+    assert sorted(r["seed_url"] for r in level1.collect()) == [
+        "https://i.example/sm_a.xml", "https://i.example/sm_b.xml"
+    ]
+
+    level2 = seeds_from_sitemaps(
+        pages, level1.select("host", F.col("seed_url").alias("sitemap_url"))
+    )
+    got = sorted((r["sitemap_url"], r["seed_url"]) for r in level2.collect())
+    assert got == [
+        ("https://i.example/sm_a.xml", "https://i.example/p1"),
+        ("https://i.example/sm_a.xml", "https://i.example/p2"),
+        ("https://i.example/sm_b.xml", "https://i.example/p3"),
+    ]
