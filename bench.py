@@ -164,7 +164,7 @@ def bench_crawl(spark) -> dict:
     chk = str(REPO / ".tmp" / f"bench_chk_{CPUS}")
     shutil.rmtree(chk, ignore_errors=True)
     cfg = CrawlJobConfig(max_depth=3, max_pages=10_000_000,
-                         shuffle_partitions=max(8, CPUS))
+                         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, CPUS))))
     start = time.perf_counter()
     res = run_crawl(spark, pages, "https://site0.example/", cfg, chk,
                     n_buckets=pages_n_buckets(BENCH_WEB))
@@ -184,7 +184,8 @@ def main():
     from crawl4ai_scraper_spark.session import build_session
 
     spark = build_session(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, CPUS)
+        app_name="bench", master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, CPUS))),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -205,7 +205,14 @@ def run_crawl(
             extraction=extraction,
         )
         timer.lap("run_round (actions: matched count, visit agg, rank+count)")
-        visits = virtual_schedule(rr.visits, host_rules, cfg.delay_between_requests, round_vt)
+        # persisted: BOTH the max-agg action and the commit write consume the
+        # scheduled frame — without the cache the schedule's shuffles (host
+        # offsets + join) would execute twice per round, the second time at
+        # the write's coalesced (reduced) parallelism
+        visits = virtual_schedule(
+            rr.visits, host_rules, cfg.delay_between_requests, round_vt
+        ).persist()
+        rr.caches.append(visits)
         vt_step = visits.agg(F.max("sched_ts")).collect()[0][0]
         timer.lap("virtual_schedule max agg")
         round_vt = (vt_step if vt_step is not None else round_vt) + cfg.delay_between_requests
@@ -226,9 +233,12 @@ def run_crawl(
             {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
              "done": done, "counts": rr.counts,
              "frontier_n": frontier_n, "enqueued_n": enqueued_n, "fused": fused},
-            # fused visited rows carry ~1 KB of markdown each → more files
+            # fused visited rows carry ~1 KB of markdown each: weight them
+            # 16x so the snapshot writer's rows//250k file heuristic lands
+            # near one write task per core for the heavy text-encode rounds
+            # (a 500k-row fused round was 9 files = 9 busy cores of 32)
             sizes={"frontier": frontier_n,
-                   "visited": rr.counts["visited"] * (4 if fused else 1),
+                   "visited": rr.counts["visited"] * (16 if fused else 1),
                    "lineage": 0},
         )
         timer.lap("commit_round (3 parquet writes)")

@@ -145,7 +145,8 @@ def main():
     tail = ""
     if bench_md.exists():
         old = bench_md.read_text()
-        for marker in ("## Per-operator timings", "## Host-variance disclosure"):
+        for marker in ("## Scaling interpretation", "## Per-operator timings",
+                       "## Host-variance disclosure"):
             if marker in old:
                 tail = "\n\n" + old[old.index(marker):].rstrip() + "\n"
                 break
