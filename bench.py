@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "sequence_pack",
     "crawl_snapshot_delta",
     "sitemap_seed_expansion",
+    "robots_rules_parse",
 ]
 
 

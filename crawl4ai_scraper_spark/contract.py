@@ -1959,6 +1959,55 @@ def sitemap_seed_expansion(spark, sf):
     return seeds.withColumn("loc_pos", F.col("loc_pos").cast("long"))
 
 
+@_q(
+    "robots_rules_parse",
+    """WITH s AS (
+      SELECT DISTINCT source, CAST(substr(source, 4, 10) AS BIGINT) AS i
+      FROM documents)
+    SELECT source || '.example' AS host,
+           CAST((i % 7) + 0.5 AS DOUBLE) AS crawl_delay,
+           '/private' || CAST(i AS VARCHAR) || '|/tmp' AS disallow
+    FROM s""",
+)
+def robots_rules_parse(spark, sf):
+    """REP parser end-to-end (north_rule: robots rules evaluated in Arrow
+    UDFs): synthesized robots.txt bodies — per-host Disallow prefixes,
+    fractional Crawl-delay, a non-matching agent group, comments, an empty
+    Disallow, and a SECOND ``*`` group that must merge — flow through the
+    real pipeline (pushed-down robots url scan → kernel.robots.parse_robots
+    in mapInPandas → latest-revision collapse; plans/politeness.py
+    rules_from_robots). The oracle constructs the expected rules directly;
+    the array column is joined to a scalar for the driver's hash."""
+    from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
+
+    docs = _t(spark, sf, "documents")
+    i = F.expr("CAST(substring(source, 4, 10) AS BIGINT)")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-Agent: googlebot\nDisallow: /gb\n\n"
+              "User-agent: *\nDisallow: /private"),
+        i.cast("string"),
+        F.lit("\nCrawl-Delay: "),
+        (i % 7).cast("string"),
+        F.lit(".5\nDisallow:\nUser-agent: *\nDisallow: /tmp\n"),
+    )
+    robots = docs.select("source").distinct().select(
+        F.concat(F.lit("https://"), host, F.lit("/robots.txt")).alias("url"),
+        F.encode(body, "UTF-8").alias("html"),
+    )
+    decoys = docs.filter(F.col("doc_id") % 100 == 1).select(
+        F.concat(F.lit("https://"), host, F.lit("/docs/d"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    rules = rules_from_robots(robots.unionByName(decoys))
+    return rules.select(
+        "host",
+        F.col("crawl_delay").cast("double").alias("crawl_delay"),
+        F.concat_ws("|", "disallow_prefixes").alias("disallow"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 cleaning, CCNet-style LM scoring, corpus length distribution
 # ---------------------------------------------------------------------------

@@ -349,6 +349,58 @@ def build_bloom(
     return BloomFilter(n_bits, n_hashes, bits)
 
 
+def add_to_bloom(
+    bloom: "Union[BloomFilter, ShardedBloom]",
+    df: DataFrame,
+    url_col: str,
+    max_fold_partitions: int = 64,
+) -> None:
+    """Incremental filter maintenance: fold ONLY the new keys into partial
+    bit arrays with the existing filter's geometry and OR them in place.
+
+    This is the long-crawl scale path: rebuilding the URL-seen filter from
+    the full enqueued set every round is O(rounds × total-enqueued); adding
+    each round's new-frontier delta is O(new). Bloom bit arrays OR-merge, so
+    the delta build is exactly the normal build minus the sizing step.
+    (Cuckoo tables don't OR-merge — the cuckoo family rebuilds instead.)
+
+    No false negatives by construction: the filter was complete for the set
+    it was built over, and every later-enqueued url flows through here."""
+    if isinstance(bloom, ShardedBloom):
+        first = bloom.shards[0]
+        n_bits, n_hashes, n_shards = first.n_bits, first.n_hashes, bloom.n_shards
+        hashed = df.select(F.xxhash64(F.col(url_col)).alias("h")).withColumn(
+            "shard", F.pmod(F.col("h"), F.lit(n_shards))
+        )
+
+        def fold(batches):
+            locals_: dict = {}
+            for pdf in batches:
+                hs = pdf["h"].to_numpy(dtype=np.int64)
+                sh = pdf["shard"].to_numpy(dtype=np.int64)
+                for s in np.unique(sh):
+                    filt = locals_.setdefault(int(s), BloomFilter(n_bits, n_hashes))
+                    filt.add_many(hs[sh == s].view(np.uint64))
+            for s, filt in locals_.items():
+                yield pd.DataFrame({"shard": [s], "bits": [filt.bits.tobytes()]})
+
+        partials = hashed.repartition(n_shards, "shard").mapInPandas(
+            fold, "shard int, bits binary"
+        )
+        for row in partials.toLocalIterator():
+            bloom.shards[int(row["shard"])].bits |= np.frombuffer(
+                row["bits"], dtype=np.uint8
+            )
+        return
+    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+    hashed = df.select(F.xxhash64(F.col(url_col)).alias("h")).coalesce(
+        max_fold_partitions
+    )
+    partials = hashed.mapInPandas(_fold_bits(n_bits, n_hashes), "bits binary")
+    for row in partials.toLocalIterator():
+        bloom.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+
+
 def build_sharded_bloom(
     df: DataFrame,
     url_col: str,

@@ -29,6 +29,7 @@ from crawl4ai_scraper_spark.config import CrawlJobConfig
 from crawl4ai_scraper_spark.functions.udfs import EXTRACTED_SCHEMA, extract_documents
 from crawl4ai_scraper_spark.kernel.urls import extract_domain
 from crawl4ai_scraper_spark.plans.bloom import (
+    add_to_bloom,
     build_bloom,
     build_sharded_bloom,
     build_sharded_cuckoo,
@@ -175,6 +176,9 @@ def run_crawl(
             "exclude_patterns": cfg.exclude_patterns,
         }
 
+    # (filter, capacity, enqueued-count covered) — bloom-family URL-seen
+    # filter maintained incrementally across rounds; see the build block.
+    seen_state = None
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
         if max_rounds is not None and rnd > max_rounds:
             break
@@ -187,15 +191,35 @@ def run_crawl(
         build_it = use_bloom is True or (use_bloom == "auto" and enqueued_n > 5_000_000)
         bloom = None
         if build_it:
-            cap = max(cfg.bloom_capacity, enqueued_n * 2)
             if cfg.seen_filter == "cuckoo":
+                # cuckoo tables don't OR-merge → rebuilt per round (the
+                # trade for deletability); the bloom family below maintains
+                # the filter incrementally instead.
+                cap = max(cfg.bloom_capacity, enqueued_n * 2)
                 bloom = build_sharded_cuckoo(enqueued, "url", capacity=cap,
                                              n_shards=max(cfg.bloom_shards, 1))
-            elif cfg.bloom_shards > 1:
-                bloom = build_sharded_bloom(enqueued, "url", capacity=cap,
-                                            fpp=cfg.bloom_fpp, n_shards=cfg.bloom_shards)
+            elif (seen_state is not None
+                  and enqueued_n <= seen_state[1]
+                  and seen_state[2] == enqueued_n - frontier_n):
+                # Incremental path (the 10^10-URL scale story): the filter
+                # already covers everything enqueued before this frontier;
+                # fold ONLY the current frontier's urls in — O(new) per
+                # round instead of O(total-enqueued).
+                bloom = seen_state[0]
+                add_to_bloom(bloom, frontier.select("url"), "url")
+                seen_state = (bloom, seen_state[1], enqueued_n)
             else:
-                bloom = build_bloom(enqueued, "url", capacity=cap, fpp=cfg.bloom_fpp)
+                # Fresh build, sized with 4x headroom so later rounds stay
+                # on the incremental path (fpp holds while keys <= capacity).
+                cap = max(cfg.bloom_capacity, enqueued_n * 4)
+                if cfg.bloom_shards > 1:
+                    bloom = build_sharded_bloom(enqueued, "url", capacity=cap,
+                                                fpp=cfg.bloom_fpp,
+                                                n_shards=cfg.bloom_shards)
+                else:
+                    bloom = build_bloom(enqueued, "url", capacity=cap,
+                                        fpp=cfg.bloom_fpp)
+                seen_state = (bloom, cap, enqueued_n)
             timer.lap("seen-filter build")
         rr = run_round(
             pages, frontier, enqueued, cfg, seed_domain,

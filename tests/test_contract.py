@@ -26,6 +26,7 @@ SUBSET = [
     "segment_dedup",
     "decontaminate_ngrams",
     "sitemap_seed_expansion",
+    "robots_rules_parse",
 ]
 
 

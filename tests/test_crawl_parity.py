@@ -287,6 +287,36 @@ def test_sharded_bloom_no_false_negatives(spark):
     assert (rt.probe_signed(hs) == sharded.probe_signed(hs)).all()
 
 
+def test_incremental_bloom_add_equals_full_build(spark):
+    """add_to_bloom over a delta must yield BIT-IDENTICAL filters to a full
+    rebuild with the same geometry — the invariant behind the driver's
+    incremental seen-filter maintenance (O(new)/round, not O(total))."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.plans.bloom import (
+        add_to_bloom, build_bloom, build_sharded_bloom,
+    )
+
+    urls = spark.range(0, 6000).select(
+        "id",
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+    )
+    first, rest = urls.filter("id < 4000"), urls.filter("id >= 4000")
+
+    full = build_bloom(urls, "url", capacity=20_000)
+    inc = build_bloom(first, "url", capacity=20_000)
+    add_to_bloom(inc, rest, "url")
+    assert np.array_equal(inc.bits, full.bits)
+
+    full_s = build_sharded_bloom(urls, "url", capacity=20_000, n_shards=4)
+    inc_s = build_sharded_bloom(first, "url", capacity=20_000, n_shards=4)
+    add_to_bloom(inc_s, rest, "url")
+    for a, b in zip(inc_s.shards, full_s.shards):
+        assert np.array_equal(a.bits, b.bits)
+
+
 def test_cuckoo_filter_unit():
     """No false negatives, bounded fpp, state round-trip, deletion — the
     north_rule's cuckoo alternative, pure-numpy path."""
