@@ -106,6 +106,8 @@ QUERY_NAMES = [
     "crawl_snapshot_delta",
     "sitemap_seed_expansion",
     "robots_rules_parse",
+    "anchor_text_agg",
+    "recrawl_change_rate",
 ]
 
 

@@ -2220,6 +2220,82 @@ def doc_length_stats(spark, sf):
     return T.length_percentiles(_t(spark, sf, "documents"), "n_chars", "lang")
 
 
+@_q(
+    "anchor_text_agg",
+    """WITH l AS (
+      SELECT 'https://' || source || '.example/d' || CAST(doc_id % 50 AS VARCHAR) AS target,
+             source || ' ref ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example/d' || CAST((doc_id + 1) % 50 AS VARCHAR) AS target,
+             'go ' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+      FROM documents)
+    SELECT target, COUNT(*) AS n_inlinks,
+           array_to_string(list_slice(list_sort(list(DISTINCT anchor)), 1, 8), '|') AS anchors
+    FROM l GROUP BY target""",
+)
+def anchor_text_agg_q(spark, sf):
+    """Inbound anchor-text aggregation (operators.graph.page_anchor_texts):
+    the Spark side renders a real HTML page per document (two links with
+    known labels; one relative href, one absolute with a trailing slash) and
+    runs the FULL pipeline — Arrow-batched kernel parse, urljoin + canon of
+    each href, pair-grouped shuffle, top-8 distinct labels per target —
+    while the oracle computes the expected targets/labels arithmetically.
+    Parser, canonicalizer and both aggregation phases are all load-bearing
+    for the hash to match."""
+    from crawl4ai_scraper_spark.operators.graph import page_anchor_texts
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<html><body><p><a href="/d'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">'),
+        F.col("source"), F.lit(" ref "), (F.col("doc_id") % 7).cast("string"),
+        F.lit('</a> and <a href="https://'),
+        F.col("source"), F.lit(".example/d"),
+        ((F.col("doc_id") + 1) % 50).cast("string"),
+        F.lit('/">go '), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</a></p></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/docs/d"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return page_anchor_texts(pages, max_anchors=8)
+
+
+@_q(
+    "recrawl_change_rate",
+    """WITH h AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    o AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CASE WHEN prev IS NOT NULL AND prev <> event_type THEN 1 ELSE 0 END AS chg
+      FROM h)
+    SELECT user_id,
+           COUNT(*) AS n_visits,
+           CAST(SUM(chg) AS BIGINT) AS n_changes,
+           ROUND(CAST(SUM(chg) AS DOUBLE) / GREATEST(COUNT(*) - 1, 1), 4) AS change_ratio,
+           ROUND(CAST(SUM(chg) AS DOUBLE) * 86400.0
+                 / GREATEST(MAX(es) - MIN(es), 1), 6) AS changes_per_day
+    FROM o GROUP BY user_id""",
+)
+def recrawl_change_rate(spark, sf):
+    """Recrawl scheduling input (operators.temporal.recrawl_stats): each
+    user's event stream plays a URL's revisit history (event_type = content
+    hash proxy); adjacent-observation change counting via one lag window +
+    groupBy sharing a single key shuffle. ``changes_per_day`` is the revisit
+    priority an incremental crawler feeds back into the frontier."""
+    from crawl4ai_scraper_spark.operators.temporal import recrawl_stats
+
+    ev = _t(spark, sf, "events")
+    return recrawl_stats(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

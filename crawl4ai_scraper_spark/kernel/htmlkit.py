@@ -56,6 +56,7 @@ class _PageParser(HTMLParser):
         self._prefix = ""
         self._href_stack: List[str] = []
         self._anchor_text: List[str] = []
+        self._link_idx_stack: List[int] = []  # position in self.links per open <a>
 
     # -- block plumbing ----------------------------------------------------
     def _flush(self) -> None:
@@ -80,6 +81,7 @@ class _PageParser(HTMLParser):
                 self.links.append((href, ""))
                 self._href_stack.append(href)
                 self._anchor_text.append("")
+                self._link_idx_stack.append(len(self.links) - 1)
         if tag == "meta" and self.description is None:
             if (amap.get("name") or "").lower() == "description":
                 self.description = amap.get("content") or ""
@@ -115,6 +117,7 @@ class _PageParser(HTMLParser):
         if tag == "a" and self._href_stack:
             href = self._href_stack.pop()
             label = _WS_RX.sub(" ", self._anchor_text.pop()).strip()
+            self.links[self._link_idx_stack.pop()] = (href, label)
             if not self._drop_depth:
                 self._buf.append(f"[{label}]({href})")
         if tag in _DROP_TAGS:
@@ -301,6 +304,33 @@ def extract_links(html: str, base_url: str) -> List[Dict]:
                 "href": href,
                 "link_pos": pos,
                 "is_internal": _link_is_internal(href, base_url, base_host),
+            }
+        )
+    return out
+
+
+def extract_anchors(html: str, base_url: str) -> List[Dict]:
+    """Inbound-link material: every non-empty href with its rendered anchor
+    label (whitespace-collapsed, stripped — the exact ``[label](href)`` label
+    the markdown renderer emits) and the link's CANONICAL target URL
+    (urljoin + fragment/trailing-slash canonicalization, same code path the
+    frontier uses). Anchors inside drop-tags (nav/footer/...) surface with an
+    empty label — their text never rendered — and unterminated ``<a>`` tags
+    keep the empty label too; callers filter empties for anchor corpora.
+
+    This is the per-page half of the anchor-text aggregation operator
+    (operators/graph.py anchor_text_agg): the web-search/document-expansion
+    view of the link graph the reference only stores as url_relationships
+    (crawler.py:227-230)."""
+    from crawl4ai_scraper_spark.kernel.urls import canon_url
+
+    out: List[Dict] = []
+    for pos, (href, label) in enumerate(_parse(html).links):
+        out.append(
+            {
+                "target": canon_url(href, base_url),
+                "anchor": label,
+                "link_pos": pos,
             }
         )
     return out

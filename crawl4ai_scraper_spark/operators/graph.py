@@ -76,3 +76,90 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("rank").cast("double").alias("rank"))
+
+
+# --- anchor-text aggregation ------------------------------------------------
+
+ANCHOR_SCHEMA = "target string, anchor string"
+
+
+def _extract_anchor_rows(it):
+    """mapInPandas transformer: (url, html binary) → (target, anchor) rows.
+    The html never leaves the Arrow batch — only the canonical target URL and
+    the short anchor label enter any shuffle."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html, extract_anchors
+
+    for pdf in it:
+        targets, anchors = [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for rec in extract_anchors(decode_html(html), url):
+                if rec["anchor"]:  # drop-tag/unterminated anchors carry ''
+                    targets.append(rec["target"])
+                    anchors.append(rec["anchor"])
+        yield pd.DataFrame({"target": targets, "anchor": anchors})
+
+
+def anchor_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """pages → one (target, anchor) row per non-empty-label link (narrow
+    Arrow pass, no shuffle)."""
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).mapInPandas(_extract_anchor_rows, ANCHOR_SCHEMA)
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+    max_anchors: int = 8,
+) -> DataFrame:
+    """Per-target inbound anchor-text summary: (target, n_inlinks, anchors)
+    where ``anchors`` is the ``max_anchors`` lexicographically-first DISTINCT
+    labels joined by '|' — the classic document-expansion view of the link
+    graph (anchor text describes the TARGET page).
+
+    Scale shape: shuffle 1 groups by the (target, anchor) PAIR — uniform even
+    when one target has 10^9 inlinks, with map-side combine collapsing each
+    partition's repeats; shuffle 2 partitions the distinct pairs by target,
+    where one window pass ranks anchors and sums inlink counts, so the final
+    collect_list holds at most ``max_anchors`` short strings per group. A
+    mega-inlinked target costs its DISTINCT-anchor count, never its inlink
+    count, in any single partition."""
+    from pyspark.sql import Window
+
+    pairs = (
+        links.select(
+            F.col(target_col).alias("target"), F.col(anchor_col).alias("anchor")
+        )
+        .groupBy("target", "anchor")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    w_rank = Window.partitionBy("target").orderBy("anchor")
+    w_all = Window.partitionBy("target")
+    ranked = pairs.select(
+        "target",
+        "anchor",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.sum("pair_cnt").over(w_all).alias("n_inlinks"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= max_anchors)
+        .groupBy("target")
+        .agg(
+            F.first("n_inlinks").alias("n_inlinks"),
+            F.concat_ws("|", F.array_sort(F.collect_list("anchor"))).alias("anchors"),
+        )
+        .select("target", "n_inlinks", "anchors")
+    )
+
+
+def page_anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_anchors: int = 8,
+) -> DataFrame:
+    """pages table → per-target anchor summary (extract + aggregate)."""
+    return anchor_text_agg(anchor_links(pages, url_col, html_col), max_anchors=max_anchors)

@@ -139,3 +139,60 @@ def snapshot_delta(
         .otherwise(F.lit("same"))
     )
     return joined.select(F.col(key), status.alias("status"))
+
+
+def recrawl_stats(
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    content_col: str,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Per-URL change-rate estimation from revisit history — the scheduling
+    input of an incremental crawler (Cho & Garcia-Molina-style: how often a
+    page changed across the times we actually observed it decides how soon to
+    revisit). Input: one row per (url, fetch ts) with the fetched content (or
+    its hash); output per url:
+
+      n_visits         observations
+      n_changes        adjacent observation pairs whose content hash differs
+      change_ratio     n_changes / (n_visits - 1), 4dp (0 for single visits)
+      changes_per_day  n_changes · 86400 / observed-span-seconds, 6dp
+
+    ONE shuffle on the key: the lag window and the groupBy share the hash
+    partitioning, and per-key history (revisits of one URL) is naturally
+    short, so the window sort can't skew. Content never shuffles — rows are
+    reduced to (key, ts, md5) before the exchange. ``changes_per_day`` ranks
+    directly as revisit priority (feed it to run_crawl's priority mode)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    slim = history.select(
+        F.col(key),
+        F.col(ts_col),
+        *( [F.col(tiebreak)] if tiebreak and tiebreak != ts_col else [] ),
+        F.md5(F.col(content_col).cast("binary")).alias("_h"),
+    )
+    changed = (
+        F.lag("_h").over(w).isNotNull() & (F.lag("_h").over(w) != F.col("_h"))
+    ).cast("int")
+    obs = slim.select(
+        F.col(key),
+        # timestamp → whole epoch seconds, timezone-free (works on NTZ
+        # columns; equals the oracle's floor(epoch(ts)) for positive epochs)
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            f"date_trunc('second', {ts_col}))"
+        ).alias("_es"),
+        changed.alias("_chg"),
+    )
+    n_visits = F.count(F.lit(1))
+    n_changes = F.sum("_chg").cast("bigint")
+    span_s = F.greatest(F.max("_es") - F.min("_es"), F.lit(1))
+    return obs.groupBy(key).agg(
+        n_visits.alias("n_visits"),
+        n_changes.alias("n_changes"),
+        F.round(
+            n_changes.cast("double") / F.greatest(n_visits - 1, F.lit(1)), 4
+        ).alias("change_ratio"),
+        F.round(n_changes.cast("double") * 86400.0 / span_s, 6).alias("changes_per_day"),
+    )

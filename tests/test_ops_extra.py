@@ -829,3 +829,82 @@ def test_sitemap_index_two_level_chain(spark):
         ("https://i.example/sm_a.xml", "https://i.example/p2"),
         ("https://i.example/sm_b.xml", "https://i.example/p3"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation + recrawl change-rate (round-2 crawl-tier ops)
+# ---------------------------------------------------------------------------
+
+def test_extract_anchors_labels():
+    from crawl4ai_scraper_spark.kernel.htmlkit import extract_anchors
+
+    html = (
+        '<html><body><nav><a href="/hidden">nav text</a></nav>'
+        '<p>See <a href="/docs/a">the  docs\npage</a> and '
+        '<a href="https://other.example/x/">other &amp; more</a>.</p>'
+        "<p><a href=\"/open\">unterminated</body></html>"
+    )
+    got = extract_anchors(html, "https://site.example/base/page")
+    by_pos = {r["link_pos"]: r for r in got}
+    # drop-tag anchor: href collected, label never rendered → empty
+    assert by_pos[0] == {"target": "https://site.example/hidden", "anchor": "", "link_pos": 0}
+    # whitespace collapsed exactly like the markdown [label](href) form
+    assert by_pos[1]["anchor"] == "the docs page"
+    assert by_pos[1]["target"] == "https://site.example/docs/a"
+    # entity unescape + canon trailing-slash strip
+    assert by_pos[2] == {
+        "target": "https://other.example/x", "anchor": "other & more", "link_pos": 2
+    }
+    # unterminated <a>: no </a> ever fires → label stays empty
+    assert by_pos[3]["anchor"] == ""
+
+    # fast tokenizer path and html.parser path produce identical labels
+    # (a comment forces the full-parser fallback)
+    slow = extract_anchors("<!-- c -->" + html, "https://site.example/base/page")
+    assert [(r["target"], r["anchor"]) for r in slow] == [
+        (r["target"], r["anchor"]) for r in got
+    ]
+
+
+def test_anchor_text_agg_matches_hand_counts(spark):
+    from crawl4ai_scraper_spark.operators.graph import page_anchor_texts
+
+    html_a = (
+        '<html><body><p><a href="/t1">alpha</a> <a href="/t1">beta</a> '
+        '<a href="/t1">alpha</a></p><nav><a href="/t2">hidden</a></nav></body></html>'
+    )
+    html_b = '<p><a href="https://s.example/t1/">gamma</a> and <a href="/t2#frag">delta</a></p>'
+    pages = spark.createDataFrame(
+        [
+            ("https://s.example/a", bytearray(html_a.encode())),
+            ("https://s.example/b", bytearray(html_b.encode())),
+        ],
+        "url string, html binary",
+    )
+    got = {r["target"]: r for r in page_anchor_texts(pages, max_anchors=2).collect()}
+    t1 = got["https://s.example/t1"]
+    assert t1.n_inlinks == 4  # alpha, beta, alpha, gamma (dup labels still count)
+    assert t1.anchors == "alpha|beta"  # top-2 lexicographic DISTINCT labels
+    t2 = got["https://s.example/t2"]
+    assert t2.n_inlinks == 1  # the nav anchor's label is empty → excluded
+    assert t2.anchors == "delta"
+
+
+def test_recrawl_stats_hand_history(spark):
+    from crawl4ai_scraper_spark.operators.temporal import recrawl_stats
+
+    rows = [
+        ("u", dt.datetime(2024, 1, 1), 1, "A"),
+        ("u", dt.datetime(2024, 1, 2), 2, "A"),  # unchanged
+        ("u", dt.datetime(2024, 1, 3), 3, "B"),  # changed
+        ("u", dt.datetime(2024, 1, 5), 4, "C"),  # changed
+        ("v", dt.datetime(2024, 1, 1), 5, "X"),  # single observation
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, rev bigint, body string")
+    got = {r["url"]: r for r in recrawl_stats(df, "url", "ts", "body", tiebreak="rev").collect()}
+    u = got["u"]
+    assert (u.n_visits, u.n_changes) == (4, 2)
+    assert u.change_ratio == round(2 / 3, 4)
+    assert u.changes_per_day == round(2 * 86400.0 / (4 * 86400), 6)
+    v = got["v"]
+    assert (v.n_visits, v.n_changes, v.change_ratio, v.changes_per_day) == (1, 0, 0.0, 0.0)
