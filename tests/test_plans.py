@@ -195,3 +195,29 @@ def test_tpch_q5_broadcasts_dims_and_q3_takeordered(spark):
     q3 = contract.queries()["tpch_q3_shipping_priority"](spark, sf)
     p3 = q3._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p3
+
+
+def test_anchor_text_agg_two_exchanges_no_html(spark):
+    """page_anchor_texts: html must never enter an Exchange (only the short
+    (target, anchor) pairs shuffle), and the whole aggregation costs exactly
+    two shuffles — the uniform (target, anchor) pair groupBy and the
+    per-target window/collect partitioning."""
+    from crawl4ai_scraper_spark.operators.graph import page_anchor_texts
+
+    pages = spark.createDataFrame(
+        [(f"https://s.example/p{i}",
+          bytearray(f'<p><a href="/t{i % 3}">label {i % 5}</a></p>'.encode()))
+         for i in range(12)],
+        "url string, html binary",
+    )
+    out = page_anchor_texts(pages)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in phys.split("\n") if "Exchange" in ln]
+    assert exchanges, phys
+    for ln in exchanges:
+        assert "html" not in ln, ln
+    # AQE may re-plan, so count distinct hash partitionings instead of nodes:
+    # pair key (target, anchor) and target key only.
+    keys = {ln.split("Exchange hashpartitioning(")[1].split(")")[0]
+            for ln in exchanges if "hashpartitioning" in ln}
+    assert len(keys) <= 2, keys
