@@ -196,3 +196,19 @@ def recrawl_stats(
         ).alias("change_ratio"),
         F.round(n_changes.cast("double") * 86400.0 / span_s, 6).alias("changes_per_day"),
     )
+
+
+def recrawl_priorities(
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    content_col: str,
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """recrawl_stats projected to the (url, priority) signal shape the
+    frontier's priority mode consumes (run_crawl(priority_col=<this frame>,
+    cfg.frontier_order="priority")): pages that changed more often per
+    observed day are re-fetched first. Persist the result before the crawl —
+    the round loop consumes it once per round."""
+    stats = recrawl_stats(history, key, ts_col, content_col, tiebreak)
+    return stats.select(F.col(key).alias("url"), F.col("changes_per_day").alias("priority"))

@@ -19,7 +19,7 @@ import sys
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Union
 from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -95,7 +95,7 @@ def run_crawl(
     resume: bool = False,
     extract: bool = True,
     use_bloom: bool | str = "auto",
-    priority_col: Optional[Callable[[DataFrame], Column]] = None,
+    priority_col: Optional[Union[Callable[[DataFrame], Column], DataFrame]] = None,
     n_buckets: Optional[int] = None,
     max_rounds: Optional[int] = None,  # stop early (kill simulation / tests)
     fused_extract: bool = True,

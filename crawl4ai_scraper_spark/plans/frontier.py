@@ -32,7 +32,7 @@ import os
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -140,7 +140,7 @@ def run_round(
     host_rules: Optional[DataFrame] = None,
     bloom: Optional[AnyBloom] = None,
     n_buckets: int = 32,
-    priority_col: Optional[Callable[[DataFrame], Column]] = None,
+    priority_col: Optional[Union[Callable[[DataFrame], Column], DataFrame]] = None,
     frontier_count: Optional[int] = None,  # tracked by the driver — saves a job
     extraction: Optional[dict] = None,  # fused extraction (see visit_and_expand)
 ) -> RoundResult:
@@ -370,7 +370,25 @@ def run_round(
         F.col("parent_url"),
     )
     if cfg.frontier_order == "priority" and priority_col is not None:
-        next_rows = next_rows.withColumn("neg_priority", -priority_col(next_rows))
+        if isinstance(priority_col, DataFrame):
+            # External signal table (url, priority) — pagerank, recrawl
+            # change-rate (temporal.recrawl_priorities), … — left-joined on
+            # the url key (co-partitioned with the rank shuffle; unknown
+            # urls default to priority 0). Caller should persist the signal
+            # frame: it is consumed once per round.
+            c0, c1 = priority_col.columns[:2]
+            signal = priority_col.select(
+                F.col(c0).alias("url"), F.col(c1).cast("double").alias("_prio")
+            )
+            next_rows = (
+                next_rows.join(signal, "url", "left")
+                .withColumn(
+                    "neg_priority", -F.coalesce(F.col("_prio"), F.lit(0.0))
+                )
+                .drop("_prio")
+            )
+        else:
+            next_rows = next_rows.withColumn("neg_priority", -priority_col(next_rows))
         order_cols = ["neg_priority", "parent_seq", "link_pos"]
     else:
         order_cols = ["parent_seq", "link_pos"]

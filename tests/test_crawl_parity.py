@@ -493,3 +493,65 @@ def test_hygiene_blocks_planted_traps(spark, chk_dir):
                    chk_dir + "_on", n_buckets=8, extract=False)
     visited_on = {r["url"] for r in on.visited.select("url").collect()}
     assert visited_on == {seed, f"https://{host}/good", f"https://{host}/good2"}
+
+
+def test_priority_dataframe_source_equals_callable(spark, pages3, web3, chk_dir):
+    """A (url, priority) DataFrame signal must order the frontier exactly
+    like the equivalent callable column (unlisted urls default to 0)."""
+    from pyspark.sql import functions as F
+
+    cfg = CrawlJobConfig(max_depth=2, max_pages=1000, frontier_order="priority")
+    stored = [r["url"] for r in pages3.select("url").collect()]
+    by_callable = run_crawl(
+        spark, pages3, SEED, cfg, chk_dir + "_cb", extract=False, use_bloom=False,
+        # urls outside the signal table score 0 in the DataFrame mode —
+        # mirror that here (dead links are in the frontier but not in pages)
+        priority_col=lambda df: F.when(
+            F.col("url").isin(stored), F.length(F.col("url"))
+        ).otherwise(0).cast("double"),
+    )
+    signal = (
+        pages3.select("url", F.length("url").cast("double").alias("priority"))
+        .persist()
+    )
+    by_frame = run_crawl(
+        spark, pages3, SEED, cfg, chk_dir + "_df", extract=False, use_bloom=False,
+        priority_col=signal,
+    )
+    cb = [r["url"] for r in by_callable.visited.orderBy("seq").collect()]
+    fr = [r["url"] for r in by_frame.visited.orderBy("seq").collect()]
+    signal.unpersist()
+    assert cb == fr
+
+
+def test_recrawl_priority_pipeline(spark, pages3, web3, chk_dir):
+    """Incremental-recrawl composition: two observation snapshots →
+    recrawl_priorities (changes_per_day) → prioritized recrawl. Pages whose
+    content changed between the snapshots are visited before unchanged pages
+    within each BFS round."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.temporal import recrawl_priorities
+
+    changed_pred = F.crc32(F.col("url")) % 2 == 0
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    obs1 = pages3.select("url", F.lit(t1).alias("ts"), F.col("html").cast("string").alias("body"))
+    obs2 = pages3.select(
+        "url", F.lit(t2).alias("ts"),
+        F.when(changed_pred, F.concat(F.col("html").cast("string"), F.lit("<!-- v2 -->")))
+        .otherwise(F.col("html").cast("string")).alias("body"),
+    )
+    history = obs1.unionByName(obs2)
+    prio = recrawl_priorities(history, "url", "ts", "body").persist()
+
+    cfg = CrawlJobConfig(max_depth=2, max_pages=1000, frontier_order="priority")
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, extract=False, use_bloom=False,
+                    priority_col=prio)
+    changed = {r["url"] for r in pages3.filter(changed_pred).select("url").collect()}
+    rows = res.visited.filter("depth = 1").orderBy("seq").select("url").collect()
+    flags = [r["url"] in changed for r in rows]
+    prio.unpersist()
+    # all changed-page visits precede every unchanged-page visit in the round
+    assert flags == sorted(flags, reverse=True), flags
