@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "robots_rules_parse",
     "anchor_text_agg",
     "recrawl_change_rate",
+    "hits_hubs_authorities",
 ]
 
 

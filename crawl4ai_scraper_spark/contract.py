@@ -2266,6 +2266,65 @@ def anchor_text_agg_q(spark, sf):
 
 
 @_q(
+    "hits_hubs_authorities",
+    """WITH e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id % 200 AS src, (doc_id * 7 + 1) % 200 AS dst
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id % 200, (doc_id * 3 + 2) % 200
+        FROM documents WHERE doc_id < 400)
+    ), nodes AS (
+      SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT id, CAST(ROUND(1.0 / n, 12) AS DECIMAL(28,12)) AS s FROM nodes, nn),
+    a1r AS (SELECT e.dst AS id, CAST(SUM(h0.s) AS DECIMAL(28,12)) AS raw
+            FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
+    a1t AS (SELECT CAST(SUM(raw) AS DOUBLE) AS t FROM a1r),
+    a1 AS (SELECT nodes.id,
+                  CAST(ROUND(CAST(COALESCE(a1r.raw, 0) AS DOUBLE) / a1t.t, 12)
+                       AS DECIMAL(28,12)) AS s
+           FROM nodes LEFT JOIN a1r ON a1r.id = nodes.id, a1t),
+    h1r AS (SELECT e.src AS id, CAST(SUM(a1.s) AS DECIMAL(28,12)) AS raw
+            FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+    h1t AS (SELECT CAST(SUM(raw) AS DOUBLE) AS t FROM h1r),
+    h1 AS (SELECT nodes.id,
+                  CAST(ROUND(CAST(COALESCE(h1r.raw, 0) AS DOUBLE) / h1t.t, 12)
+                       AS DECIMAL(28,12)) AS s
+           FROM nodes LEFT JOIN h1r ON h1r.id = nodes.id, h1t),
+    a2r AS (SELECT e.dst AS id, CAST(SUM(h1.s) AS DECIMAL(28,12)) AS raw
+            FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+    a2t AS (SELECT CAST(SUM(raw) AS DOUBLE) AS t FROM a2r),
+    a2 AS (SELECT nodes.id,
+                  CAST(ROUND(CAST(COALESCE(a2r.raw, 0) AS DOUBLE) / a2t.t, 12)
+                       AS DECIMAL(28,12)) AS s
+           FROM nodes LEFT JOIN a2r ON a2r.id = nodes.id, a2t),
+    h2r AS (SELECT e.src AS id, CAST(SUM(a2.s) AS DECIMAL(28,12)) AS raw
+            FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+    h2t AS (SELECT CAST(SUM(raw) AS DOUBLE) AS t FROM h2r),
+    h2 AS (SELECT nodes.id,
+                  CAST(ROUND(CAST(COALESCE(h2r.raw, 0) AS DOUBLE) / h2t.t, 12)
+                       AS DECIMAL(28,12)) AS s
+           FROM nodes LEFT JOIN h2r ON h2r.id = nodes.id, h2t)
+    SELECT nodes.id, CAST(h2.s AS DOUBLE) AS hub, CAST(a2.s AS DOUBLE) AS auth
+    FROM nodes JOIN h2 ON h2.id = nodes.id JOIN a2 ON a2.id = nodes.id""",
+)
+def hits_hubs_authorities(spark, sf):
+    """HITS over a deterministic 200-node link graph derived from doc ids
+    (operators.graph.hits, 2 iterations): per-half-step L1 normalization with
+    12dp-rounded DECIMAL scores — the oracle unrolls both iterations with the
+    identical rounding points, so hubs/authorities hash-match exactly."""
+    from crawl4ai_scraper_spark.operators.graph import hits
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    e1 = docs.select((F.col("doc_id") % 200).alias("src"),
+                     ((F.col("doc_id") * 7 + 1) % 200).alias("dst"))
+    e2 = docs.select((F.col("doc_id") % 200).alias("src"),
+                     ((F.col("doc_id") * 3 + 2) % 200).alias("dst"))
+    return hits(e1.unionByName(e2), n_iter=2)
+
+
+@_q(
     "recrawl_change_rate",
     """WITH h AS (
       SELECT user_id, ts, event_id, event_type,

@@ -163,3 +163,58 @@ def page_anchor_texts(
 ) -> DataFrame:
     """pages table → per-target anchor summary (extract + aggregate)."""
     return anchor_text_agg(anchor_links(pages, url_col, html_col), max_anchors=max_anchors)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities over the crawl edge table — the companion
+    signal to pagerank (a page linked by many good hubs is an authority; a
+    page linking many authorities is a hub). Deterministic like pagerank:
+    every score is rounded to 12dp and cast to DECIMAL before any sum, and
+    each half-step is L1-normalized (sum-to-1) with the division done in
+    identically-shaped double math, so any engine reproduces the exact
+    values. Per iteration: two edge⋈score equi-joins + two map-side-combined
+    groupBys + two scalar total aggregates — no windows, no global sorts;
+    lineage truncated per half-step with localCheckpoint."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    e = e.localCheckpoint(eager=True)
+    zero = F.lit(0).cast(_SCALE)
+
+    def _half(score: DataFrame, join_on: str, group_on: str) -> DataFrame:
+        """score(id, s) over join_on side → L1-normalized sums on group_on."""
+        raw = (
+            e.join(score.withColumnRenamed("id", join_on), join_on)
+            .groupBy(F.col(group_on).alias("id"))
+            .agg(F.sum("s").cast(_SCALE).alias("raw"))
+        )
+        total = raw.agg(F.sum("raw").cast(_SCALE)).collect()[0][0]
+        t = float(total) if total else 1.0
+        return nodes.join(raw, "id", "left").select(
+            "id",
+            F.round(
+                F.coalesce(F.col("raw"), zero).cast("double") / F.lit(t), 12
+            ).cast(_SCALE).alias("s"),
+        ).localCheckpoint(eager=True)
+
+    hub = nodes.select("id", F.round(F.lit(1.0 / n), 12).cast(_SCALE).alias("s"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _half(hub, "src", "dst")    # authorities gather from hubs
+        hub = _half(auth, "dst", "src")    # hubs gather from authorities
+    return (
+        nodes.join(hub.withColumnRenamed("s", "hub"), "id")
+        .join(auth.withColumnRenamed("s", "auth"), "id")
+        .select("id", F.col("hub").cast("double").alias("hub"),
+                F.col("auth").cast("double").alias("auth"))
+    )

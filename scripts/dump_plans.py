@@ -109,6 +109,17 @@ def main():
         plan_of(contract.queries()["tpch_q5_local_supplier_volume"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Anchor-text aggregation — html never shuffles, two bounded exchanges",
+        "page_anchor_texts extracts (target, anchor) in a narrow Arrow pass "
+        "(MapInPandas directly over the scan — the html binary never enters an "
+        "Exchange), then groups by the (target, anchor) PAIR (uniform even for "
+        "a target with 10^9 inlinks, map-side combine) before the per-target "
+        "window/collect, which sees only distinct labels and keeps at most "
+        "max_anchors of them.",
+        plan_of(contract.queries()["anchor_text_agg"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",

@@ -908,3 +908,32 @@ def test_recrawl_stats_hand_history(spark):
     assert u.changes_per_day == round(2 * 86400.0 / (4 * 86400), 6)
     v = got["v"]
     assert (v.n_visits, v.n_changes, v.change_ratio, v.changes_per_day) == (1, 0, 0.0, 0.0)
+
+
+def test_hits_matches_python_oracle(spark):
+    from crawl4ai_scraper_spark.operators.graph import hits
+
+    edges = [(1, 3), (2, 3), (3, 4), (1, 4), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in hits(df, n_iter=2).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    hub = {u: round(1.0 / len(nodes), 12) for u in nodes}
+
+    def half(score, outgoing):
+        raw = {}
+        for s, d in edges:
+            a, b = (s, d) if outgoing else (d, s)
+            raw[b] = raw.get(b, 0.0) + score[a]
+        t = sum(raw.values())
+        return {u: round(raw.get(u, 0.0) / t, 12) for u in nodes}
+
+    for _ in range(2):
+        auth = half(hub, outgoing=True)
+        hub = half(auth, outgoing=False)
+
+    for u in nodes:
+        assert got[u] == (pytest.approx(hub[u], abs=1e-12), pytest.approx(auth[u], abs=1e-12)), u
+    # structural sanity: 3 is the strongest authority, 1 the strongest hub
+    assert max(nodes, key=lambda u: got[u][1]) == 3
+    assert max(nodes, key=lambda u: got[u][0]) == 1
