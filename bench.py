@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "anchor_text_agg",
     "recrawl_change_rate",
     "hits_hubs_authorities",
+    "sitemap_lastmod_priority",
 ]
 
 

@@ -2266,6 +2266,70 @@ def anchor_text_agg_q(spark, sf):
 
 
 @_q(
+    "sitemap_lastmod_priority",
+    """WITH sel AS (
+      SELECT source, doc_id FROM documents WHERE doc_id % 100 < 20)
+    SELECT 'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 = 0 THEN 0.0
+                ELSE CAST(epoch(CAST(('2024-01-' ||
+                         lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0'))
+                         AS TIMESTAMP)) AS DOUBLE)
+           END AS priority
+    FROM sel""",
+)
+def sitemap_lastmod_priority(spark, sf):
+    """Freshness-prioritized sitemap seeding: synthesized sitemap pages carry
+    ``<lastmod>`` on 2 of 3 entries; the REAL Arrow parser (kernel
+    entries_from_sitemap_xml via plans.politeness.sitemap_entries) scrapes
+    (loc, lastmod) blocks and sitemap_seed_priorities converts them to the
+    (url, priority=wall-clock epoch of lastmod, else 0) signal frame the
+    frontier's priority mode consumes. The oracle computes the expected
+    epochs arithmetically; the timestamp math is timezone-free on both
+    sides (NTZ round-trip vs DuckDB naive epoch)."""
+    from crawl4ai_scraper_spark.plans.politeness import (
+        sitemap_entries,
+        sitemap_seed_priorities,
+    )
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    lastmod = F.concat(
+        F.lit("<lastmod>2024-01-"),
+        F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/docs/d"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(lastmod),
+        F.lit("</url>"),
+    )
+    per = docs.filter(F.col("doc_id") % 100 < 20).select(
+        "source", F.col("doc_id").alias("k"), entry.alias("e")
+    )
+    sitemap_pages = per.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "e"))), lambda s: s["e"]
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("body")
+    ).select(
+        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias("url"),
+        F.encode(F.col("body"), "UTF-8").alias("html"),
+    )
+    sitemaps = sitemap_pages.select(
+        F.regexp_extract("url", "^https://([^/]+)/", 1).alias("host"),
+        F.col("url").alias("sitemap_url"),
+    )
+    return sitemap_seed_priorities(sitemap_entries(sitemap_pages, sitemaps))
+
+
+@_q(
     "hits_hubs_authorities",
     """WITH e AS (
       SELECT DISTINCT src, dst FROM (

@@ -96,6 +96,44 @@ def parse_sitemaps(text: str) -> List[str]:
     return out
 
 
+def entries_from_sitemap_xml(body: str) -> List[dict]:
+    """``(loc, lastmod)`` pairs from a sitemap / sitemap-index document, in
+    document order, first occurrence of a loc wins. ``<lastmod>`` is optional
+    per the protocol and comes back None when absent; the same forgiving
+    regex scan as ``urls_from_sitemap_xml`` (real sitemaps are frequently
+    ill-formed), with a bare-``<loc>`` fallback when no ``<url>``/
+    ``<sitemap>`` blocks exist."""
+    import re
+
+    def _unescape(s: str) -> str:
+        return (
+            s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+            .replace("&quot;", '"').replace("&apos;", "'")
+        )
+
+    out: List[dict] = []
+    seen = set()
+    blocks = re.finditer(
+        r"<(?:url|sitemap)>(.*?)</(?:url|sitemap)>", body or "", re.IGNORECASE | re.DOTALL
+    )
+    found_block = False
+    for b in blocks:
+        found_block = True
+        chunk = b.group(1)
+        locm = re.search(r"<loc>\s*([^<]+?)\s*</loc>", chunk, re.IGNORECASE)
+        if not locm:
+            continue
+        loc = _unescape(locm.group(1))
+        if loc in seen:
+            continue
+        seen.add(loc)
+        lm = re.search(r"<lastmod>\s*([^<]+?)\s*</lastmod>", chunk, re.IGNORECASE)
+        out.append({"loc": loc, "lastmod": _unescape(lm.group(1)) if lm else None})
+    if not found_block:
+        return [{"loc": u, "lastmod": None} for u in urls_from_sitemap_xml(body)]
+    return out
+
+
 def urls_from_sitemap_xml(body: str) -> List[str]:
     """``<loc>`` entries of a sitemap (or sitemap-index) XML document, in
     document order, entity-unescaped, deduped. A full XML parser is

@@ -316,3 +316,59 @@ def seeds_from_sitemaps(pages: DataFrame, sitemaps: DataFrame) -> DataFrame:
     return hits.mapInPandas(
         _parse, "host string, sitemap_url string, seed_url string, loc_pos int"
     )
+
+
+def sitemap_entries(pages: DataFrame, sitemaps: DataFrame) -> DataFrame:
+    """``seeds_from_sitemaps`` with the protocol's freshness signal: one row
+    per ``<url>``/``<sitemap>`` block carrying the optional ``<lastmod>``
+    (null when absent). Same broadcast-needles shape — the sitemap-url list
+    is broadcast into the pages scan, blocks scraped in one Arrow pass.
+    Output: (host, sitemap_url, seed_url, loc_pos, lastmod)."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
+    from crawl4ai_scraper_spark.kernel.robots import entries_from_sitemap_xml
+
+    hits = pages.select("url", "html").join(
+        F.broadcast(sitemaps.select("host", F.col("sitemap_url").alias("url"))),
+        "url",
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = {"host": [], "sitemap_url": [], "seed_url": [],
+                    "loc_pos": [], "lastmod": []}
+            for host, url, body in zip(pdf["host"], pdf["url"], pdf["html"]):
+                for i, rec in enumerate(entries_from_sitemap_xml(decode_html(body))):
+                    rows["host"].append(host)
+                    rows["sitemap_url"].append(url)
+                    rows["seed_url"].append(rec["loc"])
+                    rows["loc_pos"].append(i)
+                    rows["lastmod"].append(rec["lastmod"])
+            yield pd.DataFrame(rows)
+
+    return hits.mapInPandas(
+        _parse,
+        "host string, sitemap_url string, seed_url string, loc_pos int, lastmod string",
+    )
+
+
+def sitemap_seed_priorities(entries: DataFrame) -> DataFrame:
+    """Sitemap entries → the (url, priority) signal frame the frontier's
+    priority mode consumes: priority = the lastmod wall-clock epoch second
+    (newer pages first), 0 for entries without a lastmod. Timezone-free: the
+    parsed timestamp round-trips through TIMESTAMP_NTZ so the session zone
+    cancels. Compose with run_crawl(priority_col=..., cfg.frontier_order=
+    "priority") — the sitemap-declared freshest pages are fetched first."""
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "cast(to_timestamp(lastmod) as timestamp_ntz))"
+    )
+    return (
+        entries.select(
+            F.col("seed_url").alias("url"),
+            F.coalesce(epoch_s.cast("double"), F.lit(0.0)).alias("priority"),
+        )
+        .groupBy("url")
+        .agg(F.max("priority").alias("priority"))
+    )

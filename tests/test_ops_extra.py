@@ -937,3 +937,46 @@ def test_hits_matches_python_oracle(spark):
     # structural sanity: 3 is the strongest authority, 1 the strongest hub
     assert max(nodes, key=lambda u: got[u][1]) == 3
     assert max(nodes, key=lambda u: got[u][0]) == 1
+
+
+def test_sitemap_entries_lastmod(spark):
+    from crawl4ai_scraper_spark.kernel.robots import entries_from_sitemap_xml
+    from crawl4ai_scraper_spark.plans.politeness import (
+        sitemap_entries,
+        sitemap_seed_priorities,
+    )
+
+    # kernel vectors: lastmod optional, first loc wins, loc-less block skipped
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.example/p1 </loc><lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>https://a.example/p2?x=1&amp;y=2</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>https://a.example/p1</loc><lastmod>2023-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    assert entries_from_sitemap_xml(xml) == [
+        {"loc": "https://a.example/p1", "lastmod": "2024-01-05"},
+        {"loc": "https://a.example/p2?x=1&y=2", "lastmod": None},
+    ]
+    # blockless documents fall back to the bare <loc> scan
+    assert entries_from_sitemap_xml("<urlset><loc>https://b.example/</loc></urlset>") == [
+        {"loc": "https://b.example/", "lastmod": None}
+    ]
+
+    pages = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", bytearray(xml.encode()))],
+        "url string, html binary",
+    )
+    sitemaps = spark.createDataFrame(
+        [("a.example", "https://a.example/sitemap.xml")], "host string, sitemap_url string"
+    )
+    entries = sitemap_entries(pages, sitemaps)
+    got = {r.seed_url: r.lastmod for r in entries.collect()}
+    assert got == {"https://a.example/p1": "2024-01-05",
+                   "https://a.example/p2?x=1&y=2": None}
+    prio = {r.url: r.priority for r in sitemap_seed_priorities(entries).collect()}
+    assert prio["https://a.example/p2?x=1&y=2"] == 0.0
+    assert prio["https://a.example/p1"] == dt.datetime(
+        2024, 1, 5, tzinfo=dt.timezone.utc
+    ).timestamp()
