@@ -1966,18 +1966,20 @@ def sitemap_seed_expansion(spark, sf):
       FROM documents)
     SELECT source || '.example' AS host,
            CAST((i % 7) + 0.5 AS DOUBLE) AS crawl_delay,
-           '/private' || CAST(i AS VARCHAR) || '|/tmp' AS disallow
+           '/private' || CAST(i AS VARCHAR) || '|/tmp' AS disallow,
+           '/private' || CAST(i AS VARCHAR) || '/ok' AS allow
     FROM s""",
 )
 def robots_rules_parse(spark, sf):
     """REP parser end-to-end (north_rule: robots rules evaluated in Arrow
-    UDFs): synthesized robots.txt bodies — per-host Disallow prefixes,
-    fractional Crawl-delay, a non-matching agent group, comments, an empty
-    Disallow, and a SECOND ``*`` group that must merge — flow through the
-    real pipeline (pushed-down robots url scan → kernel.robots.parse_robots
-    in mapInPandas → latest-revision collapse; plans/politeness.py
+    UDFs): synthesized robots.txt bodies — per-host Disallow prefixes, an
+    Allow carve-out (RFC 9309 longest-match input), fractional Crawl-delay,
+    a non-matching agent group, comments, empty Disallow/Allow no-ops, and
+    a SECOND ``*`` group that must merge — flow through the real pipeline
+    (pushed-down robots url scan → kernel.robots.parse_robots_rules in
+    mapInPandas → latest-revision collapse; plans/politeness.py
     rules_from_robots). The oracle constructs the expected rules directly;
-    the array column is joined to a scalar for the driver's hash."""
+    the array columns are joined to scalars for the driver's hash."""
     from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
 
     docs = _t(spark, sf, "documents")
@@ -1987,9 +1989,11 @@ def robots_rules_parse(spark, sf):
         F.lit("# synthetic robots\nUser-Agent: googlebot\nDisallow: /gb\n\n"
               "User-agent: *\nDisallow: /private"),
         i.cast("string"),
-        F.lit("\nCrawl-Delay: "),
+        F.lit("\nAllow: /private"),
+        i.cast("string"),
+        F.lit("/ok\nCrawl-Delay: "),
         (i % 7).cast("string"),
-        F.lit(".5\nDisallow:\nUser-agent: *\nDisallow: /tmp\n"),
+        F.lit(".5\nDisallow:\nAllow:\nUser-agent: *\nDisallow: /tmp\n"),
     )
     robots = docs.select("source").distinct().select(
         F.concat(F.lit("https://"), host, F.lit("/robots.txt")).alias("url"),
@@ -2005,6 +2009,7 @@ def robots_rules_parse(spark, sf):
         "host",
         F.col("crawl_delay").cast("double").alias("crawl_delay"),
         F.concat_ws("|", "disallow_prefixes").alias("disallow"),
+        F.concat_ws("|", "allow_prefixes").alias("allow"),
     )
 
 

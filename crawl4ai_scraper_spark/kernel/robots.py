@@ -21,23 +21,29 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 
-def parse_robots(text: str, agent: str = "*") -> Tuple[Optional[float], List[str]]:
-    """→ (crawl_delay seconds or None, disallow path prefixes) for `agent`.
+def parse_robots_rules(
+    text: str, agent: str = "*"
+) -> Tuple[Optional[float], List[str], List[str]]:
+    """→ (crawl_delay seconds or None, Disallow prefixes, Allow prefixes)
+    for `agent`. Allow feeds RFC 9309 longest-match precedence in the
+    politeness filter (plans/politeness.py robots_filter): the longest
+    matching prefix decides, Allow winning length ties.
 
     Groups whose User-agent matches `agent` exactly (case-insensitive) are
     merged; if none match and `agent` != '*', the '*' groups apply.
     """
-    groups: List[Tuple[List[str], List[str], Optional[float]]] = []
+    groups: List[Tuple[List[str], List[str], List[str], Optional[float]]] = []
     cur_agents: List[str] = []
     cur_dis: List[str] = []
+    cur_allow: List[str] = []
     cur_delay: Optional[float] = None
     in_directives = False
 
     def close_group():
-        nonlocal cur_agents, cur_dis, cur_delay, in_directives
+        nonlocal cur_agents, cur_dis, cur_allow, cur_delay, in_directives
         if cur_agents:
-            groups.append((cur_agents, cur_dis, cur_delay))
-        cur_agents, cur_dis, cur_delay = [], [], None
+            groups.append((cur_agents, cur_dis, cur_allow, cur_delay))
+        cur_agents, cur_dis, cur_allow, cur_delay = [], [], [], None
         in_directives = False
 
     for raw in (text or "").splitlines():
@@ -62,23 +68,34 @@ def parse_robots(text: str, agent: str = "*") -> Tuple[Optional[float], List[str
             except ValueError:
                 pass
         elif key == "allow":
-            in_directives = True  # recognized, not enforced (prefix filter)
+            in_directives = True
+            if val:  # empty Allow is a no-op, like empty Disallow
+                cur_allow.append(val)
     close_group()
 
     agent = agent.lower()
     for want in ([agent, "*"] if agent != "*" else ["*"]):
         delay: Optional[float] = None
         dis: List[str] = []
+        allow: List[str] = []
         hit = False
-        for agents, d, cd in groups:
+        for agents, d, a, cd in groups:
             if want in agents:
                 hit = True
                 dis.extend(d)
+                allow.extend(a)
                 if cd is not None:
                     delay = cd
         if hit:
-            return delay, dis
-    return None, []
+            return delay, dis, allow
+    return None, [], []
+
+
+def parse_robots(text: str, agent: str = "*") -> Tuple[Optional[float], List[str]]:
+    """→ (crawl_delay seconds or None, disallow path prefixes) for `agent` —
+    the Disallow-only view of ``parse_robots_rules``."""
+    delay, dis, _ = parse_robots_rules(text, agent)
+    return delay, dis
 
 
 def parse_sitemaps(text: str) -> List[str]:

@@ -43,7 +43,7 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
     rest of the politeness layer already consumes."""
     import pandas as pd
 
-    from crawl4ai_scraper_spark.kernel.robots import parse_robots
+    from crawl4ai_scraper_spark.kernel.robots import parse_robots_rules
     from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
 
     if "warc_ts" not in pages.columns:  # ad-hoc frames; real tables have it
@@ -56,21 +56,26 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
         from urllib.parse import urlparse
 
         for pdf in batches:
-            hosts, urls, tss, delays, prefixes = [], [], [], [], []
+            hosts, urls, tss, delays, prefixes, allows = [], [], [], [], [], []
             for url, ts, body in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-                delay, dis = parse_robots(decode_html(body), default_agent)
+                delay, dis, allow = parse_robots_rules(decode_html(body), default_agent)
                 hosts.append(urlparse(url).netloc)
                 urls.append(url)
                 tss.append(ts)
                 delays.append(delay)
                 prefixes.append(dis)
+                allows.append(allow)
             yield pd.DataFrame(
                 {"host": hosts, "url": urls, "warc_ts": tss,
-                 "crawl_delay": delays, "disallow_prefixes": prefixes}
+                 "crawl_delay": delays, "disallow_prefixes": prefixes,
+                 "allow_prefixes": allows}
             )
 
     parsed = robots.mapInPandas(
-        _parse, "host string, url string, warc_ts timestamp, " + HOST_RULES_SCHEMA.split(", ", 1)[1]
+        _parse,
+        "host string, url string, warc_ts timestamp, "
+        + HOST_RULES_SCHEMA.split(", ", 1)[1]
+        + ", allow_prefixes array<string>",
     )
     # EXACTLY one row per host: duplicate robots records (http/https variants,
     # recrawl revisions — both arise from WARC ingests) would otherwise fan
@@ -85,19 +90,40 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
 
 def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> DataFrame:
     """Drop robots-disallowed candidates. Broadcast the (tiny) rules table;
-    prefix test is a native EXISTS over the array — no UDF."""
+    the rule test is native array math over the prefix lists — no UDF, no
+    per-url aggregation. When the rules table carries ``allow_prefixes``
+    (rules_from_robots output), RFC 9309 longest-match precedence applies:
+    the longest matching prefix decides, Allow winning length ties; plain
+    3-column rules tables keep the original any-disallow-prefix semantics."""
     if host_rules is None:
         return candidates
+    has_allow = "allow_prefixes" in host_rules.columns
+    cols = ["disallow_prefixes"] + (["allow_prefixes"] if has_allow else [])
     rules = F.broadcast(host_rules.select(
-        F.col("host").alias("child_host"), "disallow_prefixes"
+        F.col("host").alias("child_host"), *cols
     ))
     joined = candidates.join(rules, "child_host", "left")
     path = F.regexp_replace(F.col("child_url"), r"^[a-z]+://[^/]*", "")
-    disallowed = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: path.startswith(p),
-    )
-    return joined.filter(~disallowed).drop("disallow_prefixes")
+
+    def _longest_match(col: str):
+        # max length over the prefixes that match; null when none do
+        return F.array_max(
+            F.transform(
+                F.filter(F.coalesce(F.col(col), F.array()),
+                         lambda p: path.startswith(p)),
+                F.length,
+            )
+        )
+
+    if has_allow:
+        dmax, amax = _longest_match("disallow_prefixes"), _longest_match("allow_prefixes")
+        disallowed = dmax.isNotNull() & (amax.isNull() | (amax < dmax))
+    else:
+        disallowed = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: path.startswith(p),
+        )
+    return joined.filter(~disallowed).drop(*cols)
 
 
 def virtual_schedule(

@@ -980,3 +980,46 @@ def test_sitemap_entries_lastmod(spark):
     assert prio["https://a.example/p1"] == dt.datetime(
         2024, 1, 5, tzinfo=dt.timezone.utc
     ).timestamp()
+
+
+def test_parse_robots_rules_allow():
+    from crawl4ai_scraper_spark.kernel.robots import parse_robots, parse_robots_rules
+
+    body = (
+        "User-agent: googlebot\nDisallow: /gb\nAllow: /gb/ok\n\n"
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Allow:\nCrawl-delay: 1.5\n"
+        "User-agent: *\nAllow: /public\n"
+    )
+    delay, dis, allow = parse_robots_rules(body)
+    assert (delay, dis, allow) == (1.5, ["/private"], ["/private/ok", "/public"])
+    assert parse_robots_rules(body, "googlebot")[1:] == (["/gb"], ["/gb/ok"])
+    # Disallow-only view unchanged
+    assert parse_robots(body) == (1.5, ["/private"])
+
+
+def test_robots_filter_longest_match_allow(spark):
+    from crawl4ai_scraper_spark.plans.politeness import robots_filter
+
+    cand = spark.createDataFrame(
+        [("h.example", f"https://h.example{p}") for p in
+         ("/private/ok/page", "/private/secret", "/tie/x", "/free")]
+        + [("open.example", "https://open.example/private/anything")],
+        "child_host string, child_url string",
+    )
+    rules4 = spark.createDataFrame(
+        [("h.example", 1.0, ["/private", "/tie/x"], ["/private/ok", "/tie/x"])],
+        "host string, crawl_delay double, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    kept = {r.child_url.split(".example")[1] for r in robots_filter(cand, rules4).collect()}
+    # longest match decides; Allow wins the /tie/x length tie; unruled host passes
+    assert kept == {"/private/ok/page", "/tie/x", "/free", "/private/anything"}
+
+    # 3-column rules keep the original any-disallow semantics
+    rules3 = spark.createDataFrame(
+        [("h.example", 1.0, ["/private"])],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+    kept3 = {r.child_url.split(".example")[1] for r in robots_filter(cand, rules3).collect()}
+    assert kept3 == {"/tie/x", "/free", "/private/anything"}
