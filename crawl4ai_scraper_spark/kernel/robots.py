@@ -7,12 +7,12 @@ this engine's politeness layer consumes a ``host_rules`` dimension table
 robots.txt documents stored in the pages table — the Common-Crawl situation,
 where robots bodies are captured alongside pages.
 
-Parser = the classic REP subset evaluated for the generic agent ``*``:
+Parser = the RFC 9309 REP evaluated for the generic agent ``*``:
 user-agent groups (consecutive ``User-agent`` lines share one group),
-``Disallow`` path prefixes (empty value = allow everything), ``Crawl-delay``
-seconds. ``Allow`` precedence and ``$``/``*`` wildcards are out of scope —
-the politeness filter is prefix-based (politeness.py robots_filter), so the
-parser emits exactly what that filter consumes. Key matching is
+``Disallow``/``Allow`` rule paths (empty value = no-op), ``Crawl-delay``
+seconds, ``*``/trailing-``$`` wildcards (``robots_rule_regex``), with
+longest-match precedence — Allow winning length ties — applied natively in
+the politeness filter (politeness.py robots_filter). Key matching is
 case-insensitive; comments (``#``) and blank lines per the de-facto spec.
 """
 
@@ -172,3 +172,33 @@ def urls_from_sitemap_xml(body: str) -> List[str]:
         if url not in out:
             out.append(url)
     return out
+
+
+_RX_SPECIALS = set(".^$+?()[]{}|\\")
+
+
+def robots_rule_regex(rule: str) -> str:
+    """RFC 9309 rule path → anchored Java/RE2-safe regex: ``*`` matches any
+    run of characters, a TRAILING ``$`` anchors the end of the URL, every
+    other character is literal (a mid-rule ``$`` too). Plain prefixes come
+    out as ``^literal`` — identical semantics to startswith."""
+    end_anchor = rule.endswith("$")
+    body = rule[:-1] if end_anchor else rule
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RX_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if end_anchor:
+        out.append("$")
+    return "".join(out)
+
+
+def robots_rules_structs(rules: List[str]) -> List[dict]:
+    """Rule paths → [(rx, n)] structs for the wildcard-aware politeness
+    filter: ``rx`` the anchored regex, ``n`` the RFC precedence length (the
+    raw rule's octet count — longest rule wins, Allow breaking ties)."""
+    return [{"rx": robots_rule_regex(r), "n": len(r.encode("utf-8"))} for r in rules]

@@ -43,7 +43,10 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
     rest of the politeness layer already consumes."""
     import pandas as pd
 
-    from crawl4ai_scraper_spark.kernel.robots import parse_robots_rules
+    from crawl4ai_scraper_spark.kernel.robots import (
+        parse_robots_rules,
+        robots_rules_structs,
+    )
     from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
 
     if "warc_ts" not in pages.columns:  # ad-hoc frames; real tables have it
@@ -57,6 +60,7 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
 
         for pdf in batches:
             hosts, urls, tss, delays, prefixes, allows = [], [], [], [], [], []
+            drules, arules = [], []
             for url, ts, body in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 delay, dis, allow = parse_robots_rules(decode_html(body), default_agent)
                 hosts.append(urlparse(url).netloc)
@@ -65,17 +69,22 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
                 delays.append(delay)
                 prefixes.append(dis)
                 allows.append(allow)
+                drules.append(robots_rules_structs(dis))
+                arules.append(robots_rules_structs(allow))
             yield pd.DataFrame(
                 {"host": hosts, "url": urls, "warc_ts": tss,
                  "crawl_delay": delays, "disallow_prefixes": prefixes,
-                 "allow_prefixes": allows}
+                 "allow_prefixes": allows,
+                 "disallow_rules": drules, "allow_rules": arules}
             )
 
     parsed = robots.mapInPandas(
         _parse,
         "host string, url string, warc_ts timestamp, "
         + HOST_RULES_SCHEMA.split(", ", 1)[1]
-        + ", allow_prefixes array<string>",
+        + ", allow_prefixes array<string>"
+        + ", disallow_rules array<struct<rx: string, n: int>>"
+        + ", allow_rules array<struct<rx: string, n: int>>",
     )
     # EXACTLY one row per host: duplicate robots records (http/https variants,
     # recrawl revisions — both arise from WARC ingests) would otherwise fan
@@ -97,15 +106,19 @@ def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> Dat
     3-column rules tables keep the original any-disallow-prefix semantics."""
     if host_rules is None:
         return candidates
+    has_rx = "disallow_rules" in host_rules.columns  # rules_from_robots output
     has_allow = "allow_prefixes" in host_rules.columns
-    cols = ["disallow_prefixes"] + (["allow_prefixes"] if has_allow else [])
+    if has_rx:
+        cols = ["disallow_rules", "allow_rules"]
+    else:
+        cols = ["disallow_prefixes"] + (["allow_prefixes"] if has_allow else [])
     rules = F.broadcast(host_rules.select(
         F.col("host").alias("child_host"), *cols
     ))
     joined = candidates.join(rules, "child_host", "left")
     path = F.regexp_replace(F.col("child_url"), r"^[a-z]+://[^/]*", "")
 
-    def _longest_match(col: str):
+    def _longest_prefix(col: str):
         # max length over the prefixes that match; null when none do
         return F.array_max(
             F.transform(
@@ -115,8 +128,20 @@ def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> Dat
             )
         )
 
-    if has_allow:
-        dmax, amax = _longest_match("disallow_prefixes"), _longest_match("allow_prefixes")
+    def _longest_rx(col: str):
+        # max RFC precedence length over the wildcard rules that match
+        return F.array_max(
+            F.transform(
+                F.coalesce(F.col(col), F.array()),
+                lambda s: F.when(F.regexp_like(path, s.rx), s.n),
+            )
+        )
+
+    if has_rx:
+        dmax, amax = _longest_rx("disallow_rules"), _longest_rx("allow_rules")
+        disallowed = dmax.isNotNull() & (amax.isNull() | (amax < dmax))
+    elif has_allow:
+        dmax, amax = _longest_prefix("disallow_prefixes"), _longest_prefix("allow_prefixes")
         disallowed = dmax.isNotNull() & (amax.isNull() | (amax < dmax))
     else:
         disallowed = F.exists(

@@ -1023,3 +1023,34 @@ def test_robots_filter_longest_match_allow(spark):
     )
     kept3 = {r.child_url.split(".example")[1] for r in robots_filter(cand, rules3).collect()}
     assert kept3 == {"/tie/x", "/free", "/private/anything"}
+
+
+def test_robots_wildcard_rules(spark):
+    from crawl4ai_scraper_spark.kernel.robots import robots_rule_regex
+    from crawl4ai_scraper_spark.plans.politeness import robots_filter, rules_from_robots
+
+    assert robots_rule_regex("/private") == "^/private"
+    assert robots_rule_regex("/*.json$") == "^/.*\\.json$"
+    assert robots_rule_regex("/a*b") == "^/a.*b"
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.json$\n"        # any .json URL (end-anchored)
+        "Disallow: /sec/*/deep\n"     # wildcard in the middle
+        "Allow: /sec/ok/deep\n"       # longer than the wildcard rule -> wins
+    )
+    robots = spark.createDataFrame(
+        [("https://w.example/robots.txt", bytearray(body.encode()))],
+        "url string, html binary",
+    )
+    rules = rules_from_robots(robots)
+    cand = spark.createDataFrame(
+        [("w.example", f"https://w.example{p}") for p in
+         ("/api/data.json", "/api/data.json?x=1", "/sec/a/deep", "/sec/ok/deep",
+          "/plain", "/file.jsonl")],
+        "child_host string, child_url string",
+    )
+    kept = {r.child_url.split(".example")[1] for r in robots_filter(cand, rules).collect()}
+    # .json$ blocks the bare .json URL but NOT the query variant ($-anchored)
+    # or .jsonl; the Allow carve-out beats the shorter wildcard Disallow
+    assert kept == {"/api/data.json?x=1", "/plain", "/file.jsonl", "/sec/ok/deep"}
