@@ -555,3 +555,25 @@ def test_recrawl_priority_pipeline(spark, pages3, web3, chk_dir):
     prio.unpersist()
     # all changed-page visits precede every unchanged-page visit in the round
     assert flags == sorted(flags, reverse=True), flags
+
+
+def test_wildcard_robots_crawl_prunes_query_urls(spark, pages3, web3, chk_dir):
+    """RFC 9309 wildcard rule through the real engine: ``Disallow: /*?``
+    prunes every query-string URL from the frontier while plain pages crawl
+    normally (rules parsed from a stored robots body, rx longest-match)."""
+    from crawl4ai_scraper_spark.plans.politeness import rules_from_robots
+
+    _, corpus, _ = web3
+    robots = spark.createDataFrame(
+        [("https://site0.example/robots.txt",
+          bytearray(b"User-agent: *\nDisallow: /*?\n"))],
+        "url string, html binary",
+    )
+    rules = rules_from_robots(robots)
+    cfg = CrawlJobConfig(max_depth=2, max_pages=1000)
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, host_rules=rules,
+                    extract=False, use_bloom=False)
+    visited = {r["url"] for r in res.visited.collect()}
+    assert SEED in visited and len(visited) > 10
+    assert not {u for u in visited if "?" in u}
+    assert any("?" in u for u in corpus)  # the corpus does contain query urls

@@ -1054,3 +1054,19 @@ def test_robots_wildcard_rules(spark):
     # .json$ blocks the bare .json URL but NOT the query variant ($-anchored)
     # or .jsonl; the Allow carve-out beats the shorter wildcard Disallow
     assert kept == {"/api/data.json?x=1", "/plain", "/file.jsonl", "/sec/ok/deep"}
+
+
+def test_sitemap_index_blocks_carry_lastmod():
+    from crawl4ai_scraper_spark.kernel.robots import entries_from_sitemap_xml
+
+    idx = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://a.example/sm1.xml</loc>"
+        "<lastmod>2024-02-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a.example/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert entries_from_sitemap_xml(idx) == [
+        {"loc": "https://a.example/sm1.xml", "lastmod": "2024-02-01"},
+        {"loc": "https://a.example/sm2.xml", "lastmod": None},
+    ]
