@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "recrawl_change_rate",
     "hits_hubs_authorities",
     "sitemap_lastmod_priority",
+    "token_windows",
 ]
 
 

@@ -2271,6 +2271,30 @@ def anchor_text_agg_q(spark, sf):
 
 
 @_q(
+    "token_windows",
+    """WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents)
+    SELECT doc_id AS id,
+           CAST(s.i // 24 AS INT) AS win_idx,
+           CAST(s.i AS INT) AS win_start,
+           CAST(LEAST(32, n - s.i) AS INT) AS n_win_tokens,
+           array_to_string(list_slice(toks, CAST(s.i AS INT) + 1,
+                                      CAST(s.i AS INT) + 32), ' ') AS win_text
+    FROM t, UNNEST(range(0, greatest(n - 1, 0) + 1, 24)) AS s(i)
+    WHERE n > 0""",
+)
+def token_windows_q(spark, sf):
+    """Sliding-context chunking (operators.textops.token_windows): 32-token
+    windows, stride 24 (8-token overlap) — one narrow Generate, no shuffle;
+    short tails kept, empty docs dropped."""
+    return T.token_windows(_t(spark, sf, "documents"), "text", "doc_id",
+                           window=32, stride=24)
+
+
+@_q(
     "sitemap_lastmod_priority",
     """WITH sel AS (
       SELECT source, doc_id FROM documents WHERE doc_id % 100 < 20)

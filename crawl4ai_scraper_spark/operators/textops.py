@@ -680,3 +680,40 @@ def mixture_weights(
         F.round(F.least(F.lit(1.0), raw), 6).alias("keep_rate"),
         F.round(raw, 4).alias("oversample_factor"),
     )
+
+
+def token_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Training-sample chunking: split each document into fixed-size
+    whitespace-token windows with overlap (window=128 / stride=96 → 32-token
+    overlap, the standard sliding-context prep before packing/embedding).
+    Output: (id, win_idx, win_start, n_win_tokens, win_text) — one row per
+    window, short tail windows kept, empty docs dropped.
+
+    Pure column math at scan speed (split → sequence of start offsets →
+    posexplode → slice + array_join): no shuffle at all — the explode is a
+    narrow Generate, so the operator composes with downstream groupBys
+    without adding an exchange of its own."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    slim = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"), n.alias("_n"), starts.alias("_starts")
+    ).filter(F.col("_n") > 0)
+    win = slim.select(
+        "id", "_toks", "_n",
+        F.posexplode("_starts").alias("win_idx", "win_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("win_start") + 1, window)
+    return win.select(
+        "id",
+        "win_idx",
+        "win_start",
+        F.least(F.lit(window), F.col("_n") - F.col("win_start")).alias("n_win_tokens"),
+        F.array_join(piece, " ").alias("win_text"),
+    )

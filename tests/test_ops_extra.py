@@ -1070,3 +1070,23 @@ def test_sitemap_index_blocks_carry_lastmod():
         {"loc": "https://a.example/sm1.xml", "lastmod": "2024-02-01"},
         {"loc": "https://a.example/sm2.xml", "lastmod": None},
     ]
+
+
+def test_token_windows_layout(spark):
+    from crawl4ai_scraper_spark.operators.textops import token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "   ")],
+        "doc long, text string",
+    )
+    rows = {(r.id, r.win_idx): r for r in
+            token_windows(df, "text", "doc", window=3, stride=2).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)}  # empty doc dropped
+    assert rows[(1, 0)].win_text == "a b c"
+    assert rows[(1, 1)].win_text == "c d e"          # 1-token overlap
+    assert rows[(1, 3)].win_text == "g"              # short tail kept
+    assert rows[(1, 3)].n_win_tokens == 1
+    assert rows[(2, 0)].win_text == "x"
+    # narrow op: no shuffle of its own
+    plan = token_windows(df, "text", "doc")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
