@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "hits_hubs_authorities",
     "sitemap_lastmod_priority",
     "token_windows",
+    "vocab_encode",
 ]
 
 

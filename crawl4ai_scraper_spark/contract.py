@@ -2271,6 +2271,40 @@ def anchor_text_agg_q(spark, sf):
 
 
 @_q(
+    "vocab_encode",
+    """WITH tok AS (
+      SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents) t,
+           UNNEST(range(1, len(toks) + 1)) AS r(pos)
+    ), counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok, tid FROM (
+        SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS tid
+        FROM counts) WHERE tid <= 30
+    ), enc AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
+      FROM tok t LEFT JOIN vocab v ON v.tok = t.tok)
+    SELECT doc_id AS id, COUNT(*) AS n_tokens,
+           array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',') AS ids_csv
+    FROM enc GROUP BY doc_id""",
+)
+def vocab_encode_q(spark, sf):
+    """Tokenize-to-ids (textops.vocab_build + vocab_encode, V=30, OOV=0):
+    corpus-frequency vocabulary broadcast into the token stream, per-doc id
+    sequences reassembled in token order. The array output is joined to a
+    CSV scalar for the driver's hash (lists are unhashable in its
+    canonicalizer)."""
+    docs = _t(spark, sf, "documents")
+    vocab = T.vocab_build(docs, "text", vocab_size=30)
+    enc = T.vocab_encode(docs, "text", "doc_id", vocab, oov_id=0)
+    return enc.select(
+        "id", "n_tokens",
+        F.concat_ws(",", F.transform("token_ids", lambda x: x.cast("string"))).alias("ids_csv"),
+    )
+
+
+@_q(
     "token_windows",
     """WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,

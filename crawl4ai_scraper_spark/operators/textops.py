@@ -717,3 +717,51 @@ def token_windows(
         F.least(F.lit(window), F.col("_n") - F.col("win_start")).alias("n_win_tokens"),
         F.array_join(piece, " ").alias("win_text"),
     )
+
+
+def vocab_build(df: DataFrame, text_col: str, vocab_size: int = 1000) -> DataFrame:
+    """Corpus vocabulary: the top-``vocab_size`` tokens by (count desc, token
+    asc) with dense ids 1..V. Token counting shuffles at DISTINCT-token
+    volume with map-side combine; the TakeOrderedAndProject top-V avoids a
+    global sort, and the id-assigning window runs over the ≤V-row model
+    artifact only — never over the corpus."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return top.select("tok", F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def vocab_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenize-to-ids: every document's token stream mapped through the
+    (broadcast) vocabulary, OOV → ``oov_id``, original token order preserved.
+    → (id, n_tokens, token_ids array<int>). One corpus-volume shuffle — the
+    per-doc reassembly groupBy; the vocab join is a broadcast, so hot tokens
+    ("the") never skew an exchange. The packing/windowing ops compose
+    downstream (sequence_pack consumes n_tokens; token_windows the text)."""
+    stream = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    )
+    enc = stream.join(F.broadcast(vocab), "tok", "left").select(
+        "id", "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int").alias("tid"),
+    )
+    packed = enc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("token_ids"),
+    )
+    return packed

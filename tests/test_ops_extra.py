@@ -1090,3 +1090,22 @@ def test_token_windows_layout(spark):
     # narrow op: no shuffle of its own
     plan = token_windows(df, "text", "doc")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vocab_encode_known_corpus(spark):
+    from crawl4ai_scraper_spark.operators.textops import vocab_build, vocab_encode
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog"), (3, "zebra")],
+        "doc long, text string",
+    )
+    vocab = vocab_build(df, "text", vocab_size=3)
+    # counts: the=3; cat/dog/mat/on/sat/zebra=1 → top-3 = the(1), cat(2), dog(3)
+    assert {(r.tok, r.token_id) for r in vocab.collect()} == {
+        ("the", 1), ("cat", 2), ("dog", 3)
+    }
+    enc = {r.id: (r.n_tokens, r.token_ids) for r in
+           vocab_encode(df, "text", "doc", vocab).collect()}
+    assert enc[1] == (6, [1, 2, 0, 0, 1, 0])   # OOV -> 0, order preserved
+    assert enc[2] == (2, [1, 3])
+    assert enc[3] == (1, [0])
