@@ -147,31 +147,24 @@ def entries_from_sitemap_xml(body: str) -> List[dict]:
         lm = re.search(r"<lastmod>\s*([^<]+?)\s*</lastmod>", chunk, re.IGNORECASE)
         out.append({"loc": loc, "lastmod": _unescape(lm.group(1)) if lm else None})
     if not found_block:
-        return [{"loc": u, "lastmod": None} for u in urls_from_sitemap_xml(body)]
+        # blockless / ill-formed documents: bare <loc> scan, no lastmod
+        for m in re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", body or "", re.IGNORECASE):
+            loc = _unescape(m.group(1))
+            if loc not in seen:
+                seen.add(loc)
+                out.append({"loc": loc, "lastmod": None})
     return out
 
 
 def urls_from_sitemap_xml(body: str) -> List[str]:
     """``<loc>`` entries of a sitemap (or sitemap-index) XML document, in
-    document order, entity-unescaped, deduped. A full XML parser is
-    deliberately avoided: real-world sitemaps are frequently ill-formed, and
-    the ``<loc>`` scrape is what production crawlers (and Common Crawl's own
-    tooling) do."""
-    import re
-
-    out: List[str] = []
-    for m in re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", body or "", re.IGNORECASE):
-        url = (
-            m.group(1)
-            .replace("&amp;", "&")
-            .replace("&lt;", "<")
-            .replace("&gt;", ">")
-            .replace("&quot;", '"')
-            .replace("&apos;", "'")
-        )
-        if url not in out:
-            out.append(url)
-    return out
+    document order, entity-unescaped, deduped — the loc-only projection of
+    ``entries_from_sitemap_xml`` (ONE parser; the seed set and the lastmod
+    priority signal can never disagree on the same document). A full XML
+    parser is deliberately avoided: real-world sitemaps are frequently
+    ill-formed, and the ``<loc>`` scrape is what production crawlers (and
+    Common Crawl's own tooling) do."""
+    return [e["loc"] for e in entries_from_sitemap_xml(body)]
 
 
 _RX_SPECIALS = set(".^$+?()[]{}|\\")
@@ -197,8 +190,16 @@ def robots_rule_regex(rule: str) -> str:
     return "".join(out)
 
 
+def is_wildcard_rule(rule: str) -> bool:
+    """True when the rule needs regex evaluation (contains ``*`` or a
+    trailing ``$``); plain prefixes match via cheap startswith."""
+    return "*" in rule or rule.endswith("$")
+
+
 def robots_rules_structs(rules: List[str]) -> List[dict]:
     """Rule paths → [(rx, n)] structs for the wildcard-aware politeness
     filter: ``rx`` the anchored regex, ``n`` the RFC precedence length (the
-    raw rule's octet count — longest rule wins, Allow breaking ties)."""
-    return [{"rx": robots_rule_regex(r), "n": len(r.encode("utf-8"))} for r in rules]
+    raw rule's character count — longest rule wins, Allow breaking ties;
+    character count matches Spark's ``length()`` on the literal-prefix
+    side so the two rule families share one precedence scale)."""
+    return [{"rx": robots_rule_regex(r), "n": len(r)} for r in rules]

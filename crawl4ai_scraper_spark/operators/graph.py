@@ -180,7 +180,12 @@ def hits(
     values. Per iteration: two edge⋈score equi-joins + two map-side-combined
     groupBys + two scalar total aggregates — no windows, no global sorts;
     lineage truncated per half-step with localCheckpoint."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
+    # checkpoint the edge distinct FIRST so nodes derives from it — one
+    # distinct shuffle, not two
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct(
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -188,7 +193,8 @@ def hits(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    e = e.localCheckpoint(eager=True)
+    if n == 0:
+        raise ValueError("hits: empty edge frame (no nodes)")
     zero = F.lit(0).cast(_SCALE)
 
     def _half(score: DataFrame, join_on: str, group_on: str) -> DataFrame:

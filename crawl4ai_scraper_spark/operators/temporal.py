@@ -181,7 +181,7 @@ def recrawl_stats(
         # columns; equals the oracle's floor(epoch(ts)) for positive epochs)
         F.expr(
             "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
-            f"date_trunc('second', {ts_col}))"
+            f"date_trunc('second', `{ts_col}`))"  # backticks: non-identifier names
         ).alias("_es"),
         changed.alias("_chg"),
     )

@@ -377,8 +377,15 @@ def run_round(
             # urls default to priority 0). Caller should persist the signal
             # frame: it is consumed once per round.
             c0, c1 = priority_col.columns[:2]
-            signal = priority_col.select(
-                F.col(c0).alias("url"), F.col(c1).cast("double").alias("_prio")
+            # max-collapse duplicate urls in the signal: a duplicated key in
+            # the left join would fan out frontier rows and break the
+            # one-visit-per-url invariant downstream
+            signal = (
+                priority_col.select(
+                    F.col(c0).alias("url"), F.col(c1).cast("double").alias("_prio")
+                )
+                .groupBy("url")
+                .agg(F.max("_prio").alias("_prio"))
             )
             next_rows = (
                 next_rows.join(signal, "url", "left")

@@ -15,7 +15,15 @@ only when. This engine keeps that contract:
   exposed for budget accounting); the crawl order is fixed by the FIFO
   ranks, never by the schedule — which is exactly how the reference behaves.
 
-``host_rules`` schema: host string, crawl_delay double, disallow_prefixes array<string>.
+``host_rules`` schema, two accepted shapes (robots_filter dispatches on the
+columns present):
+* minimal/hand-built: ``host, crawl_delay, disallow_prefixes array<string>``
+  → any-matching-disallow-prefix semantics (the original contract);
+* ``rules_from_robots`` output adds ``allow_prefixes`` (LITERAL rules only)
+  and ``disallow_rules``/``allow_rules`` ``array<struct<rx,n>>`` (the
+  WILDCARD rules pre-translated to anchored regexes) → full RFC 9309
+  longest-match, Allow winning length ties; literal rules match via cheap
+  startswith, only genuine wildcard rules pay regexp evaluation.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
     import pandas as pd
 
     from crawl4ai_scraper_spark.kernel.robots import (
+        is_wildcard_rule,
         parse_robots_rules,
         robots_rules_structs,
     )
@@ -67,10 +76,12 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
                 urls.append(url)
                 tss.append(ts)
                 delays.append(delay)
-                prefixes.append(dis)
-                allows.append(allow)
-                drules.append(robots_rules_structs(dis))
-                arules.append(robots_rules_structs(allow))
+                # literal rules stay prefixes (cheap startswith in the
+                # filter); only genuine wildcard rules become regex structs
+                prefixes.append([r for r in dis if not is_wildcard_rule(r)])
+                allows.append([r for r in allow if not is_wildcard_rule(r)])
+                drules.append(robots_rules_structs([r for r in dis if is_wildcard_rule(r)]))
+                arules.append(robots_rules_structs([r for r in allow if is_wildcard_rule(r)]))
             yield pd.DataFrame(
                 {"host": hosts, "url": urls, "warc_ts": tss,
                  "crawl_delay": delays, "disallow_prefixes": prefixes,
@@ -109,7 +120,7 @@ def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> Dat
     has_rx = "disallow_rules" in host_rules.columns  # rules_from_robots output
     has_allow = "allow_prefixes" in host_rules.columns
     if has_rx:
-        cols = ["disallow_rules", "allow_rules"]
+        cols = ["disallow_prefixes", "allow_prefixes", "disallow_rules", "allow_rules"]
     else:
         cols = ["disallow_prefixes"] + (["allow_prefixes"] if has_allow else [])
     rules = F.broadcast(host_rules.select(
@@ -138,7 +149,12 @@ def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> Dat
         )
 
     if has_rx:
-        dmax, amax = _longest_rx("disallow_rules"), _longest_rx("allow_rules")
+        # literal rules (the overwhelming majority in real robots.txt) match
+        # via cheap startswith; only wildcard rules pay per-rule regex cost.
+        # F.greatest skips nulls, so either family alone decides when the
+        # other has no match.
+        dmax = F.greatest(_longest_prefix("disallow_prefixes"), _longest_rx("disallow_rules"))
+        amax = F.greatest(_longest_prefix("allow_prefixes"), _longest_rx("allow_rules"))
         disallowed = dmax.isNotNull() & (amax.isNull() | (amax < dmax))
     elif has_allow:
         dmax, amax = _longest_prefix("disallow_prefixes"), _longest_prefix("allow_prefixes")
@@ -342,30 +358,11 @@ def seeds_from_sitemaps(pages: DataFrame, sitemaps: DataFrame) -> DataFrame:
     haystack, like the fetch join), each hit's ``<loc>`` entries scraped in
     one Arrow pass. Single-level: sitemap-INDEX entries come back as rows
     too and can be fed through a second call. Output: (host, sitemap_url,
-    seed_url, loc_pos)."""
-    import pandas as pd
-
-    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html
-    from crawl4ai_scraper_spark.kernel.robots import urls_from_sitemap_xml
-
-    hits = pages.select("url", "html").join(
-        F.broadcast(sitemaps.select("host", F.col("sitemap_url").alias("url"))),
-        "url",
-    )
-
-    def _parse(batches):
-        for pdf in batches:
-            rows = {"host": [], "sitemap_url": [], "seed_url": [], "loc_pos": []}
-            for host, url, body in zip(pdf["host"], pdf["url"], pdf["html"]):
-                for i, loc in enumerate(urls_from_sitemap_xml(decode_html(body))):
-                    rows["host"].append(host)
-                    rows["sitemap_url"].append(url)
-                    rows["seed_url"].append(loc)
-                    rows["loc_pos"].append(i)
-            yield pd.DataFrame(rows)
-
-    return hits.mapInPandas(
-        _parse, "host string, sitemap_url string, seed_url string, loc_pos int"
+    seed_url, loc_pos) — the lastmod-free projection of ``sitemap_entries``
+    (one scrape pipeline, so the seed set and the freshness signal can never
+    disagree)."""
+    return sitemap_entries(pages, sitemaps).select(
+        "host", "sitemap_url", "seed_url", "loc_pos"
     )
 
 
@@ -411,9 +408,12 @@ def sitemap_seed_priorities(entries: DataFrame) -> DataFrame:
     parsed timestamp round-trips through TIMESTAMP_NTZ so the session zone
     cancels. Compose with run_crawl(priority_col=..., cfg.frontier_order=
     "priority") — the sitemap-declared freshest pages are fetched first."""
+    # try_to_timestamp: real sitemaps carry junk lastmod values, and under
+    # Spark 4's default ANSI mode a plain to_timestamp would crash the whole
+    # job on the first one — unparseable values become NULL → priority 0.
     epoch_s = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
-        "cast(to_timestamp(lastmod) as timestamp_ntz))"
+        "cast(try_to_timestamp(lastmod) as timestamp_ntz))"
     )
     return (
         entries.select(

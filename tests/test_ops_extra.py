@@ -1109,3 +1109,52 @@ def test_vocab_encode_known_corpus(spark):
     assert enc[1] == (6, [1, 2, 0, 0, 1, 0])   # OOV -> 0, order preserved
     assert enc[2] == (2, [1, 3])
     assert enc[3] == (1, [0])
+
+
+def test_sitemap_priorities_survive_malformed_lastmod(spark):
+    from crawl4ai_scraper_spark.plans.politeness import (
+        sitemap_entries,
+        sitemap_seed_priorities,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.example/ok</loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>https://a.example/junk</loc><lastmod>yesterday</lastmod></url>"
+        "<url><loc>https://a.example/junk2</loc><lastmod>2024-13-45</lastmod></url>"
+        "</urlset>"
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/sitemap.xml", bytearray(xml.encode()))],
+        "url string, html binary",
+    )
+    sitemaps = spark.createDataFrame(
+        [("a.example", "https://a.example/sitemap.xml")], "host string, sitemap_url string"
+    )
+    prio = {r.url: r.priority
+            for r in sitemap_seed_priorities(sitemap_entries(pages, sitemaps)).collect()}
+    # malformed lastmod values degrade to priority 0 instead of crashing
+    assert prio["https://a.example/junk"] == 0.0
+    assert prio["https://a.example/junk2"] == 0.0
+    assert prio["https://a.example/ok"] > 0
+
+
+def test_priority_signal_duplicates_collapse(spark, pages3, web3, chk_dir):
+    """Duplicate urls in the priority signal frame must not fan out the
+    frontier (one visit per url; max priority wins)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import run_crawl
+
+    SEED = "https://site0.example/"
+    signal = pages3.select(
+        "url", F.length("url").cast("double").alias("priority")
+    ).unionByName(
+        pages3.select("url", F.lit(0.0).alias("priority"))  # dup every url
+    )
+    cfg = CrawlJobConfig(max_depth=2, max_pages=1000, frontier_order="priority")
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir, extract=False,
+                    use_bloom=False, priority_col=signal)
+    urls = [r["url"] for r in res.visited.select("url").collect()]
+    assert len(urls) == len(set(urls))  # no duplicate visits
