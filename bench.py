@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "sitemap_lastmod_priority",
     "token_windows",
     "vocab_encode",
+    "dup_span_stats",
 ]
 
 

@@ -2271,6 +2271,52 @@ def anchor_text_agg_q(spark, sf):
 
 
 @_q(
+    "dup_span_stats",
+    """WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id < 80
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 30) FROM documents WHERE doc_id < 80
+    ), base AS (
+      SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS t,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n
+      FROM corpus
+    ), wins AS (
+      SELECT id, n, CAST(s.i AS INT) AS s,
+             md5(array_to_string(list_slice(t, CAST(s.i AS INT) + 1,
+                                            CAST(s.i AS INT) + 12), ' ')) AS h
+      FROM base, UNNEST(range(0, n - 12 + 1)) AS s(i)
+      WHERE n >= 12
+    ), cnts AS (SELECT h, COUNT(*) AS cnt FROM wins GROUP BY h),
+    dup AS (SELECT w.id, w.n, w.s FROM wins w JOIN cnts c ON c.h = w.h WHERE c.cnt >= 2),
+    cov AS (
+      SELECT id, n, s,
+             LEAST(12, COALESCE(LEAD(s) OVER (PARTITION BY id ORDER BY s) - s, n - s)) AS c
+      FROM dup
+    ), per AS (
+      SELECT id, COUNT(*) AS n_dup_windows, CAST(SUM(c) AS BIGINT) AS covered_tokens
+      FROM cov GROUP BY id)
+    SELECT b.id, b.n AS n_tokens,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+                 / GREATEST(b.n, 1), 6) AS dup_fraction
+    FROM base b LEFT JOIN per p ON p.id = b.id""",
+)
+def dup_span_stats_q(spark, sf):
+    """Duplicate-span detection (operators.dedup.dup_span_stats, k=12) over
+    the corpus + planted shared-suffix twins (each doc's text minus its
+    first 29 chars): every repeated 12-token window counts, interval-union
+    coverage per doc — the Lee-et-al exact-substring-dedup removal budget."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 80).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    variants = docs.select((F.col("id") + 100000).alias("id"),
+                           F.expr("substr(text, 30)").alias("text"))
+    return D.dup_span_stats(docs.unionByName(variants), "text", "id", k=12)
+
+
+@_q(
     "vocab_encode",
     """WITH tok AS (
       SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS tok

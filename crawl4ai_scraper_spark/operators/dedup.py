@@ -361,3 +361,72 @@ def segment_dedup(
             ),
         ).alias("dedup_text"),
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Duplicate-SPAN detection at arbitrary offsets (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" signal, made
+    join-friendly): every k-token window of every document is hashed; a
+    window whose hash occurs ≥2 times corpus-wide is a duplicated span, and
+    each document reports how much of it is covered by such spans.
+
+    → (id, n_tokens, n_dup_windows, covered_tokens, dup_fraction) — docs
+    shorter than k tokens report zeros. ``dup_fraction`` is the removal
+    budget an exact-substring dedup pass would cut; the spans themselves are
+    recoverable from (id, window start) if a rewrite stage wants them.
+
+    Scale shape: the window stream is ONE row per token position carrying a
+    32-char md5 (never the window text); counting shuffles at window volume
+    with map-side combine, the dup join is co-keyed on the same hash, and
+    the per-doc coverage union is a lead() window over each doc's duplicated
+    starts only (interval-union arithmetic, no position explode). At 100 TB
+    the md5-of-slice becomes a rolling hash in an Arrow pass — same plan,
+    cheaper per-window bytes."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"), n.alias("n_tokens"))
+    eligible = base.filter(F.col("n_tokens") >= k)
+    wins = eligible.select(
+        "id", "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - k)).alias("s"),
+        "_t",
+    ).select(
+        "id", "n_tokens", "s",
+        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("s") + 1, k))).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = wins.join(counts.filter(F.col("cnt") >= 2), "h").select("id", "n_tokens", "s")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("s")
+    nxt = F.lead("s").over(w)
+    contrib = F.when(nxt.isNull(), F.least(F.lit(k), F.col("n_tokens") - F.col("s"))) \
+               .otherwise(F.least(F.lit(k), nxt - F.col("s")))
+    per_doc = (
+        dup.select("id", "n_tokens", "s", contrib.alias("c"))
+        .groupBy("id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("c").cast("bigint").alias("covered_tokens"),
+        )
+    )
+    all_docs = base.select("id", "n_tokens")
+    out = all_docs.join(per_doc.drop("n_tokens"), "id", "left")
+    return out.select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+        F.round(
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )

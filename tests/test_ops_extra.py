@@ -1158,3 +1158,33 @@ def test_priority_signal_duplicates_collapse(spark, pages3, web3, chk_dir):
                     use_bloom=False, priority_col=signal)
     urls = [r["url"] for r in res.visited.select("url").collect()]
     assert len(urls) == len(set(urls))  # no duplicate visits
+
+
+def test_dup_span_stats_hand_corpus(spark):
+    from crawl4ai_scraper_spark.operators.dedup import dup_span_stats
+
+    shared = "one two three four five"           # a 5-token span shared by 1 & 2
+    df = spark.createDataFrame(
+        [(1, f"aa bb {shared} cc"),              # 8 tokens
+         (2, f"{shared} zz yy xx ww"),           # 9 tokens
+         (3, "totally unique words here only"),  # 5 tokens, no dups
+         (4, "short doc")],                      # < k -> zeros
+        "doc long, text string",
+    )
+    got = {r.id: r for r in dup_span_stats(df, "text", "doc", k=5).collect()}
+    # doc 1: windows at s=0..3; only s=2 ("one..five") repeats corpus-wide
+    assert (got[1].n_dup_windows, got[1].covered_tokens) == (1, 5)
+    assert got[1].dup_fraction == round(5 / 8, 6)
+    # doc 2: the shared span sits at s=0
+    assert (got[2].n_dup_windows, got[2].covered_tokens) == (1, 5)
+    assert got[2].dup_fraction == round(5 / 9, 6)
+    assert (got[3].n_dup_windows, got[3].covered_tokens, got[3].dup_fraction) == (0, 0, 0.0)
+    assert (got[4].n_tokens, got[4].dup_fraction) == (2, 0.0)
+    # overlapping duplicated windows union, not double-count: two copies of
+    # a 6-token run share windows at s and s+1 -> covered = 6, not 10
+    df2 = spark.createDataFrame(
+        [(1, "p q r s t u tail1"), (2, "p q r s t u tail2")],
+        "doc long, text string",
+    )
+    got2 = {r.id: r for r in dup_span_stats(df2, "text", "doc", k=5).collect()}
+    assert got2[1].n_dup_windows == 2 and got2[1].covered_tokens == 6
