@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "token_windows",
     "vocab_encode",
     "dup_span_stats",
+    "strip_dup_spans",
 ]
 
 

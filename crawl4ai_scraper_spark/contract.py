@@ -2317,6 +2317,75 @@ def dup_span_stats_q(spark, sf):
 
 
 @_q(
+    "strip_dup_spans",
+    """WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000, substr(text, 30) FROM documents WHERE doc_id < 60
+    ), base AS (
+      SELECT id, string_split_regex(trim(lower(text)), '\\s+') AS t,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n
+      FROM corpus
+    ), wins AS (
+      SELECT id, CAST(s.i AS INT) AS s,
+             md5(array_to_string(list_slice(t, CAST(s.i AS INT) + 1,
+                                            CAST(s.i AS INT) + 12), ' ')) AS h
+      FROM base, UNNEST(range(0, n - 12 + 1)) AS s(i)
+      WHERE n >= 12
+    ), per_hash AS (
+      SELECT h, COUNT(*) AS cnt, MIN({'wid': id, 'ws': s}) AS winner FROM wins GROUP BY h
+    ), removal AS (
+      SELECT w.id, w.s, w.s + 12 AS e
+      FROM wins w JOIN per_hash p ON p.h = w.h
+      WHERE p.cnt >= 2 AND NOT (w.id = p.winner.wid AND w.s = p.winner.ws)
+    ), isl AS (
+      SELECT id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+      FROM (SELECT id, s, e,
+                   MAX(e) OVER (PARTITION BY id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM removal)
+    ), islands AS (
+      SELECT id, isl_id, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY id, isl_id
+    ), removed AS (
+      SELECT id, CAST(p.pos AS INT) AS pos
+      FROM islands, UNNEST(range(s, e)) AS p(pos)
+    ), stream AS (
+      SELECT b.id, CAST(r.pos AS INT) - 1 AS pos, t[CAST(r.pos AS INT)] AS tok
+      FROM base b, UNNEST(range(1, n + 1)) AS r(pos)
+      WHERE n > 0
+    ), kept AS (
+      SELECT st.id, st.pos, st.tok
+      FROM stream st LEFT JOIN removed rm ON rm.id = st.id AND rm.pos = st.pos
+      WHERE rm.id IS NULL
+    ), rebuilt AS (
+      SELECT id, COUNT(*) AS kept_tokens,
+             array_to_string(list(tok ORDER BY pos), ' ') AS text_stripped
+      FROM kept GROUP BY id)
+    SELECT b.id, b.n AS n_tokens,
+           CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(r.text_stripped, '') AS text_stripped
+    FROM base b LEFT JOIN rebuilt r ON r.id = b.id""",
+)
+def strip_dup_spans_q(spark, sf):
+    """Exact-substring dedup rewrite (operators.dedup.strip_dup_spans, k=12)
+    over the corpus + planted shared-suffix twins: the globally-first copy
+    of every repeated 12-token span survives, later occurrences' islands are
+    stripped and the text rebuilt from the surviving tokens. The oracle
+    unrolls winner selection, island merging and reassembly with identical
+    tie-breaks."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    variants = docs.select((F.col("id") + 100000).alias("id"),
+                           F.expr("substr(text, 30)").alias("text"))
+    return D.strip_dup_spans(docs.unionByName(variants), "text", "id", k=12)
+
+
+@_q(
     "vocab_encode",
     """WITH tok AS (
       SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS tok

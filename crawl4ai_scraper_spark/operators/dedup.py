@@ -430,3 +430,82 @@ def dup_span_stats(
             6,
         ).alias("dup_fraction"),
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (the removal pass dup_span_stats
+    budgets): for every k-token window repeated corpus-wide, the globally
+    FIRST occurrence (lexicographic min (id, start)) keeps its tokens; every
+    other occurrence's token range is removed, overlapping removals merged
+    into islands first so positions are never double-counted. Output:
+    (id, n_tokens, kept_tokens, text_stripped) with the surviving tokens
+    rejoined by single spaces (whitespace-normalizing, like every token op
+    here).
+
+    Scale shape: windows shuffle as (id, s, md5) rows; the winner per hash
+    is one min(struct) aggregate (map-side combine); island merging is a
+    per-doc running-max window over REMOVAL starts only; only merged
+    islands explode to removed positions. The token stream shuffles once
+    for the anti-join + ordered reassembly."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"), n.alias("n_tokens"))
+
+    wins = (
+        base.filter(F.col("n_tokens") >= k)
+        .select("id", F.explode(F.sequence(F.lit(0), F.col("n_tokens") - k)).alias("s"), "_t")
+        .select("id", "s", F.md5(F.concat_ws(" ", F.slice("_t", F.col("s") + 1, k))).alias("h"))
+    )
+    per_hash = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(F.struct("id", "s")).alias("winner")
+    )
+    removal = (
+        wins.join(per_hash.filter(F.col("cnt") >= 2), "h")
+        .filter(~((F.col("id") == F.col("winner.id")) & (F.col("s") == F.col("winner.s"))))
+        .select("id", "s", (F.col("s") + k).alias("e"))
+    )
+
+    w = Window.partitionBy("id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        removal.withColumn(
+            "_new", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0)
+        )
+        .withColumn("_isl", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    removed_pos = islands.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
+    )
+
+    # n_tokens==0 docs would still posexplode their [''] split artifact —
+    # keep them out of the stream so kept_tokens stays <= n_tokens
+    stream = base.filter(F.col("n_tokens") > 0).select(
+        "id", F.posexplode("_t").alias("pos", "tok")
+    )
+    kept = stream.join(removed_pos, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda st: st["tok"]),
+        ).alias("text_stripped"),
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id", "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+            F.coalesce(F.col("text_stripped"), F.lit("")).alias("text_stripped"),
+        )
+    )

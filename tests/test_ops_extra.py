@@ -1188,3 +1188,29 @@ def test_dup_span_stats_hand_corpus(spark):
     )
     got2 = {r.id: r for r in dup_span_stats(df2, "text", "doc", k=5).collect()}
     assert got2[1].n_dup_windows == 2 and got2[1].covered_tokens == 6
+
+
+def test_strip_dup_spans_first_copy_survives(spark):
+    from crawl4ai_scraper_spark.operators.dedup import strip_dup_spans
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, f"aa bb {shared} cc"),       # first occurrence (min id) keeps it
+         (2, f"{shared} zz yy xx ww"),    # later occurrence stripped
+         (3, "short doc")],
+        "doc long, text string",
+    )
+    got = {r.id: r for r in strip_dup_spans(df, "text", "doc", k=5).collect()}
+    assert got[1].text_stripped == f"aa bb {shared} cc"
+    assert got[1].kept_tokens == 8
+    assert got[2].text_stripped == "zz yy xx ww"
+    assert got[2].kept_tokens == 4
+    assert got[3].text_stripped == "short doc"
+    # overlapping removals merge into one island (no double removal, no gaps)
+    df2 = spark.createDataFrame(
+        [(1, "p q r s t u tail1"), (2, "p q r s t u tail2")],
+        "doc long, text string",
+    )
+    got2 = {r.id: r for r in strip_dup_spans(df2, "text", "doc", k=5).collect()}
+    assert got2[1].text_stripped == "p q r s t u tail1"   # winner intact
+    assert got2[2].text_stripped == "tail2"               # 6-token island removed
