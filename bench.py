@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "vocab_encode",
     "dup_span_stats",
     "strip_dup_spans",
+    "dataset_split",
 ]
 
 

@@ -2271,6 +2271,25 @@ def anchor_text_agg_q(spark, sf):
 
 
 @_q(
+    "dataset_split",
+    """SELECT doc_id, source,
+           CASE WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '029'
+                    THEN 'validation'
+                WHEN substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 3) < '052'
+                    THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents""",
+)
+def dataset_split_q(spark, sf):
+    """Deterministic train/val/test split (textops.dataset_split, 1%/1%):
+    md5-band assignment — stable across engines, runs and partitionings;
+    thresholds 0x029 (41/4096) and 0x052 (82/4096) reproduced literally in
+    the oracle."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return T.dataset_split(docs, "doc_id", val_rate=0.01, test_rate=0.01)
+
+
+@_q(
     "dup_span_stats",
     """WITH corpus AS (
       SELECT doc_id AS id, text FROM documents WHERE doc_id < 80

@@ -765,3 +765,29 @@ def vocab_encode(
         ).alias("token_ids"),
     )
     return packed
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    val_rate: float = 0.01,
+    test_rate: float = 0.01,
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment — the same
+    md5-threshold scheme as ``hash_sample`` (engine/partitioning/run stable,
+    1/4096 granularity, different salts give independent splits): the hash
+    band [0, val) → validation, [val, val+test) → test, the rest → train.
+    A pure projected CASE at scan speed — no shuffle, no RNG state; every
+    row lands in exactly one split, forever."""
+    val_steps = max(0, min(4096, round(val_rate * 4096)))
+    test_steps = max(0, min(4096 - val_steps, round(test_rate * 4096)))
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 3
+    )
+    split = (
+        F.when(digest < F.lit(format(val_steps, "03x")), F.lit("validation"))
+        .when(digest < F.lit(format(val_steps + test_steps, "03x")), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -1214,3 +1214,22 @@ def test_strip_dup_spans_first_copy_survives(spark):
     got2 = {r.id: r for r in strip_dup_spans(df2, "text", "doc", k=5).collect()}
     assert got2[1].text_stripped == "p q r s t u tail1"   # winner intact
     assert got2[2].text_stripped == "tail2"               # 6-token island removed
+
+
+def test_dataset_split_partition_and_determinism(spark):
+    from crawl4ai_scraper_spark.operators.textops import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    out = dataset_split(df, "k", val_rate=0.05, test_rate=0.1)
+    rows = {r.k: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "validation", "test"}
+    # every row in exactly one split; rates in the right ballpark
+    from collections import Counter
+    c = Counter(rows.values())
+    assert sum(c.values()) == 2000
+    assert 0.02 < c["validation"] / 2000 < 0.09
+    assert 0.06 < c["test"] / 2000 < 0.15
+    # determinism: a repartitioned rerun assigns identically
+    rows2 = {r.k: r.split for r in
+             dataset_split(df.repartition(7), "k", val_rate=0.05, test_rate=0.1).collect()}
+    assert rows == rows2
