@@ -116,10 +116,10 @@ def parse_sitemaps(text: str) -> List[str]:
 def entries_from_sitemap_xml(body: str) -> List[dict]:
     """``(loc, lastmod)`` pairs from a sitemap / sitemap-index document, in
     document order, first occurrence of a loc wins. ``<lastmod>`` is optional
-    per the protocol and comes back None when absent; the same forgiving
-    regex scan as ``urls_from_sitemap_xml`` (real sitemaps are frequently
-    ill-formed), with a bare-``<loc>`` fallback when no ``<url>``/
-    ``<sitemap>`` blocks exist."""
+    per the protocol and comes back None when absent; forgiving regex scan
+    (real sitemaps are frequently ill-formed): EVERY ``<loc>`` in the
+    document is an entry in document order — stray locs outside any
+    ``<url>``/``<sitemap>`` block simply carry no lastmod."""
     import re
 
     def _unescape(s: str) -> str:
@@ -128,31 +128,31 @@ def entries_from_sitemap_xml(body: str) -> List[dict]:
             .replace("&quot;", '"').replace("&apos;", "'")
         )
 
-    out: List[dict] = []
-    seen = set()
-    blocks = re.finditer(
+    # lastmod per loc, learned from well-formed blocks; the emission order
+    # below comes from a full-document <loc> scan so stray locs OUTSIDE any
+    # block (ill-formed documents) are never dropped — same recall as a bare
+    # <loc> scrape, plus the freshness signal where a block provides it.
+    block_lastmod: dict = {}
+    for b in re.finditer(
         r"<(?:url|sitemap)>(.*?)</(?:url|sitemap)>", body or "", re.IGNORECASE | re.DOTALL
-    )
-    found_block = False
-    for b in blocks:
-        found_block = True
+    ):
         chunk = b.group(1)
         locm = re.search(r"<loc>\s*([^<]+?)\s*</loc>", chunk, re.IGNORECASE)
         if not locm:
             continue
         loc = _unescape(locm.group(1))
+        lm = re.search(r"<lastmod>\s*([^<]+?)\s*</lastmod>", chunk, re.IGNORECASE)
+        if loc not in block_lastmod:  # first block wins, like the loc dedup
+            block_lastmod[loc] = _unescape(lm.group(1)) if lm else None
+
+    out: List[dict] = []
+    seen = set()
+    for m in re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", body or "", re.IGNORECASE):
+        loc = _unescape(m.group(1))
         if loc in seen:
             continue
         seen.add(loc)
-        lm = re.search(r"<lastmod>\s*([^<]+?)\s*</lastmod>", chunk, re.IGNORECASE)
-        out.append({"loc": loc, "lastmod": _unescape(lm.group(1)) if lm else None})
-    if not found_block:
-        # blockless / ill-formed documents: bare <loc> scan, no lastmod
-        for m in re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", body or "", re.IGNORECASE):
-            loc = _unescape(m.group(1))
-            if loc not in seen:
-                seen.add(loc)
-                out.append({"loc": loc, "lastmod": None})
+        out.append({"loc": loc, "lastmod": block_lastmod.get(loc)})
     return out
 
 
@@ -198,8 +198,8 @@ def is_wildcard_rule(rule: str) -> bool:
 
 def robots_rules_structs(rules: List[str]) -> List[dict]:
     """Rule paths → [(rx, n)] structs for the wildcard-aware politeness
-    filter: ``rx`` the anchored regex, ``n`` the RFC precedence length (the
-    raw rule's character count — longest rule wins, Allow breaking ties;
-    character count matches Spark's ``length()`` on the literal-prefix
-    side so the two rule families share one precedence scale)."""
-    return [{"rx": robots_rule_regex(r), "n": len(r)} for r in rules]
+    filter: ``rx`` the anchored regex, ``n`` the RFC 9309 precedence length
+    in OCTETS (utf-8 byte count — most-octets rule wins, Allow breaking
+    ties; the literal-prefix side measures ``octet_length()`` so both rule
+    families share the RFC's scale)."""
+    return [{"rx": robots_rule_regex(r), "n": len(r.encode("utf-8"))} for r in rules]

@@ -363,6 +363,26 @@ def segment_dedup(
     )
 
 
+def _span_windows(df: DataFrame, text_col: str, id_col: str, k: int):
+    """Shared tokenize + window-hash pipeline of the two span-dedup passes
+    (detection and rewrite MUST hash identically or the rewrite diverges
+    from the budget): → (base(id, _t, n_tokens), wins(id, s, h)). ``wins``
+    is localCheckpoint'd lazily — the md5-of-slice per token position is the
+    dominant cost and several downstream branches consume it."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"), n.alias("n_tokens"))
+    wins = (
+        base.filter(F.col("n_tokens") >= k)
+        .select("id", "n_tokens",
+                F.explode(F.sequence(F.lit(0), F.col("n_tokens") - k)).alias("s"), "_t")
+        .select("id", "n_tokens", "s",
+                F.md5(F.concat_ws(" ", F.slice("_t", F.col("s") + 1, k))).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    return base, wins
+
+
 def dup_span_stats(
     df: DataFrame,
     text_col: str,
@@ -387,18 +407,7 @@ def dup_span_stats(
     starts only (interval-union arithmetic, no position explode). At 100 TB
     the md5-of-slice becomes a rolling hash in an Arrow pass — same plan,
     cheaper per-window bytes."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"), n.alias("n_tokens"))
-    eligible = base.filter(F.col("n_tokens") >= k)
-    wins = eligible.select(
-        "id", "n_tokens",
-        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - k)).alias("s"),
-        "_t",
-    ).select(
-        "id", "n_tokens", "s",
-        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("s") + 1, k))).alias("h"),
-    )
+    base, wins = _span_windows(df, text_col, id_col, k)
     counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     dup = wins.join(counts.filter(F.col("cnt") >= 2), "h").select("id", "n_tokens", "s")
 
@@ -412,13 +421,12 @@ def dup_span_stats(
         dup.select("id", "n_tokens", "s", contrib.alias("c"))
         .groupBy("id")
         .agg(
-            F.first("n_tokens").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_dup_windows"),
             F.sum("c").cast("bigint").alias("covered_tokens"),
         )
     )
     all_docs = base.select("id", "n_tokens")
-    out = all_docs.join(per_doc.drop("n_tokens"), "id", "left")
+    out = all_docs.join(per_doc, "id", "left")
     return out.select(
         "id",
         "n_tokens",
@@ -454,15 +462,7 @@ def strip_dup_spans(
     for the anti-join + ordered reassembly."""
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"), n.alias("n_tokens"))
-
-    wins = (
-        base.filter(F.col("n_tokens") >= k)
-        .select("id", F.explode(F.sequence(F.lit(0), F.col("n_tokens") - k)).alias("s"), "_t")
-        .select("id", "s", F.md5(F.concat_ws(" ", F.slice("_t", F.col("s") + 1, k))).alias("h"))
-    )
+    base, wins = _span_windows(df, text_col, id_col, k)
     per_hash = wins.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min(F.struct("id", "s")).alias("winner")
     )

@@ -782,12 +782,24 @@ def dataset_split(
     row lands in exactly one split, forever."""
     val_steps = max(0, min(4096, round(val_rate * 4096)))
     test_steps = max(0, min(4096 - val_steps, round(test_rate * 4096)))
+
+    def _thr(steps: int) -> str:
+        # 'g' sorts above every 3-char hex digest → the band is "everything"
+        # (format(4096) would be the 4-char '1000', which compares WRONG
+        # against 3-char digests — the hash_sample steps>=4096 guard, here
+        # as a saturating threshold so val+test can legitimately cover 100%)
+        return format(steps, "03x") if steps < 4096 else "g"
+
     digest = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 3
     )
     split = (
-        F.when(digest < F.lit(format(val_steps, "03x")), F.lit("validation"))
-        .when(digest < F.lit(format(val_steps + test_steps, "03x")), F.lit("test"))
+        # NULL keys have no stable hash identity: assign them explicitly (and
+        # documentedly) to train rather than letting them fall through the
+        # null comparisons in silence
+        F.when(F.col(key_col).isNull(), F.lit("train"))
+        .when(digest < F.lit(_thr(val_steps)), F.lit("validation"))
+        .when(digest < F.lit(_thr(val_steps + test_steps)), F.lit("test"))
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)

@@ -130,12 +130,13 @@ def robots_filter(candidates: DataFrame, host_rules: Optional[DataFrame]) -> Dat
     path = F.regexp_replace(F.col("child_url"), r"^[a-z]+://[^/]*", "")
 
     def _longest_prefix(col: str):
-        # max length over the prefixes that match; null when none do
+        # max RFC precedence length (octets) over the prefixes that match;
+        # null when none do
         return F.array_max(
             F.transform(
                 F.filter(F.coalesce(F.col(col), F.array()),
                          lambda p: path.startswith(p)),
-                F.length,
+                F.octet_length,
             )
         )
 

@@ -1233,3 +1233,46 @@ def test_dataset_split_partition_and_determinism(spark):
     rows2 = {r.k: r.split for r in
              dataset_split(df.repartition(7), "k", val_rate=0.05, test_rate=0.1).collect()}
     assert rows == rows2
+
+
+def test_sitemap_stray_locs_not_dropped():
+    from crawl4ai_scraper_spark.kernel.robots import entries_from_sitemap_xml
+
+    mixed = ("<urlset><url><loc>https://a.example/A</loc>"
+             "<lastmod>2024-01-01</lastmod></url>"
+             "<loc>https://a.example/B</loc></urlset>")
+    assert entries_from_sitemap_xml(mixed) == [
+        {"loc": "https://a.example/A", "lastmod": "2024-01-01"},
+        {"loc": "https://a.example/B", "lastmod": None},  # stray loc kept
+    ]
+
+
+def test_dataset_split_full_coverage_rates(spark):
+    from collections import Counter
+
+    from crawl4ai_scraper_spark.operators.textops import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    c = Counter(r.split for r in
+                dataset_split(df, "k", val_rate=0.5, test_rate=0.5).collect())
+    assert c["train"] == 0  # 50/50 covers everything — no silent leakage
+    assert 350 < c["validation"] < 650 and 350 < c["test"] < 650
+
+
+def test_robots_precedence_uses_octets(spark):
+    from crawl4ai_scraper_spark.plans.politeness import robots_filter, rules_from_robots
+
+    # Disallow '/日本' = 3 chars but 7 octets; Allow '/abcde' = 6 octets.
+    # RFC most-octets: Disallow wins on a path both match ... they can't both
+    # match one path, so use nesting: Disallow /日本 (7 octets) vs Allow
+    # /日本x (8 octets) -> allow wins; vs Allow /日 (4 octets) -> disallow wins.
+    body = "User-agent: *\nDisallow: /日本\nAllow: /日本x\n".encode()
+    robots = spark.createDataFrame(
+        [("https://x.example/robots.txt", bytearray(body))], "url string, html binary")
+    rules = rules_from_robots(robots)
+    cand = spark.createDataFrame(
+        [("x.example", "https://x.example/日本x/page"),
+         ("x.example", "https://x.example/日本/hidden")],
+        "child_host string, child_url string")
+    kept = {r.child_url for r in robots_filter(cand, rules).collect()}
+    assert kept == {"https://x.example/日本x/page"}
