@@ -52,6 +52,14 @@ def parse_args(argv=None):
                    help="near-dup verify threshold (default 0.8)")
     p.add_argument("--n-hashes", type=int, default=8)
     p.add_argument("--n-bands", type=int, default=4)
+    p.add_argument("--strip-spans", type=int, default=0, metavar="K",
+                   help="exact-substring dedup rewrite: strip repeated K-token "
+                        "spans, first copy wins (rewrites the text column to "
+                        "the whitespace-normalized surviving tokens)")
+    p.add_argument("--split", action="store_true",
+                   help="append a deterministic train/validation/test column")
+    p.add_argument("--val-rate", type=float, default=0.01)
+    p.add_argument("--test-rate", type=float, default=0.01)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--dry-run", action="store_true",
                    help="print the physical plan of each stage; no write")
@@ -91,6 +99,23 @@ def run_pipeline(spark, args):
         clusters = dup_clusters(pairs)
         docs = dedup_survivors(docs, clusters, ic)
         summary["after_near_dup"] = docs.count()
+
+    if args.strip_spans:
+        from crawl4ai_scraper_spark.operators.dedup import strip_dup_spans
+
+        rewritten = strip_dup_spans(docs, tc, ic, k=args.strip_spans).select(
+            F.col("id").alias(ic), "text_stripped", "kept_tokens"
+        )
+        docs = (
+            docs.drop(tc)
+            .join(rewritten, ic)
+            .withColumnRenamed("text_stripped", tc)
+        )
+        summary["after_strip_spans"] = docs.count()
+
+    if args.split:
+        docs = T.dataset_split(docs, ic, val_rate=args.val_rate,
+                               test_rate=args.test_rate)
 
     enriched = docs.select(
         "*",
