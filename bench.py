@@ -115,6 +115,7 @@ QUERY_NAMES = [
     "dup_span_stats",
     "strip_dup_spans",
     "dataset_split",
+    "lsh_recall",
 ]
 
 

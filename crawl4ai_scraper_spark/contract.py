@@ -933,6 +933,45 @@ def dedup_embedding_lsh_q(spark, sf):
     return D.embedding_near_dup_bucketed(corpus, "vec_id", "e", threshold=0.98)
 
 
+@_q(
+    "lsh_recall",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 40),
+    c AS (SELECT vec_id, e FROM v
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(e, x -> x * 1.02 + 0.003) FROM v),
+    truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.98),
+    bk AS (SELECT vec_id, e, {_planes_sql(vec_expr="e")} AS bucket FROM c),
+    found AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.98)
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_found_pairs,
+           ROUND(CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 4) AS recall
+    FROM truth t LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b""",
+)
+def lsh_recall_q(spark, sf):
+    """Measured recall of the LSH-bucketed near-dup path vs the brute-force
+    truth on the planted-twin corpus (operators.dedup.lsh_recall) — the
+    tuning loop that decides n_planes / n_probe_seeds before a full-corpus
+    run; precision is 1.0 by construction (candidates exact-verify)."""
+    base = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 40).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    variants = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.02) + F.lit(0.003)).alias("e"),
+    )
+    corpus = base.unionByName(variants)
+    return D.lsh_recall(corpus, "vec_id", "e", threshold=0.98)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

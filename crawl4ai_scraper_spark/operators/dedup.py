@@ -509,3 +509,41 @@ def strip_dup_spans(
             F.coalesce(F.col("text_stripped"), F.lit("")).alias("text_stripped"),
         )
     )
+
+
+def lsh_recall(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probe_seeds: int = 1,
+) -> DataFrame:
+    """Recall of the LSH-bucketed near-dup path against brute-force truth —
+    the measurement that justifies (or tunes) the approximate scale path:
+    run both pipelines on the SAME corpus, count true pairs found vs missed.
+    → one row (n_true_pairs, n_found_pairs, recall). Precision is 1.0 by
+    construction (the bucketed path exact-verifies every candidate), so
+    recall is the only quality axis.
+
+    Production shape: run this on a hash_sample slice (brute force is O(n²)
+    — that is WHY the bucketed path exists), then crank ``n_probe_seeds``
+    or ``n_planes`` until recall clears the bar before the full-corpus run."""
+    truth = embedding_near_dup_pairs(embeddings, id_col, vec_col, threshold).select(
+        "id_a", "id_b"
+    )
+    found = embedding_near_dup_bucketed(
+        embeddings, id_col, vec_col, threshold,
+        n_planes=n_planes, dim=dim, n_probe_seeds=n_probe_seeds,
+    ).select("id_a", "id_b", F.lit(1).alias("_in"))
+    joined = truth.join(found, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("bigint").alias("n_found_pairs"),
+        F.round(
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            4,
+        ).alias("recall"),
+    )

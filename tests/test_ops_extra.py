@@ -1276,3 +1276,20 @@ def test_robots_precedence_uses_octets(spark):
         "child_host string, child_url string")
     kept = {r.child_url for r in robots_filter(cand, rules).collect()}
     assert kept == {"https://x.example/日本x/page"}
+
+
+def test_lsh_recall_bounds_and_probe_improvement(spark):
+    from crawl4ai_scraper_spark.operators.dedup import lsh_recall
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 30
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    variants = base.select((F.col("vec_id") + 100000).alias("vec_id"),
+                           F.transform("e", lambda x: x * F.lit(1.02) + F.lit(0.003)).alias("e"))
+    corpus = base.unionByName(variants)
+    one = lsh_recall(corpus, "vec_id", "e", threshold=0.98).collect()[0]
+    assert one.n_true_pairs >= 30          # every planted twin is a true pair
+    assert 0.0 <= one.recall <= 1.0
+    assert one.n_found_pairs <= one.n_true_pairs
+    two = lsh_recall(corpus, "vec_id", "e", threshold=0.98, n_probe_seeds=2).collect()[0]
+    assert two.recall >= one.recall        # multi-probe can only help
