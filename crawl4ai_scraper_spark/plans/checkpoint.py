@@ -125,28 +125,111 @@ def read_state(spark: SparkSession, chk_dir: str, name: str, upto_round: int) ->
     return df.filter(F.col("round") <= upto_round)
 
 
-def _frontier_paths(chk_dir: str, upto_round: int) -> list:
-    return [os.path.join(round_dir(chk_dir, r), "frontier") for r in range(upto_round + 1)]
+# --- frontier-snapshot compaction -------------------------------------------
+# A 10^4-round crawl leaves 10^4 frontier dirs (+ files): every enqueued-set /
+# edges read opens all of them. ``compact_checkpoint`` consolidates rounds
+# 0..C into ONE base table behind an atomic marker; per-round dirs above C
+# keep working as before, so compaction can run while the crawl is stopped at
+# any point and be repeated as the crawl grows.
+
+COMPACTION_MARKER = "compaction.json"
+
+
+def compacted_upto(chk_dir: str) -> Optional[int]:
+    p = os.path.join(chk_dir, COMPACTION_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["upto"]
+
+
+def _base_dir(chk_dir: str, upto: int) -> str:
+    return _state_dir(chk_dir, f"frontier_base_{upto:04d}")
+
+
+def _frontier_df(spark: SparkSession, chk_dir: str, upto_round: int) -> DataFrame:
+    """All frontier snapshot rows for rounds ≤ ``upto_round`` (every row
+    carries its ``round``), reading the compacted base where one exists."""
+    c = compacted_upto(chk_dir)
+    parts = []
+    start = 0
+    if c is not None:
+        parts.append(
+            spark.read.parquet(_base_dir(chk_dir, c)).filter(F.col("round") <= upto_round)
+        )
+        start = c + 1
+    live = [
+        os.path.join(round_dir(chk_dir, r), "frontier")
+        for r in range(start, upto_round + 1)
+    ]
+    if live:
+        parts.append(spark.read.parquet(*live))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_frontier(spark: SparkSession, chk_dir: str, rnd: int) -> DataFrame:
     """The round-``rnd`` queue, trimmed to the loop's working columns."""
-    return spark.read.parquet(os.path.join(round_dir(chk_dir, rnd), "frontier")).select(
-        "url", "host", "depth", "arrival_rank"
-    )
+    direct = os.path.join(round_dir(chk_dir, rnd), "frontier")
+    if os.path.isdir(direct):
+        df = spark.read.parquet(direct)
+    else:  # round folded into the compacted base
+        df = _frontier_df(spark, chk_dir, rnd).filter(F.col("round") == rnd)
+    return df.select("url", "host", "depth", "arrival_rank")
 
 
 def read_enqueued(spark: SparkSession, chk_dir: str, upto_round: int) -> DataFrame:
     """Ever-enqueued URL set ≡ union of the committed frontier snapshots."""
-    return spark.read.parquet(*_frontier_paths(chk_dir, upto_round)).select("url")
+    return _frontier_df(spark, chk_dir, upto_round).select("url")
 
 
 def read_edges(spark: SparkSession, chk_dir: str, upto_round: int) -> DataFrame:
     """Edges view over the frontier snapshots (seed rows have no parent)."""
-    df = spark.read.parquet(*_frontier_paths(chk_dir, upto_round))
+    df = _frontier_df(spark, chk_dir, upto_round)
     return df.filter(F.col("parent_url").isNotNull()).select(
         "parent_url", F.col("url").alias("child_url"), "link_pos", "round"
     )
+
+
+def compact_checkpoint(
+    spark: SparkSession, chk_dir: str, upto_round: Optional[int] = None
+) -> int:
+    """Fold the frontier snapshots of rounds 0..``upto_round`` (default: the
+    latest committed round) into one consolidated base table. Protocol:
+    write the new base dir → atomically replace the marker → delete the
+    superseded per-round frontier dirs and any previous base. Round
+    manifests are kept (commit history + resume validation), state delta
+    tables are untouched (they are already round-partitioned and coalesced).
+    Safe to re-run as the crawl grows; every reader keeps working for any
+    ``upto_round`` because base rows retain their ``round`` column."""
+    import shutil
+
+    last = latest_round(chk_dir)
+    if last is None:
+        raise ValueError(f"no committed rounds under {chk_dir}")
+    upto = last if upto_round is None else min(upto_round, last)
+    prev = compacted_upto(chk_dir)
+    if prev is not None and upto <= prev:
+        return prev  # nothing new to fold
+
+    rows = _frontier_df(spark, chk_dir, upto)
+    n = rows.count()
+    target = _base_dir(chk_dir, upto)
+    shutil.rmtree(target, ignore_errors=True)
+    _coalesced(rows, n).write.mode("overwrite").parquet(target)
+
+    tmp = os.path.join(chk_dir, ".compaction.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"upto": upto, "format": CHECKPOINT_FORMAT, "rows": n}, fh)
+    os.replace(tmp, os.path.join(chk_dir, COMPACTION_MARKER))  # atomic cut-over
+
+    for r in range((prev + 1) if prev is not None else 0, upto + 1):
+        shutil.rmtree(os.path.join(round_dir(chk_dir, r), "frontier"), ignore_errors=True)
+    if prev is not None:
+        shutil.rmtree(_base_dir(chk_dir, prev), ignore_errors=True)
+    return upto
 
 
 def latest_round(chk_dir: str) -> Optional[int]:

@@ -577,3 +577,52 @@ def test_wildcard_robots_crawl_prunes_query_urls(spark, pages3, web3, chk_dir):
     assert SEED in visited and len(visited) > 10
     assert not {u for u in visited if "?" in u}
     assert any("?" in u for u in corpus)  # the corpus does contain query urls
+
+
+def test_compact_checkpoint_then_resume(spark, pages3, web3, chk_dir):
+    """Frontier-snapshot compaction: fold rounds 0..k into the base table
+    mid-crawl, resume, and the final state is still oracle-exact; edges and
+    enqueued views are unchanged by compaction."""
+    import os
+
+    from crawl4ai_scraper_spark.plans.checkpoint import (
+        compact_checkpoint,
+        compacted_upto,
+        latest_round,
+        read_edges,
+        read_enqueued,
+    )
+
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40)
+    run_crawl(spark, pages3, SEED, cfg, chk_dir, max_rounds=2, extract=False,
+              use_bloom=False)
+    last = latest_round(chk_dir)
+    before_edges = sorted(
+        (r.parent_url, r.child_url) for r in read_edges(spark, chk_dir, last).collect())
+    before_enq = {r.url for r in read_enqueued(spark, chk_dir, last).collect()}
+
+    assert compact_checkpoint(spark, chk_dir) == last
+    assert compacted_upto(chk_dir) == last
+    # per-round frontier dirs folded away; views identical
+    for r in range(last + 1):
+        assert not os.path.isdir(os.path.join(chk_dir, f"round={r:04d}", "frontier"))
+    after_edges = sorted(
+        (r.parent_url, r.child_url) for r in read_edges(spark, chk_dir, last).collect())
+    assert after_edges == before_edges
+    assert {r.url for r in read_enqueued(spark, chk_dir, last).collect()} == before_enq
+
+    # resume from the compacted checkpoint → oracle-exact final state
+    resumed = run_crawl(spark, pages3, SEED, cfg, chk_dir, resume=True, use_bloom=False)
+    assert_parity(resumed, oracle_crawl(fetch, SEED, cfg))
+
+    # re-compaction after the crawl finished folds the newer rounds too,
+    # and the resumed run's full edge view survives it intact
+    final = latest_round(chk_dir)
+    pre = sorted((r.parent_url, r.child_url)
+                 for r in read_edges(spark, chk_dir, final).collect())
+    assert compact_checkpoint(spark, chk_dir) == final
+    assert compacted_upto(chk_dir) == final
+    post = sorted((r.parent_url, r.child_url)
+                  for r in read_edges(spark, chk_dir, final).collect())
+    assert post == pre and len(pre) > len(before_edges)
