@@ -138,6 +138,11 @@ def output_rel_path(
             pieces = url_path.split("/")
             if "." in pieces[-1]:  # drop trailing file-ish component (262-263)
                 pieces = pieces[:-1]
+            # deliberate deviation from the reference: '..'/'.'/'' path
+            # segments in a (hostile) URL must never become directory
+            # components — a '..' here is a path-traversal escape out of the
+            # output root. The reference writes them verbatim; we drop them.
+            pieces = [p for p in pieces if p not in ("", ".", "..")]
             if pieces:
                 return "/".join([parts.netloc, *pieces, filename])
         return f"{parts.netloc}/{filename}"
