@@ -93,6 +93,13 @@ def generate_filename(
     return base
 
 
+def _safe_host(netloc: str) -> str:
+    """Directory-safe host component: a hostile URL's netloc can be '..'
+    (``https://../evil``), which would escape the output root as a path
+    segment - map the traversal-capable values to 'unknown'."""
+    return netloc if netloc not in ("", ".", "..") else "unknown"
+
+
 def custom_pattern_path(
     url: str,
     filename: str,
@@ -104,7 +111,7 @@ def custom_pattern_path(
     parts = urlparse(url)
     now = run_ts or datetime(2025, 1, 1)
     variables = {
-        "domain": parts.netloc.replace("www.", "") or "unknown",
+        "domain": _safe_host(parts.netloc.replace("www.", "")),
         "subdomain": parts.netloc.split(".")[0] if "." in parts.netloc else "",
         "path": parts.path.strip("/").replace("/", "_"),
         "year": now.strftime("%Y"),
@@ -132,6 +139,7 @@ def output_rel_path(
     the engine's documents_out table stores it; file fan-out is optional."""
     filename = generate_filename(url, title, convention, run_ts)
     parts = urlparse(url)
+    host = _safe_host(parts.netloc)
     if strategy == MIRROR:
         url_path = parts.path.strip("/")
         if url_path:
@@ -144,10 +152,10 @@ def output_rel_path(
             # output root. The reference writes them verbatim; we drop them.
             pieces = [p for p in pieces if p not in ("", ".", "..")]
             if pieces:
-                return "/".join([parts.netloc, *pieces, filename])
-        return f"{parts.netloc}/{filename}"
+                return "/".join([host, *pieces, filename])
+        return f"{host}/{filename}"
     if strategy == DOMAIN:
-        return f"{parts.netloc or 'unknown'}/{filename}"
+        return f"{host}/{filename}"
     if strategy == DATE:
         return f"{(run_ts or datetime(2025, 1, 1)).strftime('%Y/%m/%d')}/{filename}"
     if strategy == CUSTOM:

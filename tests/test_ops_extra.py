@@ -1293,3 +1293,16 @@ def test_lsh_recall_bounds_and_probe_improvement(spark):
     assert one.n_found_pairs <= one.n_true_pairs
     two = lsh_recall(corpus, "vec_id", "e", threshold=0.98, n_probe_seeds=2).collect()[0]
     assert two.recall >= one.recall        # multi-probe can only help
+
+
+def test_output_paths_traversal_safe_all_strategies():
+    from crawl4ai_scraper_spark.kernel.naming import output_rel_path
+
+    hostile = ["https://../evil", "https://./x", "https:///bare",
+               "https://h.example/../../up", "https://h.example/a/./../b"]
+    for url in hostile:
+        for strategy in ("flat", "mirror", "domain", "date", "custom"):
+            rel = output_rel_path(url, "T", strategy, "url_based")
+            assert not rel.startswith("/"), (url, strategy, rel)
+            assert ".." not in rel.split("/"), (url, strategy, rel)
+            assert "." != rel.split("/")[0], (url, strategy, rel)
