@@ -286,10 +286,17 @@ def page_description(html: str) -> str:
 _MAYBE_CROSS_HOST_RX = re.compile(r"^(?:[a-zA-Z][a-zA-Z0-9+.\-]*:|//)")
 
 
-def _link_is_internal(href: str, base_url: str, base_host: str) -> bool:
+def _link_is_internal(href: str, base_url: str, base_host: str) -> Optional[bool]:
+    """True/False internal classification; None for UNPARSEABLE hrefs
+    (``http://[`` → "Invalid IPv6 URL") — the extractors drop those links
+    entirely, because a single hostile href on one page must never crash
+    the Arrow extraction pass (the URL could not be fetched anyway)."""
     if not _MAYBE_CROSS_HOST_RX.match(href):
         return True
-    return urlparse(urljoin(base_url, href)).netloc == base_host
+    try:
+        return urlparse(urljoin(base_url, href)).netloc == base_host
+    except ValueError:
+        return None
 
 
 def extract_links(html: str, base_url: str) -> List[Dict]:
@@ -298,14 +305,13 @@ def extract_links(html: str, base_url: str) -> List[Dict]:
     the classification crawl4ai feeds to crawler.py:210-230)."""
     base_host = urlparse(base_url).netloc
     out: List[Dict] = []
-    for pos, (href, _) in enumerate(_parse(html).links):
-        out.append(
-            {
-                "href": href,
-                "link_pos": pos,
-                "is_internal": _link_is_internal(href, base_url, base_host),
-            }
-        )
+    pos = 0
+    for href, _ in _parse(html).links:
+        internal = _link_is_internal(href, base_url, base_host)
+        if internal is None:  # unparseable href — dropped, not crashed
+            continue
+        out.append({"href": href, "link_pos": pos, "is_internal": internal})
+        pos += 1
     return out
 
 
@@ -324,15 +330,14 @@ def extract_anchors(html: str, base_url: str) -> List[Dict]:
     (crawler.py:227-230)."""
     from crawl4ai_scraper_spark.kernel.urls import canon_url
 
+    base_host = urlparse(base_url).netloc
     out: List[Dict] = []
-    for pos, (href, label) in enumerate(_parse(html).links):
-        out.append(
-            {
-                "target": canon_url(href, base_url),
-                "anchor": label,
-                "link_pos": pos,
-            }
-        )
+    pos = 0
+    for href, label in _parse(html).links:
+        if _link_is_internal(href, base_url, base_host) is None:
+            continue  # unparseable href — same drop rule as extract_links
+        out.append({"target": canon_url(href, base_url), "anchor": label, "link_pos": pos})
+        pos += 1
     return out
 
 
@@ -388,13 +393,10 @@ def scan_links(html: str, base_url: str) -> List[Dict]:
         href = href_val.strip()
         if not href:
             continue
-        out.append(
-            {
-                "href": href,
-                "link_pos": pos,
-                "is_internal": _link_is_internal(href, base_url, base_host),
-            }
-        )
+        internal = _link_is_internal(href, base_url, base_host)
+        if internal is None:  # unparseable href — same drop rule as extract_links
+            continue
+        out.append({"href": href, "link_pos": pos, "is_internal": internal})
         pos += 1
     return out
 
@@ -437,11 +439,15 @@ def fetch_render(html, url: str) -> Dict:
     base_host = urlparse(url).netloc
     links = []
     internal = external = 0
-    for pos, (href, _) in enumerate(parser.links):
+    pos = 0
+    for href, _ in parser.links:
         is_internal = _link_is_internal(href, url, base_host)
+        if is_internal is None:  # unparseable href — same drop rule as extract_links
+            continue
         internal += is_internal
         external += not is_internal
         links.append({"href": href, "link_pos": pos, "is_internal": is_internal})
+        pos += 1
     markdown = "\n\n".join(parser.blocks)
     return {
         "title": title if title is not None else "Untitled",

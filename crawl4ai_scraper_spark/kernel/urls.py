@@ -52,10 +52,18 @@ def fixup_scheme(url: str) -> str:
 
 def canon_url(url: str, base_url: Optional[str] = None) -> str:
     """Resolve against ``base_url``, drop the fragment, keep the query,
-    strip a trailing slash unless the path is the root (crawler.py:150-165)."""
-    if base_url:
-        url = urljoin(base_url, url)
-    parts = urlparse(url)
+    strip a trailing slash unless the path is the root (crawler.py:150-165).
+
+    Malformed URLs (``http://[`` raises "Invalid IPv6 URL" from urlparse)
+    come back UNCHANGED instead of raising: one hostile href on one crawled
+    page must never poison a whole Arrow batch. Link extraction drops such
+    hrefs before they reach the frontier (see htmlkit)."""
+    try:
+        if base_url:
+            url = urljoin(base_url, url)
+        parts = urlparse(url)
+    except ValueError:
+        return url
     out = f"{parts.scheme}://{parts.netloc}{parts.path}"
     if parts.query:
         out += f"?{parts.query}"
@@ -65,8 +73,13 @@ def canon_url(url: str, base_url: Optional[str] = None) -> str:
 
 
 def extract_domain(url: str) -> str:
-    """``scheme://netloc`` — netloc includes any port (crawler.py:141-144)."""
-    parts = urlparse(url)
+    """``scheme://netloc`` — netloc includes any port (crawler.py:141-144).
+    Malformed URLs → '' (never equals any real domain, so the same-domain
+    gate drops them instead of the parse crashing an Arrow batch)."""
+    try:
+        parts = urlparse(url)
+    except ValueError:
+        return ""
     return f"{parts.scheme}://{parts.netloc}"
 
 

@@ -626,3 +626,27 @@ def test_compact_checkpoint_then_resume(spark, pages3, web3, chk_dir):
     post = sorted((r.parent_url, r.child_url)
                   for r in read_edges(spark, chk_dir, final).collect())
     assert post == pre and len(pre) > len(before_edges)
+
+
+def test_hostile_href_does_not_crash_crawl(spark, chk_dir):
+    """One page carrying an unparseable href (http://[ raises 'Invalid IPv6
+    URL' from urlparse) must not poison the Arrow extraction batch: the bad
+    link is dropped everywhere, the crawl completes, and Spark stays
+    oracle-exact."""
+    from crawl4ai_scraper_spark.sources.pages import with_pbucket
+
+    host = "h.example"
+    pages_raw = {
+        f"https://{host}/": '<p><a href="http://[">bad ipv6</a>'
+                            '<a href="/a">a</a><a href="https://[::1">b</a></p>',
+        f"https://{host}/a": '<p>leaf <a href="/b">b</a></p>',
+        f"https://{host}/b": "<p>done</p>",
+    }
+    rows = [(u, bytearray(h.encode())) for u, h in pages_raw.items()]
+    pages = with_pbucket(spark.createDataFrame(rows, "url string, html binary"), 32)
+    cfg = CrawlJobConfig(max_depth=3, max_pages=10)
+    res = run_crawl(spark, pages, f"https://{host}/", cfg, chk_dir, use_bloom=False)
+    fetch = lambda u: pages_raw[u].encode() if u in pages_raw else None
+    assert_parity(res, oracle_crawl(fetch, f"https://{host}/", cfg))
+    visited = {r["url"] for r in res.visited.collect()}
+    assert visited == set(pages_raw)  # bad hrefs dropped, good links crawled
