@@ -19,7 +19,7 @@ import hashlib
 import re
 from datetime import datetime
 from typing import Dict, Optional
-from urllib.parse import urlparse
+from crawl4ai_scraper_spark.kernel.urls import safe_urlparse as urlparse
 
 MAX_FILENAME_LENGTH = 255  # output_manager default
 

@@ -50,6 +50,15 @@ def fixup_scheme(url: str) -> str:
     return u
 
 
+def safe_urlparse(url: str):
+    """urlparse that never raises: malformed URLs ("http://[" → "Invalid
+    IPv6 URL") parse as the empty URL instead of poisoning an Arrow batch."""
+    try:
+        return urlparse(url)
+    except ValueError:
+        return urlparse("")
+
+
 def canon_url(url: str, base_url: Optional[str] = None) -> str:
     """Resolve against ``base_url``, drop the fragment, keep the query,
     strip a trailing slash unless the path is the root (crawler.py:150-165).
@@ -126,5 +135,6 @@ def match_url_pattern(
 
 
 def url_host(url: str) -> str:
-    """Bare netloc (host[:port]) — partitioning / politeness key."""
-    return urlparse(url).netloc
+    """Bare netloc (host[:port]) — partitioning / politeness key.
+    Malformed URLs → '' (one partition key for all garbage, never a crash)."""
+    return safe_urlparse(url).netloc

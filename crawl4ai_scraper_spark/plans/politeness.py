@@ -65,7 +65,7 @@ def rules_from_robots(pages: DataFrame, default_agent: str = "*") -> DataFrame:
     ).select("url", "warc_ts", "html")
 
     def _parse(batches):
-        from urllib.parse import urlparse
+        from crawl4ai_scraper_spark.kernel.urls import safe_urlparse as urlparse
 
         for pdf in batches:
             hosts, urls, tss, delays, prefixes, allows = [], [], [], [], [], []
@@ -337,7 +337,7 @@ def sitemaps_from_robots(pages: DataFrame) -> DataFrame:
     ).select("url", "html")
 
     def _parse(batches):
-        from urllib.parse import urlparse
+        from crawl4ai_scraper_spark.kernel.urls import safe_urlparse as urlparse
 
         for pdf in batches:
             hosts, sitemap_urls = [], []
