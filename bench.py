@@ -41,11 +41,17 @@ if str(REPO) not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-BENCH_WEB = str(REPO / ".tmp" / "bench_pages_v4")
+# SPARK_GRAFT_CORPUS_X multiplies the section count (the corpus's parallel
+# shard unit) — used by scaling_bench's serial-share-amortization evidence;
+# the default X=1 corpus is the apples-to-apples BENCH_r{N} corpus.
+CORPUS_X = int(os.environ.get("SPARK_GRAFT_CORPUS_X", "1"))
+BENCH_WEB = str(
+    REPO / ".tmp" / ("bench_pages_v4" if CORPUS_X == 1 else f"bench_pages_v4_x{CORPUS_X}")
+)
 # Hot host 0 carries the crawl (same-domain gating keeps the crawl on the
 # seed's host): 650 secs × 650 pages → ~987k URLs visited within depth 3,
 # ~1.9M stored pages total. 64 url-hash buckets → balanced scan units.
-CRAWL_SPEC = dict(n_hosts=4, max_secs=650, max_pages=650, n_buckets=64)
+CRAWL_SPEC = dict(n_hosts=4, max_secs=650 * CORPUS_X, max_pages=650, n_buckets=64)
 
 # The headline operator subset (heaviest / most representative).
 QUERY_NAMES = [
@@ -116,6 +122,7 @@ QUERY_NAMES = [
     "strip_dup_spans",
     "dataset_split",
     "lsh_recall",
+    "host_reputation",
 ]
 
 

@@ -545,23 +545,43 @@ def lang_id_stopwords(spark, sf):
     return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
-@_q(
-    "quality_score",
-    f"""SELECT doc_id,
-      ROUND(0.4 * least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+# The per-doc composite quality expression (shared by quality_score and
+# host_reputation — ONE source of truth for the oracle-side formula).
+_QUALITY_EXPR = f"""ROUND(0.4 * least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
                                    ELSE len({_TOKS}) END) / 100.0)
           + 0.3 * least(1.0, 4.0 * len(list_filter({_LTOKS}, t -> t IN ({_SW_EN})))
                               / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
                                               ELSE len({_TOKS}) END, 1))
           + 0.3 * greatest(0.0, 1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                                     / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-                                                    ELSE len({_TOKS}) END, 1)), 4) AS quality
+                                                    ELSE len({_TOKS}) END, 1)), 4)"""
+
+
+@_q(
+    "quality_score",
+    f"""SELECT doc_id, {_QUALITY_EXPR} AS quality
     FROM documents""",
 )
 def quality_score(spark, sf):
     """Quality scoring: length saturation + stopword ratio + punct density."""
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "host_reputation",
+    f"""WITH q AS (SELECT source, {_QUALITY_EXPR} AS quality FROM documents)
+    SELECT source AS host,
+           ROUND((CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) + 12.5)
+                 / (COUNT(*) + 25.0), 4) AS reputation,
+           COUNT(*) AS n_docs
+    FROM q GROUP BY source""",
+)
+def host_reputation(spark, sf):
+    """Bayesian-smoothed per-host quality (w=25, m=0.5) — the crawl frontier's
+    host-prioritization signal; exact DECIMAL sums make the mean order-free."""
+    docs = _t(spark, sf, "documents")
+    return T.host_reputation(docs, "source", "text")
 
 
 @_q(

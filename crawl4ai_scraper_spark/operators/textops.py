@@ -803,3 +803,46 @@ def dataset_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def host_reputation(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    prior_weight: float = 25.0,
+    prior_mean: float = 0.5,
+) -> DataFrame:
+    """Bayesian-smoothed per-host quality — the crawl-prioritization signal
+    (OPIC/quality-biased frontier ordering: hosts whose pages score well get
+    their outlinks crawled first; cf. reference crawler.py's single-host
+    politeness loop, which has no cross-host ordering at all).
+
+        reputation = (Σ quality + w·m) / (n + w)
+
+    with prior mean ``m`` and prior weight ``w``: a host with few pages is
+    pulled toward the neutral prior, so one lucky page can't promote a spam
+    host above a consistently good one.
+
+    Scale shape: per-doc quality is pure column math at scan speed; the only
+    shuffle is ONE map-side-combined groupBy on the host key (each partition
+    pre-collapses to its distinct hosts before the exchange, so hot hosts
+    don't skew). The per-doc scores are 4dp-rounded and summed as
+    DECIMAL(18,4) — exact, order-free arithmetic, so the result is identical
+    under any partitioning (and hash-stable vs the SQL oracle); the division
+    happens once per host, in DOUBLE, after the exact sums.
+
+    Output: (host, reputation, n_docs). Feed straight into ``run_crawl``'s
+    priority mode as a host-keyed signal frame."""
+    q = quality_score(F.col(text_col)).cast("decimal(18,4)")
+    return (
+        df.select(F.col(source_col).alias("host"), q.alias("q"))
+        .groupBy("host")
+        .agg(
+            F.round(
+                (F.sum("q").cast("double") + F.lit(prior_weight * prior_mean))
+                / (F.count(F.lit(1)).cast("double") + F.lit(prior_weight)),
+                4,
+            ).alias("reputation"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -377,18 +377,26 @@ def run_round(
             # urls default to priority 0). Caller should persist the signal
             # frame: it is consumed once per round.
             c0, c1 = priority_col.columns[:2]
-            # max-collapse duplicate urls in the signal: a duplicated key in
+            # Key inference: a signal whose first column is literally "host"
+            # is host-keyed (e.g. textops.host_reputation — per-host quality
+            # reputation); anything else is url-keyed (pagerank, recrawl
+            # change-rate). Host signals are tiny (one row per host) and are
+            # broadcast; url signals co-partition with the rank shuffle.
+            key = "host" if c0 == "host" else "url"
+            # max-collapse duplicate keys in the signal: a duplicated key in
             # the left join would fan out frontier rows and break the
             # one-visit-per-url invariant downstream
             signal = (
                 priority_col.select(
-                    F.col(c0).alias("url"), F.col(c1).cast("double").alias("_prio")
+                    F.col(c0).alias(key), F.col(c1).cast("double").alias("_prio")
                 )
-                .groupBy("url")
+                .groupBy(key)
                 .agg(F.max("_prio").alias("_prio"))
             )
+            if key == "host":
+                signal = F.broadcast(signal)
             next_rows = (
-                next_rows.join(signal, "url", "left")
+                next_rows.join(signal, key, "left")
                 .withColumn(
                     "neg_priority", -F.coalesce(F.col("_prio"), F.lit(0.0))
                 )

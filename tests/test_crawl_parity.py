@@ -650,3 +650,38 @@ def test_hostile_href_does_not_crash_crawl(spark, chk_dir):
     assert_parity(res, oracle_crawl(fetch, f"https://{host}/", cfg))
     visited = {r["url"] for r in res.visited.collect()}
     assert visited == set(pages_raw)  # bad hrefs dropped, good links crawled
+
+
+def test_host_keyed_priority_signal(spark, pages3, web3, chk_dir):
+    """A (host, priority) signal frame — the textops.host_reputation shape —
+    is broadcast-joined on the frontier's host key and orders the crawl
+    exactly like the equivalent per-row callable; within a round, hosts are
+    visited in descending signal order."""
+    from pyspark.sql import functions as F
+
+    cfg = CrawlJobConfig(max_depth=2, max_pages=5000, frontier_order="priority",
+                         include_external=True)
+    score = {"site0.example": 1.0, "site1.example": 5.0, "site2.example": 3.0}
+    signal = spark.createDataFrame(
+        sorted(score.items()), "host string, priority double"
+    )
+    by_frame = run_crawl(spark, pages3, SEED, cfg, chk_dir + "_h", extract=False,
+                         use_bloom=False, priority_col=signal)
+
+    def callable_prio(df):
+        expr = F.lit(None).cast("double")
+        for h, s in score.items():
+            expr = F.when(F.col("host") == h, F.lit(s)).otherwise(expr)
+        return F.coalesce(expr, F.lit(0.0))
+
+    by_callable = run_crawl(spark, pages3, SEED, cfg, chk_dir + "_cb",
+                            extract=False, use_bloom=False,
+                            priority_col=callable_prio)
+    fr = [r["url"] for r in by_frame.visited.orderBy("seq").collect()]
+    cb = [r["url"] for r in by_callable.visited.orderBy("seq").collect()]
+    assert fr == cb
+    # depth-1 visits appear in descending host-signal order
+    hosts = [r["host"] for r in
+             by_frame.visited.filter("depth = 1").orderBy("seq").collect()]
+    keys = [-score.get(h, 0.0) for h in hosts]
+    assert keys == sorted(keys), hosts

@@ -1306,3 +1306,37 @@ def test_output_paths_traversal_safe_all_strategies():
             assert not rel.startswith("/"), (url, strategy, rel)
             assert ".." not in rel.split("/"), (url, strategy, rel)
             assert "." != rel.split("/")[0], (url, strategy, rel)
+
+
+def test_host_reputation_formula(spark):
+    """reputation = (Σq + w·m)/(n + w) with exact DECIMAL sums — checked
+    against the per-doc quality scores the same engine computed."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.textops import host_reputation, quality_score
+
+    rows = [
+        (0, "alpha beta gamma delta. the of and!", "hostA"),
+        (1, "the quick brown fox jumps over the lazy dog " * 20, "hostA"),
+        (2, "x", "hostB"),
+        (3, "", "hostB"),
+        (4, "a sentence with the usual stopwords in it, of course.", "hostB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    per_doc = {
+        (r["source"]): r for r in
+        df.select("source", quality_score(F.col("text")).alias("q"))
+          .groupBy("source")
+          .agg(F.sum(F.col("q").cast("decimal(18,4)")).alias("sq"),
+               F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["host"]: r for r in host_reputation(df).collect()}
+    assert set(got) == {"hostA", "hostB"}
+    for h, agg in per_doc.items():
+        expect = round((float(agg["sq"]) + 25.0 * 0.5) / (agg["n"] + 25.0), 4)
+        assert got[h]["reputation"] == expect, h
+        assert got[h]["n_docs"] == agg["n"]
+    # few-doc hosts sit near the prior mean
+    assert abs(got["hostB"]["reputation"] - 0.5) < 0.1
