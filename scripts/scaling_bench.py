@@ -16,7 +16,10 @@ Methodology notes (this sandbox is a shared VM):
 * Short runs are repeated and the median is taken (host noise).
 
 Env: SCALE_N (default 2 → spans 2→8), SCALE_REPS (default 3),
-     SCALE_SECONDARY=8 adds an 8→32 row (0 disables).
+     SCALE_SECONDARY=8 adds an 8→32 row (0 disables),
+     SCALE_WRITE_MD=0 prints JSON only (leaves BENCH.md alone — used by the
+     big-corpus serial-share-amortization run, which sets
+     SPARK_GRAFT_CORPUS_X to measure the same spans on an X× corpus).
 """
 
 from __future__ import annotations
@@ -92,8 +95,14 @@ def main():
     spans = [measure_span(N, reps_small=1 if N <= 2 else REPS, reps_big=REPS)]
     if SECONDARY:
         spans.append(measure_span(SECONDARY, reps_small=REPS, reps_big=REPS))
-    report = {"spans": spans, "generated": datetime.now(timezone.utc).isoformat()}
+    report = {
+        "spans": spans,
+        "corpus_x": int(os.environ.get("SPARK_GRAFT_CORPUS_X", "1")),
+        "generated": datetime.now(timezone.utc).isoformat(),
+    }
     print(json.dumps(report, indent=2))
+    if os.environ.get("SCALE_WRITE_MD", "1") == "0":
+        return
 
     p = spans[0]
     lines = [
