@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "dataset_split",
     "lsh_recall",
     "host_reputation",
+    "minhash_recall",
 ]
 
 

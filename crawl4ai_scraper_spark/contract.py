@@ -672,6 +672,68 @@ def dedup_minhash_lsh_q(spark, sf):
 
 
 @_q(
+    "minhash_recall",
+    f"""WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000, {_VARIANT_SQL} FROM documents WHERE doc_id < 60
+    ), sh AS (
+      SELECT doc,
+             list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), '\\s+')[i+2])) AS shset
+      FROM corpus
+    ), truth AS (
+      SELECT a.doc AS id_a, b.doc AS id_b
+      FROM sh a JOIN sh b ON a.doc < b.doc
+      WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.5
+    ), sig AS (
+      SELECT doc, shset,
+        [list_min(list_transform(shset, x -> md5('0:' || x))),
+         list_min(list_transform(shset, x -> md5('1:' || x))),
+         list_min(list_transform(shset, x -> md5('2:' || x))),
+         list_min(list_transform(shset, x -> md5('3:' || x))),
+         list_min(list_transform(shset, x -> md5('4:' || x))),
+         list_min(list_transform(shset, x -> md5('5:' || x))),
+         list_min(list_transform(shset, x -> md5('6:' || x))),
+         list_min(list_transform(shset, x -> md5('7:' || x)))] AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc, b.band, md5(sig[b.band*2+1] || '|' || sig[b.band*2+2]) AS bhash
+      FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash AND l.doc < r.doc
+    ), found AS (
+      SELECT c.id_a, c.id_b, 1 AS _in
+      FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.5
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(COALESCE(f._in, 0)) AS BIGINT) AS n_found_pairs,
+           ROUND(CAST(SUM(COALESCE(f._in, 0)) AS DOUBLE)
+                 / greatest(COUNT(*), 1), 4) AS recall
+    FROM truth t LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b""",
+)
+def minhash_recall_q(spark, sf):
+    """Measured recall of the banded-MinHash path vs brute-force exact-Jaccard
+    truth on the same planted-near-dup corpus — the text-side twin of
+    lsh_recall (precision is 1.0 by construction; recall is the tuning axis
+    for (n_hashes, n_bands))."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    variants = docs.select((F.col("doc") + 100000).alias("doc"),
+                           F.expr("substr(text, 8)").alias("text"))
+    corpus = docs.unionByName(variants)
+    return D.minhash_recall(corpus, "text", "doc", jaccard_threshold=0.5,
+                            k=3, n_hashes=8, n_bands=4)
+
+
+@_q(
     "ngram_jaccard_pairs",
     f"""WITH sh AS (
       SELECT doc_id,

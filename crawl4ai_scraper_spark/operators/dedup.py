@@ -547,3 +547,53 @@ def lsh_recall(
             4,
         ).alias("recall"),
     )
+
+
+def minhash_recall(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Recall of the banded-MinHash near-dup path against brute-force truth —
+    the text-side twin of ``lsh_recall``: run the all-pairs exact-Jaccard
+    pipeline and the banded pipeline on the SAME corpus, count true pairs
+    found vs missed. → one row (n_true_pairs, n_found_pairs, recall).
+    Precision is 1.0 by construction (the banded path exact-verifies every
+    candidate with the same 4dp-rounded Jaccard), so recall is the only
+    quality axis; it rises with n_bands (more, smaller bands → more candidate
+    collisions) at the cost of a wider band shuffle.
+
+    Production shape: run on a ``hash_sample`` slice (truth is O(n²) — that
+    is WHY the banded path exists), tune (n_hashes, n_bands) until recall
+    clears the bar, then run the banded pipeline alone on the full corpus."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("shset"),
+    )
+    a = base.select(F.col("doc").alias("id_a"), F.col("shset").alias("sh_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("shset").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.round(inter.cast("double") / union, 4) >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    found = minhash_lsh_pairs(
+        df, text_col, id_col, k=k, n_hashes=n_hashes, n_bands=n_bands,
+        jaccard_threshold=jaccard_threshold,
+    ).select("id_a", "id_b", F.lit(1).alias("_in"))
+    joined = truth.join(found, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("bigint").alias("n_found_pairs"),
+        F.round(
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            4,
+        ).alias("recall"),
+    )

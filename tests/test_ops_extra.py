@@ -1340,3 +1340,33 @@ def test_host_reputation_formula(spark):
         assert got[h]["n_docs"] == agg["n"]
     # few-doc hosts sit near the prior mean
     assert abs(got["hostB"]["reputation"] - 0.5) < 0.1
+
+
+def test_minhash_recall_bounds(spark):
+    """minhash_recall: planted near-dup twins are true pairs; found ⊆ truth
+    (precision 1.0 by construction); more bands can only raise recall."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.dedup import minhash_recall
+
+    base = spark.range(30).select(
+        F.col("id").alias("doc"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa doc "),
+            F.col("id").cast("string"),
+            F.lit(" lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        ).alias("text"),
+    )
+    variants = base.select(
+        (F.col("doc") + 1000).alias("doc"), F.expr("substr(text, 7)").alias("text")
+    )
+    corpus = base.unionByName(variants)
+    one = minhash_recall(corpus, "text", "doc", jaccard_threshold=0.5,
+                         n_hashes=8, n_bands=2).collect()[0]
+    assert one.n_true_pairs >= 30
+    assert 0.0 <= one.recall <= 1.0
+    assert one.n_found_pairs <= one.n_true_pairs
+    four = minhash_recall(corpus, "text", "doc", jaccard_threshold=0.5,
+                          n_hashes=8, n_bands=4).collect()[0]
+    assert four.n_true_pairs == one.n_true_pairs  # truth is band-independent
+    assert four.recall >= one.recall              # finer bands can only help
