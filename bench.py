@@ -124,6 +124,7 @@ QUERY_NAMES = [
     "lsh_recall",
     "host_reputation",
     "minhash_recall",
+    "url_spam_filter",
 ]
 
 

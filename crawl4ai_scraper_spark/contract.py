@@ -1984,6 +1984,59 @@ def frontier_hygiene(spark, sf):
     )
 
 
+def _spam_score_sql(url_expr: str) -> str:
+    """DuckDB weighted banned-term score — the SAME sorted-order addition
+    tree as plans.politeness.url_spam_score (identical IEEE sums)."""
+    from crawl4ai_scraper_spark.plans.politeness import URL_SPAM_TERMS
+
+    parts = [
+        # CAST: a bare 0.8 literal is DECIMAL in DuckDB — the sum must be
+        # DOUBLE term-by-term to match Spark's IEEE addition tree and type.
+        f"CASE WHEN strpos(lower({url_expr}), '{t}') > 0"
+        f" THEN CAST({float(w)} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        for t, w in sorted(URL_SPAM_TERMS.items())
+    ]
+    return "ROUND(" + " + ".join(parts) + ", 4)"
+
+
+_SPAM_URL_SQL = (
+    _URL_SQL
+    + " || CASE WHEN doc_id % 7 = 0 THEN '/casino/poker-night'"
+    + " WHEN doc_id % 11 = 3 THEN '?ref=poker' ELSE '' END"
+)
+
+
+@_q(
+    "url_spam_filter",
+    f"""WITH u AS (SELECT doc_id, {_SPAM_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url, {_spam_score_sql("url")} AS spam_score
+    FROM u
+    WHERE regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)
+          NOT IN ('src3.example', 'src7.example')
+      AND {_spam_score_sql("url")} < 0.9""",
+)
+def url_spam_filter(spark, sf):
+    """RefinedWeb-style URL screening (hard host blocklist + soft weighted
+    banned-term score) over a deterministically spam-seeded URL corpus:
+    doc_id%7 urls gain casino+poker (score 1.3 → dropped), doc_id%11=3 urls
+    gain poker alone (0.5 → kept, score surfaced), src3/src7 hosts are
+    block-listed. plans.politeness.url_blocklist_filter — broadcast anti-join
+    + scan-speed score, upstream of the fetch join."""
+    from crawl4ai_scraper_spark.plans.politeness import url_blocklist_filter
+
+    url = F.concat(
+        _url_col(),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/casino/poker-night"))
+        .when(F.col("doc_id") % 11 == 3, F.lit("?ref=poker"))
+        .otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("src3.example",), ("src7.example",)], "host string"
+    )
+    return url_blocklist_filter(docs, "url", blocked, spam_threshold=0.9)
+
+
 @_q(
     "host_budget_cap",
     """SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HOST_RULES_SCHEMA = "host string, crawl_delay double, disallow_prefixes array<string>"
@@ -424,3 +424,68 @@ def sitemap_seed_priorities(entries: DataFrame) -> DataFrame:
         .groupBy("url")
         .agg(F.max("priority").alias("priority"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb/FineWeb-style URL filtering (Penedo et al. 2023 §3.1): a hard
+# domain blocklist plus a soft weighted banned-word score over the URL string
+# — the standard pre-fetch screen of a Common-Crawl training-data pipeline.
+# Deterministic literal weights so the DuckDB oracle reproduces the math.
+# ---------------------------------------------------------------------------
+
+URL_SPAM_TERMS = {
+    "betting": 0.5,
+    "casino": 0.8,
+    "crypto-giveaway": 0.8,
+    "escort": 0.9,
+    "free-money": 0.6,
+    "pharmacy-online": 0.6,
+    "poker": 0.5,
+    "porn": 1.0,
+    "torrent": 0.4,
+    "viagra": 0.9,
+    "warez": 0.7,
+    "xxx": 0.9,
+}
+
+
+def url_spam_score(url: Column, terms: Optional[dict] = None) -> Column:
+    """Soft URL-spam score: Σ weight over banned terms contained in the
+    lowercased URL. Pure column math (codegen'd, scan speed); terms are
+    summed in sorted order so the IEEE addition tree is identical in any
+    engine that mirrors the same order."""
+    t = terms or URL_SPAM_TERMS
+    u = F.lower(url)
+    score = F.lit(0.0)
+    for term in sorted(t):
+        score = score + F.when(F.instr(u, term) > 0, F.lit(float(t[term]))).otherwise(
+            F.lit(0.0)
+        )
+    return F.round(score, 4)
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_hosts: Optional[DataFrame] = None,
+    spam_threshold: float = 0.9,
+    terms: Optional[dict] = None,
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """Hard + soft URL filtering: drop rows whose host is on the blocklist
+    (left ANTI join — broadcast by default, since even a 10M-domain list is
+    a few hundred MB of strings; pass ``broadcast_blocklist=False`` to let
+    the anti-join shuffle when the list outgrows the driver), then drop rows
+    whose ``url_spam_score`` reaches ``spam_threshold``. Adds the
+    ``spam_score`` column to the survivors (useful as a quality signal
+    downstream). Runs BEFORE the fetch join, so blocked URLs never touch
+    the pages scan."""
+    host = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    out = df.withColumn("_host", host)
+    if blocked_hosts is not None:
+        bl = blocked_hosts.select(F.col(blocked_hosts.columns[0]).alias("_host"))
+        if broadcast_blocklist:
+            bl = F.broadcast(bl)
+        out = out.join(bl, "_host", "left_anti")
+    out = out.withColumn("spam_score", url_spam_score(F.col(url_col), terms))
+    return out.filter(F.col("spam_score") < F.lit(spam_threshold)).drop("_host")

@@ -1370,3 +1370,30 @@ def test_minhash_recall_bounds(spark):
                           n_hashes=8, n_bands=4).collect()[0]
     assert four.n_true_pairs == one.n_true_pairs  # truth is band-independent
     assert four.recall >= one.recall              # finer bands can only help
+
+
+def test_url_blocklist_filter(spark):
+    """Hard host blocklist + soft spam score: blocked hosts vanish, urls at
+    or above the threshold vanish, survivors carry their score."""
+    from crawl4ai_scraper_spark.plans.politeness import (
+        url_blocklist_filter, url_spam_score)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "https://good.example/docs/page"),
+        (1, "https://good.example/poker/tips"),              # 0.5 — kept
+        (2, "https://good.example/casino/poker-bonus"),      # 1.3 — dropped
+        (3, "https://spam.example/anything"),                # blocked host
+        (4, "https://good.example/xxx"),                     # 0.9 — dropped (>= thr)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame([("spam.example",)], "host string")
+    out = {r["doc_id"]: r for r in
+           url_blocklist_filter(df, "url", blocked, spam_threshold=0.9).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["spam_score"] == 0.0
+    assert out[1]["spam_score"] == 0.5
+    # the score column builder alone matches the filter's arithmetic
+    scores = {r["doc_id"]: r["s"] for r in
+              df.select("doc_id", url_spam_score(F.col("url")).alias("s")).collect()}
+    assert scores[2] == 1.3 and scores[4] == 0.9 and scores[3] == 0.0
