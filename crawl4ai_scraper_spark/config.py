@@ -99,6 +99,12 @@ class CrawlJobConfig:
     # Max NEW urls enqueued per host per round (0 = unlimited). Applied to
     # first-appender survivors via the skew-proof bucketed rank.
     max_new_urls_per_host_round: int = 0
+    # RefinedWeb-style URL screening of candidate links
+    # (plans/politeness.url_blocklist_filter): > 0 drops candidates whose
+    # weighted banned-term score reaches the threshold; a host blocklist
+    # frame comes in via run_crawl(blocked_hosts=...). Default off — parity
+    # with the reference is defined without it.
+    url_spam_threshold: float = 0.0
 
     def dump(self, path: Path) -> None:
         path.parent.mkdir(parents=True, exist_ok=True)

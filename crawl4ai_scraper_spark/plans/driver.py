@@ -99,6 +99,7 @@ def run_crawl(
     n_buckets: Optional[int] = None,
     max_rounds: Optional[int] = None,  # stop early (kill simulation / tests)
     fused_extract: bool = True,
+    blocked_hosts: Optional[DataFrame] = None,  # URL screening (url_blocklist_filter)
 ) -> CrawlResult:
     """Run the full crawl. ``fused_extract`` (default) extracts each
     pattern-matched page's document INSIDE the discovery round that visits it
@@ -226,7 +227,7 @@ def run_crawl(
             seq_base=seq_base, discovered_so_far=discovered_n,
             host_rules=host_rules, bloom=bloom, n_buckets=n_buckets,
             priority_col=priority_col, frontier_count=frontier_n,
-            extraction=extraction,
+            extraction=extraction, blocked_hosts=blocked_hosts,
         )
         timer.lap("run_round (actions: matched count, visit agg, rank+count)")
         # persisted: BOTH the max-agg action and the commit write consume the

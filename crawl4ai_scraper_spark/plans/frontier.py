@@ -50,6 +50,7 @@ from crawl4ai_scraper_spark.plans.politeness import (
     host_budget_cap,
     hygiene_filter,
     robots_filter,
+    url_blocklist_filter,
 )
 from crawl4ai_scraper_spark.plans.ranking import global_rank
 from crawl4ai_scraper_spark.sources.pages import with_pbucket
@@ -143,6 +144,7 @@ def run_round(
     priority_col: Optional[Union[Callable[[DataFrame], Column], DataFrame]] = None,
     frontier_count: Optional[int] = None,  # tracked by the driver — saves a job
     extraction: Optional[dict] = None,  # fused extraction (see visit_and_expand)
+    blocked_hosts: Optional[DataFrame] = None,  # URL screening (url_blocklist_filter)
 ) -> RoundResult:
     # ---- single-pass fetch + expand (O-4/O-18 + O-9/O-13) ----
     # The pages scan is touched ONCE per round. On the broadcast path (the
@@ -319,6 +321,14 @@ def run_round(
             max_query_params=cfg.hygiene_max_query_params,
             max_repeated_segments=cfg.hygiene_max_repeated_segments,
         )
+    if cfg.url_spam_threshold > 0 or blocked_hosts is not None:
+        # RefinedWeb-style URL screening, same placement rationale as hygiene:
+        # scan-side predicates (plus a broadcast blocklist anti-join) that
+        # shrink the first-appender shuffle's input
+        candidates = url_blocklist_filter(
+            candidates, "child_url", blocked_hosts,
+            spam_threshold=cfg.url_spam_threshold if cfg.url_spam_threshold > 0 else None,
+        ).drop("spam_score")
 
     # ---- first-appender-wins (O-17/O-25): min(struct) keeps the earliest
     # (parent_seq, link_pos); partial aggregation combines hot children

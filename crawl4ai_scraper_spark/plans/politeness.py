@@ -468,7 +468,7 @@ def url_blocklist_filter(
     df: DataFrame,
     url_col: str = "url",
     blocked_hosts: Optional[DataFrame] = None,
-    spam_threshold: float = 0.9,
+    spam_threshold: Optional[float] = 0.9,
     terms: Optional[dict] = None,
     broadcast_blocklist: bool = True,
 ) -> DataFrame:
@@ -479,7 +479,8 @@ def url_blocklist_filter(
     whose ``url_spam_score`` reaches ``spam_threshold``. Adds the
     ``spam_score`` column to the survivors (useful as a quality signal
     downstream). Runs BEFORE the fetch join, so blocked URLs never touch
-    the pages scan."""
+    the pages scan. ``spam_threshold=None`` disables the soft screen
+    (blocklist only); the ``spam_score`` column is attached either way."""
     host = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
     out = df.withColumn("_host", host)
     if blocked_hosts is not None:
@@ -488,4 +489,6 @@ def url_blocklist_filter(
             bl = F.broadcast(bl)
         out = out.join(bl, "_host", "left_anti")
     out = out.withColumn("spam_score", url_spam_score(F.col(url_col), terms))
-    return out.filter(F.col("spam_score") < F.lit(spam_threshold)).drop("_host")
+    if spam_threshold is not None:
+        out = out.filter(F.col("spam_score") < F.lit(spam_threshold))
+    return out.drop("_host")

@@ -685,3 +685,31 @@ def test_host_keyed_priority_signal(spark, pages3, web3, chk_dir):
              by_frame.visited.filter("depth = 1").orderBy("seq").collect()]
     keys = [-score.get(h, 0.0) for h in hosts]
     assert keys == sorted(keys), hosts
+
+
+def test_blocked_hosts_prune_crawl(spark, pages3, web3, chk_dir):
+    """run_crawl(blocked_hosts=...): candidate links into a block-listed host
+    never enter the frontier. The engine follows internal links only (the
+    reference iterates links['internal']), so the strongest in-crawl probe is
+    blocking the seed's OWN host: children are screened, the seed itself is
+    not → exactly one visit. And with no spam terms in the corpus a
+    spam-threshold-only screen leaves the crawl IDENTICAL to the unscreened
+    run (parity preserved)."""
+    cfg = CrawlJobConfig(max_depth=2, max_pages=5000)
+    plain = run_crawl(spark, pages3, SEED, cfg, chk_dir + "_pl",
+                      extract=False, use_bloom=False)
+    n_plain = plain.visited.count()
+    assert n_plain > 1
+
+    blocked = spark.createDataFrame([("site0.example",)], "host string")
+    res = run_crawl(spark, pages3, SEED, cfg, chk_dir + "_bl", extract=False,
+                    use_bloom=False, blocked_hosts=blocked)
+    rows = res.visited.collect()
+    assert [r["url"] for r in rows] == [SEED]  # children screened, seed kept
+
+    cfg_spam = CrawlJobConfig(max_depth=2, max_pages=5000, url_spam_threshold=0.9)
+    screened = run_crawl(spark, pages3, SEED, cfg_spam, chk_dir + "_sp",
+                         extract=False, use_bloom=False)
+    a = [r["url"] for r in screened.visited.orderBy("seq").collect()]
+    b = [r["url"] for r in plain.visited.orderBy("seq").collect()]
+    assert a == b
