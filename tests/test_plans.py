@@ -221,3 +221,33 @@ def test_anchor_text_agg_two_exchanges_no_html(spark):
     keys = {ln.split("Exchange hashpartitioning(")[1].split(")")[0]
             for ln in exchanges if "hashpartitioning" in ln}
     assert len(keys) <= 2, keys
+
+
+def test_url_blocklist_filter_broadcast_anti_join(spark):
+    """The host blocklist must be BROADCAST (anti-join; no shuffle of the
+    url side) and the spam score must be a plain scan-side projection."""
+    from crawl4ai_scraper_spark.plans.politeness import url_blocklist_filter
+
+    urls = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+    )
+    blocked = spark.createDataFrame([("h3.example",)], "host string")
+    plan = _plan(url_blocklist_filter(urls, "url", blocked, spam_threshold=0.9))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_host_reputation_single_exchange(spark):
+    """One map-side-combined groupBy on the host key: exactly one hash
+    exchange, with a partial_ aggregate before it."""
+    from crawl4ai_scraper_spark.operators.textops import host_reputation
+
+    docs = spark.createDataFrame(
+        [(i, f"some quality text number {i}", f"h{i % 4}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    plan = _plan(host_reputation(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
