@@ -328,6 +328,7 @@ def run_round(
         candidates = url_blocklist_filter(
             candidates, "child_url", blocked_hosts,
             spam_threshold=cfg.url_spam_threshold if cfg.url_spam_threshold > 0 else None,
+            host_col="child_host",  # precomputed by the Arrow pass — no re-parse
         ).drop("spam_score")
 
     # ---- first-appender-wins (O-17/O-25): min(struct) keeps the earliest

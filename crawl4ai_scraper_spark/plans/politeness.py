@@ -471,6 +471,7 @@ def url_blocklist_filter(
     spam_threshold: Optional[float] = 0.9,
     terms: Optional[dict] = None,
     broadcast_blocklist: bool = True,
+    host_col: Optional[str] = None,
 ) -> DataFrame:
     """Hard + soft URL filtering: drop rows whose host is on the blocklist
     (left ANTI join — broadcast by default, since even a 10M-domain list is
@@ -480,8 +481,14 @@ def url_blocklist_filter(
     ``spam_score`` column to the survivors (useful as a quality signal
     downstream). Runs BEFORE the fetch join, so blocked URLs never touch
     the pages scan. ``spam_threshold=None`` disables the soft screen
-    (blocklist only); the ``spam_score`` column is attached either way."""
-    host = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    (blocklist only); the ``spam_score`` column is attached either way.
+    ``host_col`` names a precomputed host column (the crawl round's
+    ``child_host``) — skips the per-row regex re-derivation."""
+    host = (
+        F.col(host_col)
+        if host_col
+        else F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    )
     out = df.withColumn("_host", host)
     if blocked_hosts is not None:
         bl = blocked_hosts.select(F.col(blocked_hosts.columns[0]).alias("_host"))
