@@ -83,6 +83,12 @@ def parse_args(argv=None):
                    help="max NEW urls enqueued per host per round (fairness cap)")
     p.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default=None,
                    help="URL-seen pre-filter family (north_rule Bloom/cuckoo)")
+    p.add_argument("--spam-threshold", type=float, default=None,
+                   help="drop candidate links whose weighted banned-term URL "
+                        "score reaches this (RefinedWeb-style soft screen)")
+    p.add_argument("--blocked-hosts", default=None,
+                   help="host blocklist: parquet path (first column = host) "
+                        "or a .txt file with one host per line")
     return p.parse_args(argv)
 
 
@@ -153,6 +159,8 @@ def main(argv=None):
         cfg.max_new_urls_per_host_round = args.host_cap
     if args.seen_filter:
         cfg.seen_filter = args.seen_filter
+    if args.spam_threshold is not None:
+        cfg.url_spam_threshold = args.spam_threshold
 
     if args.save_config:
         store.save(args.save_config, cfg)
@@ -173,6 +181,15 @@ def main(argv=None):
     else:
         host_rules = None
 
+    blocked_hosts = None
+    if args.blocked_hosts:
+        if args.blocked_hosts.endswith(".txt"):
+            hosts = [(h.strip(),) for h in Path(args.blocked_hosts).read_text().splitlines()
+                     if h.strip() and not h.startswith("#")]
+            blocked_hosts = spark.createDataFrame(hosts, "host string")
+        else:
+            blocked_hosts = spark.read.parquet(args.blocked_hosts)
+
     if len(args.seed) > 1:
         discovered = run_multi_seed(spark, pages, args.seed, cfg, args.checkpoint,
                                     host_rules=host_rules, n_buckets=n_buckets)
@@ -181,7 +198,8 @@ def main(argv=None):
 
     res = run_crawl(spark, pages, args.seed[0], cfg, args.checkpoint,
                     host_rules=host_rules, resume=args.resume,
-                    extract=not args.dry_run, n_buckets=n_buckets)
+                    extract=not args.dry_run, n_buckets=n_buckets,
+                    blocked_hosts=blocked_hosts)
     out = {"rounds": res.rounds, **res.summary}
     if args.dry_run:
         # ≙ crawl_with_discovery dry-run payload (reference crawler.py:620-637)
