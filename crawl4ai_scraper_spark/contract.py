@@ -713,9 +713,9 @@ def dedup_minhash_lsh_q(spark, sf):
                   / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.5
     )
     SELECT COUNT(*) AS n_true_pairs,
-           CAST(SUM(COALESCE(f._in, 0)) AS BIGINT) AS n_found_pairs,
-           ROUND(CAST(SUM(COALESCE(f._in, 0)) AS DOUBLE)
-                 / greatest(COUNT(*), 1), 4) AS recall
+           CAST(COALESCE(SUM(COALESCE(f._in, 0)), 0) AS BIGINT) AS n_found_pairs,
+           COALESCE(ROUND(CAST(SUM(COALESCE(f._in, 0)) AS DOUBLE)
+                 / greatest(COUNT(*), 1), 4), 1.0) AS recall
     FROM truth t LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b""",
 )
 def minhash_recall_q(spark, sf):
@@ -1032,10 +1032,10 @@ def dedup_embedding_lsh_q(spark, sf):
       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE {_COS_SQL} >= 0.98)
     SELECT COUNT(*) AS n_true_pairs,
-           CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS n_found_pairs,
-           ROUND(CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / GREATEST(COUNT(*), 1), 4) AS recall
+           COALESCE(ROUND(CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 4), 1.0) AS recall
     FROM truth t LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b""",
 )
 def lsh_recall_q(spark, sf):

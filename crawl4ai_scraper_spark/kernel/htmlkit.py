@@ -299,20 +299,30 @@ def _link_is_internal(href: str, base_url: str, base_host: str) -> Optional[bool
         return None
 
 
+def _iter_kept_links(pairs, base_url: str, base_host: str):
+    """THE drop-unparseable-href rule, in one place: yield
+    ``(pos, href, label, is_internal)`` for every parseable href,
+    renumbering positions after drops — every extractor (extract_links,
+    extract_anchors, scan_links, fetch_render) iterates through this so
+    link_pos numbering can never desynchronize between them."""
+    pos = 0
+    for href, label in pairs:
+        internal = _link_is_internal(href, base_url, base_host)
+        if internal is None:  # unparseable href — dropped, not crashed
+            continue
+        yield pos, href, label, internal
+        pos += 1
+
+
 def extract_links(html: str, base_url: str) -> List[Dict]:
     """All non-empty hrefs in document order with 0-based position and an
     internal/external flag (host equality of the resolved URL vs the page —
     the classification crawl4ai feeds to crawler.py:210-230)."""
     base_host = urlparse(base_url).netloc
-    out: List[Dict] = []
-    pos = 0
-    for href, _ in _parse(html).links:
-        internal = _link_is_internal(href, base_url, base_host)
-        if internal is None:  # unparseable href — dropped, not crashed
-            continue
-        out.append({"href": href, "link_pos": pos, "is_internal": internal})
-        pos += 1
-    return out
+    return [
+        {"href": href, "link_pos": pos, "is_internal": internal}
+        for pos, href, _, internal in _iter_kept_links(_parse(html).links, base_url, base_host)
+    ]
 
 
 def extract_anchors(html: str, base_url: str) -> List[Dict]:
@@ -331,14 +341,10 @@ def extract_anchors(html: str, base_url: str) -> List[Dict]:
     from crawl4ai_scraper_spark.kernel.urls import canon_url
 
     base_host = urlparse(base_url).netloc
-    out: List[Dict] = []
-    pos = 0
-    for href, label in _parse(html).links:
-        if _link_is_internal(href, base_url, base_host) is None:
-            continue  # unparseable href — same drop rule as extract_links
-        out.append({"target": canon_url(href, base_url), "anchor": label, "link_pos": pos})
-        pos += 1
-    return out
+    return [
+        {"target": canon_url(href, base_url), "anchor": label, "link_pos": pos}
+        for pos, href, label, _ in _iter_kept_links(_parse(html).links, base_url, base_host)
+    ]
 
 
 # --- fast links-only scanner (discovery hot path) --------------------------
@@ -366,14 +372,12 @@ _HREF_RX = re.compile(
 )
 
 
-def scan_links(html: str, base_url: str) -> List[Dict]:
-    """Fast path for ``extract_links``: identical output, no markdown work."""
+def _scan_hrefs(html: str):
+    """Regex-scanned ``(href, label=None)`` pairs — the fast-path equivalent
+    of ``_parse(html).links`` (labels are not extracted on this path)."""
     import html as _htmlmod
 
-    base_host = urlparse(base_url).netloc
     cleaned = _STRIP_BLOCKS_RX.sub(" ", html)
-    out: List[Dict] = []
-    pos = 0
     for m in _A_TAG_RX.finditer(cleaned):
         attrs = m.group(1) or ""
         href_val = None
@@ -391,14 +395,17 @@ def scan_links(html: str, base_url: str) -> List[Dict]:
         if "&" in href_val:
             href_val = _htmlmod.unescape(href_val)
         href = href_val.strip()
-        if not href:
-            continue
-        internal = _link_is_internal(href, base_url, base_host)
-        if internal is None:  # unparseable href — same drop rule as extract_links
-            continue
-        out.append({"href": href, "link_pos": pos, "is_internal": internal})
-        pos += 1
-    return out
+        if href:  # empty hrefs are dropped by the parser hook too
+            yield href, None
+
+
+def scan_links(html: str, base_url: str) -> List[Dict]:
+    """Fast path for ``extract_links``: identical output, no markdown work."""
+    base_host = urlparse(base_url).netloc
+    return [
+        {"href": href, "link_pos": pos, "is_internal": internal}
+        for pos, href, _, internal in _iter_kept_links(_scan_hrefs(html), base_url, base_host)
+    ]
 
 
 def html_to_markdown(html: str) -> str:
@@ -439,15 +446,10 @@ def fetch_render(html, url: str) -> Dict:
     base_host = urlparse(url).netloc
     links = []
     internal = external = 0
-    pos = 0
-    for href, _ in parser.links:
-        is_internal = _link_is_internal(href, url, base_host)
-        if is_internal is None:  # unparseable href — same drop rule as extract_links
-            continue
+    for pos, href, _, is_internal in _iter_kept_links(parser.links, url, base_host):
         internal += is_internal
         external += not is_internal
         links.append({"href": href, "link_pos": pos, "is_internal": is_internal})
-        pos += 1
     markdown = "\n\n".join(parser.blocks)
     return {
         "title": title if title is not None else "Untitled",

@@ -100,6 +100,13 @@ def _safe_host(netloc: str) -> str:
     return netloc if netloc not in ("", ".", "..") else "unknown"
 
 
+def _safe_path_seg(seg: str) -> str:
+    """Same traversal guard for the CUSTOM strategy's ``{path}`` variable:
+    a URL whose whole path is ``/..`` (or ``/.``) survives strip+replace
+    unchanged and would escape the output root — map it to ''."""
+    return seg if seg not in (".", "..") else ""
+
+
 def custom_pattern_path(
     url: str,
     filename: str,
@@ -113,7 +120,7 @@ def custom_pattern_path(
     variables = {
         "domain": _safe_host(parts.netloc.replace("www.", "")),
         "subdomain": parts.netloc.split(".")[0] if "." in parts.netloc else "",
-        "path": parts.path.strip("/").replace("/", "_"),
+        "path": _safe_path_seg(parts.path.strip("/").replace("/", "_")),
         "year": now.strftime("%Y"),
         "month": now.strftime("%m"),
         "day": now.strftime("%d"),

@@ -538,13 +538,20 @@ def lsh_recall(
         n_planes=n_planes, dim=dim, n_probe_seeds=n_probe_seeds,
     ).select("id_a", "id_b", F.lit(1).alias("_in"))
     joined = truth.join(found, ["id_a", "id_b"], "left")
+    # Empty truth set (possible on a small hash_sample slice): SUM over zero
+    # rows is NULL — pin n_found_pairs to 0 and define recall as 1.0 (nothing
+    # to find, nothing missed) so tuning scripts can compare numerically.
     return joined.agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
-        F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("bigint").alias("n_found_pairs"),
-        F.round(
-            F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("double")
-            / F.greatest(F.count(F.lit(1)), F.lit(1)),
-            4,
+        F.coalesce(F.sum(F.coalesce(F.col("_in"), F.lit(0))), F.lit(0))
+        .cast("bigint").alias("n_found_pairs"),
+        F.coalesce(
+            F.round(
+                F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                4,
+            ),
+            F.lit(1.0),
         ).alias("recall"),
     )
 
@@ -588,12 +595,19 @@ def minhash_recall(
         jaccard_threshold=jaccard_threshold,
     ).select("id_a", "id_b", F.lit(1).alias("_in"))
     joined = truth.join(found, ["id_a", "id_b"], "left")
+    # Empty truth set (possible on a small hash_sample slice): SUM over zero
+    # rows is NULL — pin n_found_pairs to 0 and define recall as 1.0 (nothing
+    # to find, nothing missed) so tuning scripts can compare numerically.
     return joined.agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
-        F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("bigint").alias("n_found_pairs"),
-        F.round(
-            F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("double")
-            / F.greatest(F.count(F.lit(1)), F.lit(1)),
-            4,
+        F.coalesce(F.sum(F.coalesce(F.col("_in"), F.lit(0))), F.lit(0))
+        .cast("bigint").alias("n_found_pairs"),
+        F.coalesce(
+            F.round(
+                F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("double")
+                / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                4,
+            ),
+            F.lit(1.0),
         ).alias("recall"),
     )

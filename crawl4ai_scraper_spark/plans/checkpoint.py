@@ -232,6 +232,25 @@ def compact_checkpoint(
     return upto
 
 
+def reset_checkpoint(chk_dir: str) -> None:
+    """Clear ALL prior checkpoint state so a fresh (non-resume) crawl into a
+    reused directory starts from nothing. Without this, a dir that was
+    previously crawled AND compacted keeps its ``compaction.json`` +
+    ``frontier_base_NNNN``, and the new crawl's enqueued/edges reads would
+    silently include the OLD crawl's rows (the marker shadows the new
+    per-round frontier dirs for rounds ≤ its ``upto``)."""
+    import shutil
+
+    if not os.path.isdir(chk_dir):
+        return
+    for entry in os.listdir(chk_dir):
+        if entry.startswith("round=") or entry == "state":
+            shutil.rmtree(os.path.join(chk_dir, entry), ignore_errors=True)
+    marker = os.path.join(chk_dir, COMPACTION_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
 def latest_round(chk_dir: str) -> Optional[int]:
     if not os.path.isdir(chk_dir):
         return None

@@ -43,6 +43,7 @@ from crawl4ai_scraper_spark.plans.checkpoint import (
     read_enqueued,
     read_frontier,
     read_state,
+    reset_checkpoint,
 )
 from crawl4ai_scraper_spark.plans.frontier import run_round
 from crawl4ai_scraper_spark.plans.politeness import virtual_schedule
@@ -135,6 +136,11 @@ def run_crawl(
         enqueued_n = meta.get("enqueued_n", enqueued.count())
     else:
         fused = fused_requested
+        # Fresh crawl: a reused chk_dir may hold a previous crawl's rounds,
+        # state tables, and compaction marker — all of which the read paths
+        # would trust (the compacted base SHADOWS new per-round frontier
+        # dirs). Start from a clean slate.
+        reset_checkpoint(chk_dir)
         # config persisted next to the checkpoints (≙ config_manager save)
         cfg.dump(Path(chk_dir) / "crawl_config.json")
         rnd, seq_base, discovered_n, round_vt, done = 0, 0, 0, 0.0, False

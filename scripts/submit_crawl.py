@@ -184,15 +184,16 @@ def main(argv=None):
     blocked_hosts = None
     if args.blocked_hosts:
         if args.blocked_hosts.endswith(".txt"):
-            hosts = [(h.strip(),) for h in Path(args.blocked_hosts).read_text().splitlines()
-                     if h.strip() and not h.startswith("#")]
+            hosts = [(h,) for h in map(str.strip, Path(args.blocked_hosts).read_text().splitlines())
+                     if h and not h.startswith("#")]
             blocked_hosts = spark.createDataFrame(hosts, "host string")
         else:
             blocked_hosts = spark.read.parquet(args.blocked_hosts)
 
     if len(args.seed) > 1:
         discovered = run_multi_seed(spark, pages, args.seed, cfg, args.checkpoint,
-                                    host_rules=host_rules, n_buckets=n_buckets)
+                                    host_rules=host_rules, n_buckets=n_buckets,
+                                    blocked_hosts=blocked_hosts)
         print(json.dumps({"multi_seed": True, "discovered": discovered.count()}))
         return
 

@@ -713,3 +713,25 @@ def test_blocked_hosts_prune_crawl(spark, pages3, web3, chk_dir):
     a = [r["url"] for r in screened.visited.orderBy("seq").collect()]
     b = [r["url"] for r in plain.visited.orderBy("seq").collect()]
     assert a == b
+
+
+def test_fresh_crawl_into_compacted_dir_resets_state(spark, pages3, web3, chk_dir):
+    """A fresh (resume=False) crawl into a dir holding a previous crawl's
+    COMPACTED checkpoint must not read the stale base: without the bootstrap
+    reset, compaction.json shadows the new crawl's per-round frontier dirs
+    and the URL-seen anti-join dedups against the OLD crawl's enqueued set."""
+    from crawl4ai_scraper_spark.plans.checkpoint import compact_checkpoint, compacted_upto
+
+    _, _, fetch = web3
+    # crawl A: deeper/wider — leaves a compacted base + marker behind
+    cfg_a = CrawlJobConfig(max_depth=3, max_pages=200)
+    run_crawl(spark, pages3, SEED, cfg_a, chk_dir, extract=False, use_bloom=False)
+    assert compact_checkpoint(spark, chk_dir) is not None
+    assert compacted_upto(chk_dir) is not None
+
+    # crawl B: fresh run, different budget, SAME dir — must be oracle-exact
+    cfg_b = CrawlJobConfig(max_depth=2, max_pages=25)
+    res = run_crawl(spark, pages3, SEED, cfg_b, chk_dir, resume=False,
+                    extract=False, use_bloom=False)
+    assert compacted_upto(chk_dir) is None  # stale marker cleared at bootstrap
+    assert_parity(res, oracle_crawl(fetch, SEED, cfg_b), check_text=False)

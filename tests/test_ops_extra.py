@@ -1397,3 +1397,46 @@ def test_url_blocklist_filter(spark):
     scores = {r["doc_id"]: r["s"] for r in
               df.select("doc_id", url_spam_score(F.col("url")).alias("s")).collect()}
     assert scores[2] == 1.3 and scores[4] == 0.9 and scores[3] == 0.0
+
+
+def test_custom_pattern_path_traversal_safe():
+    """The CUSTOM strategy's {path} variable: a URL whose entire path is a
+    single '..' (or '.') segment must not become a traversal-capable
+    directory component."""
+    from crawl4ai_scraper_spark.kernel.naming import output_rel_path
+
+    for url in ("https://h.example/..", "https://h.example/.",
+                "https://h.example/../", "https://../.."):
+        rel = output_rel_path(url, "T", "custom", "url_based",
+                              pattern="{domain}/{path}/{filename}")
+        assert ".." not in rel.split("/"), (url, rel)
+        assert "." not in rel.split("/"), (url, rel)
+        assert not rel.startswith("/"), (url, rel)
+    # benign paths keep their flattened segment
+    rel = output_rel_path("https://h.example/a/b", "T", "custom", "url_based",
+                          pattern="{domain}/{path}/{filename}")
+    assert "/a_b/" in rel
+
+
+def test_recall_empty_truth_is_defined(spark):
+    """lsh_recall / minhash_recall on a slice with NO true pairs must return
+    numeric (0, 1.0), not NULLs (SUM over zero rows) — tuning scripts compare
+    recall >= bar numerically."""
+    from crawl4ai_scraper_spark.operators.dedup import lsh_recall, minhash_recall
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    vecs = spark.createDataFrame([(1, e1), (2, e2)], "vec_id int, e array<double>")
+    row = lsh_recall(vecs, "vec_id", "e", threshold=0.98).collect()[0]
+    assert row.n_true_pairs == 0
+    assert row.n_found_pairs == 0
+    assert row.recall == 1.0
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc int, text string",
+    )
+    row = minhash_recall(docs, "text", "doc", jaccard_threshold=0.5).collect()[0]
+    assert row.n_true_pairs == 0
+    assert row.n_found_pairs == 0
+    assert row.recall == 1.0
