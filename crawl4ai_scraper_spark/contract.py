@@ -2790,6 +2790,179 @@ def recrawl_change_rate(spark, sf):
     return recrawl_stats(ev, "user_id", "ts", "event_type", tiebreak="event_id")
 
 
+# Shared by the BPE contracts: the 3-merge unrolled training oracle.
+# Symbol sequences use the operators/bpe.py double-space protocol; each step
+# is pair-counts → argmax (cnt desc, a, b) → one-pass native replace, exactly
+# the engine's loop.
+_BPE_MERGES_SQL = r"""WITH wf AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+  GROUP BY w),
+ws0 AS (
+  SELECT word, freq, '  ' || array_to_string(
+    list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)),
+    '  ') || '  ' AS s
+  FROM wf),
+pc1 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM ws0),
+             UNNEST(range(1, len(t))) AS r(i)
+        GROUP BY 1,2),
+b1 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+ws1 AS (SELECT word, freq,
+               replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+        FROM ws0 CROSS JOIN b1),
+pc2 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM ws1),
+             UNNEST(range(1, len(t))) AS r(i)
+        GROUP BY 1,2),
+b2 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1),
+ws2 AS (SELECT word, freq,
+               replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+        FROM ws1 CROSS JOIN b2),
+pc3 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT)+1] AS b, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM ws2),
+             UNNEST(range(1, len(t))) AS r(i)
+        GROUP BY 1,2),
+b3 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc3 ORDER BY cnt DESC, a, b LIMIT 1),
+ws3 AS (SELECT word, freq,
+               replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+        FROM ws2 CROSS JOIN b3)"""
+
+
+@_q(
+    "bpe_pair_counts",
+    r"""WITH wf AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
+  GROUP BY w)
+SELECT substr(word, CAST(i AS INT), 1) AS a, substr(word, CAST(i AS INT)+1, 1) AS b,
+       CAST(SUM(freq) AS BIGINT) AS cnt
+FROM wf, UNNEST(range(1, length(word))) AS r(i)
+GROUP BY 1, 2
+ORDER BY cnt DESC, a, b LIMIT 50""",
+)
+def bpe_pair_counts_q(spark, sf):
+    """BPE training statistics (operators.bpe.pair_counts over word_syms):
+    the top-50 adjacent-character pair counts of the corpus, weighted by
+    word frequency — one corpus-volume explode collapses to the distinct-
+    word table, then a narrow Generate + one small groupBy; the top-50 cut
+    is TakeOrderedAndProject."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    ws = B.word_syms(_t(spark, sf, "documents"), "text")
+    return (
+        B.pair_counts(ws)
+        .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+        .limit(50)
+    )
+
+
+@_q(
+    "bpe_learned_merges",
+    _BPE_MERGES_SQL
+    + """
+SELECT 1 AS merge_rank, a, b, cnt FROM b1
+UNION ALL SELECT 2, a, b, cnt FROM b2
+UNION ALL SELECT 3, a, b, cnt FROM b3""",
+)
+def bpe_learned_merges_q(spark, sf):
+    """Distributed BPE tokenizer training (operators.bpe.bpe_train, 3
+    merges): per iteration one pair-count groupBy over the distinct-word
+    table + a single-row argmax collect (the model artifact), with a native
+    one-pass string replace applying the merge. The oracle unrolls all 3
+    iterations with identical tie-breaks (cnt desc, a, b)."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    merges, _ = B.bpe_train(_t(spark, sf, "documents"), "text", n_merges=3)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, a string, b string, cnt long",
+    )
+
+
+@_q(
+    "bpe_segment",
+    _BPE_MERGES_SQL
+    + r""",
+tok AS (
+  SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS word
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents) t,
+       UNNEST(range(1, len(toks) + 1)) AS r(pos)),
+seg AS (
+  SELECT tok.doc_id, tok.pos, trim(ws3.s) AS wseg,
+         len(string_split(trim(ws3.s), '  ')) AS np
+  FROM tok JOIN ws3 ON ws3.word = tok.word)
+SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(np) AS BIGINT) AS n_pieces,
+       array_to_string(list(wseg ORDER BY pos), '  ') AS pieces
+FROM seg GROUP BY doc_id""",
+)
+def bpe_segment_q(spark, sf):
+    """BPE segmentation under the 3 learned merges (operators.bpe.
+    bpe_segment): the trained word→pieces map (distinct-word volume) is
+    broadcast into the document token stream; per-doc subword streams are
+    reassembled in token order — the same single-shuffle shape as
+    vocab_encode. Every word is in the model here (trained on the same
+    corpus), so the inline char-fallback path is exercised in pytest
+    instead."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    merges, word_pieces = B.bpe_train(docs, "text", n_merges=3)
+    return B.bpe_segment(docs, "text", "doc_id", word_pieces)
+
+
+@_q(
+    "nb_classifier_score",
+    r"""WITH t AS (SELECT doc_id, (lang = 'en') AS y,
+        UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+c AS (SELECT tok, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos_cnt,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS neg_cnt FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(pos_cnt) AS DOUBLE) AS pt, CAST(SUM(neg_cnt) AS DOUBLE) AS nt FROM c),
+v AS (SELECT tok, CAST(ROUND(ln((pos_cnt+1.0)/(pt+200.0))
+                           - ln((neg_cnt+1.0)/(nt+200.0)), 12) AS DECIMAL(28,12)) AS w
+      FROM c CROSS JOIN tot ORDER BY pos_cnt+neg_cnt DESC, tok LIMIT 200),
+s AS (SELECT t.doc_id, COALESCE(v.w, CAST(0 AS DECIMAL(28,12))) AS w
+      FROM t LEFT JOIN v USING (tok))
+SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS DECIMAL(38,12)) AS score, (SUM(w) > 0) AS keep
+FROM s GROUP BY doc_id""",
+)
+def nb_classifier_score_q(spark, sf):
+    """Model-based quality filtering (textops.nb_token_weights + nb_score):
+    a Laplace-smoothed naive-Bayes classifier trained on the corpus
+    (label = English) — the distributed stand-in for the fastText quality
+    classifier in GPT-3/LLaMA/RefinedWeb pipelines. Training is one
+    map-side-combined token groupBy with per-class conditional sums; the
+    top-200 weight table (12dp-rounded DECIMAL log-odds) broadcasts into
+    the scoring scan; per-doc sums are exact and order-free."""
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn("_y", F.col("lang") == "en")
+    w = T.nb_token_weights(labeled, "text", "_y", vocab_size=200)
+    return T.nb_score(docs, "text", "doc_id", w, prior=0.0)
+
+
+@_q(
+    "dedup_cross_corpus",
+    """WITH ref AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
+                    WHERE doc_id % 5 < 2)
+SELECT d.doc_id AS id, md5(d.text) AS text_md5
+FROM documents d LEFT JOIN ref r ON r.text_md5 = md5(d.text)
+WHERE d.doc_id % 5 >= 2 AND r.text_md5 IS NULL""",
+)
+def dedup_cross_corpus_q(spark, sf):
+    """Incremental-crawl dedup (operators.dedup.dedup_cross_corpus): the
+    fresh batch (doc_id % 5 >= 2) anti-joined on content md5 against the
+    banked reference corpus (doc_id % 5 < 2). Both sides collapse to hash
+    keys before the exchange — text never shuffles; the reference side
+    reduces to its distinct hash set with map-side combine."""
+    docs = _t(spark, sf, "documents")
+    new_df = docs.filter(F.col("doc_id") % 5 >= 2)
+    ref_df = docs.filter(F.col("doc_id") % 5 < 2)
+    return D.dedup_cross_corpus(new_df, ref_df, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -611,3 +611,30 @@ def minhash_recall(
             F.lit(1.0),
         ).alias("recall"),
     )
+
+
+def dedup_cross_corpus(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental-crawl dedup: keep only new-batch documents whose exact
+    content does not already exist in a reference corpus (the
+    every-recrawl-round pass — dedup the fresh crawl against everything
+    already banked before it enters the training pool).
+
+    Scale shape: BOTH sides collapse to md5 keys before any exchange — the
+    reference corpus reduces to its DISTINCT hash set (map-side combine;
+    text never shuffles) and the new batch ships (id, hash) only; the
+    left-anti equi-join is one co-keyed shuffle at hash volume. Within-batch
+    duplicates are not collapsed here (that is ``dedup_exact`` /
+    ``dedup_survivors``); composing the two gives the full C4-style
+    exact-dedup story for a rolling corpus.
+
+    Output: (id, text_md5) survivors."""
+    new_keys = new_df.select(
+        F.col(id_col).alias("id"), text_key(F.col(text_col)).alias("text_md5")
+    )
+    ref_keys = ref_df.select(text_key(F.col(text_col)).alias("text_md5")).distinct()
+    return new_keys.join(ref_keys, "text_md5", "left_anti").select("id", "text_md5")

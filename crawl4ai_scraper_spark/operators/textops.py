@@ -846,3 +846,95 @@ def host_reputation(
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+def nb_token_weights(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Train a naive-Bayes text classifier's token weights — the
+    distributed stand-in for the fastText quality classifier every modern
+    pretraining pipeline runs (GPT-3/LLaMA/RefinedWeb: score each page by a
+    linear model over its tokens, trained good-corpus-vs-crawl).
+
+    Per top-``vocab_size`` token (by total count, ties lexicographic):
+
+        weight = ln((pos_cnt + 1) / (pos_total + V))
+               - ln((neg_cnt + 1) / (neg_total + V))
+
+    Laplace-smoothed log-odds with V = ``vocab_size``. Output
+    ``(tok, weight DECIMAL(28,12), pos_cnt, neg_cnt)`` — a bounded model
+    artifact for broadcasting into the scoring scan.
+
+    Scale shape: ONE corpus-volume explode feeding a map-side-combined
+    groupBy at distinct-token key space (per-class counts as conditional
+    sums — no second pass); totals reduce from the counts frame, not the
+    corpus; the top-V cut is TakeOrderedAndProject. Weights are per-row
+    double math rounded to 12dp then DECIMAL — exact, order-free, and
+    reproducible by the SQL oracle."""
+    lbl = F.col(label_col).cast("boolean")
+    toks = df.select(
+        lbl.alias("_y"), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("pos_cnt"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("neg_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("pos_cnt").cast("double").alias("_pt"),
+        F.sum("neg_cnt").cast("double").alias("_nt"),
+    )
+    top = (
+        counts.orderBy((F.col("pos_cnt") + F.col("neg_cnt")).desc(), F.col("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+    )
+    v = float(vocab_size)
+    w = F.log((F.col("pos_cnt") + 1.0) / (F.col("_pt") + v)) - F.log(
+        (F.col("neg_cnt") + 1.0) / (F.col("_nt") + v)
+    )
+    return top.select(
+        "tok",
+        F.round(w, 12).cast("decimal(28,12)").alias("weight"),
+        "pos_cnt",
+        "neg_cnt",
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    prior: float = 0.0,
+) -> DataFrame:
+    """Score documents under trained naive-Bayes token weights →
+    ``(id, n_tokens, score, keep)``: score = prior + Σ weight(tok) (OOV
+    tokens contribute 0), keep = score > 0 — the classifier-filter verdict.
+
+    The weight table (≤ vocab_size rows) is broadcast into the corpus token
+    stream, so hot tokens never skew an exchange; the per-doc sum is the one
+    map-side-combined corpus-volume shuffle. DECIMAL sums keep the score
+    exact under any partitioning; the prior (a scalar, e.g. ln(P+1 docs /
+    N+1 docs) computed upstream) is rounded into the same DECIMAL grid."""
+    stream = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    )
+    joined = stream.join(F.broadcast(weights.select("tok", "weight")), "tok", "left")
+    zero = F.lit(0).cast("decimal(28,12)")
+    prior_c = F.round(F.lit(float(prior)), 12).cast("decimal(18,12)")
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("weight"), zero)).alias("_s"),
+    )
+    # The SUM comes out as DECIMAL(38,12); adding the prior at that precision
+    # would overflow 38 and make Spark silently drop to scale 11 (re-rounding
+    # the exact sum). Narrow the sum first — |score| < 10^24 is guaranteed by
+    # |weight| < 100 and < 10^22 tokens/doc — so the add stays exact.
+    score = (F.col("_s").cast("decimal(36,12)") + prior_c).cast("decimal(38,12)")
+    return agg.select(
+        "id", "n_tokens", score.alias("score"), (score > 0).alias("keep")
+    )

@@ -1440,3 +1440,173 @@ def test_recall_empty_truth_is_defined(spark):
     assert row.n_true_pairs == 0
     assert row.n_found_pairs == 0
     assert row.recall == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / segmentation (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+def _py_bpe(texts, n_merges):
+    """Reference BPE (Sennrich et al.): greedy left-to-right non-overlapping
+    merges, argmax tie-broken by (count desc, pair lexicographic)."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.strip().lower().split())
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((a, b, m))
+        ab = a + b
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_python_oracle(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider low new",
+        "aaa abab abab",  # overlap (aaa merges once) + back-to-back pairs
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, ws = B.bpe_train(docs, "text", n_merges=8)
+    py_merges, py_syms = _py_bpe(texts, 8)
+    assert merges == py_merges
+    got = {r.word: r.syms.strip().split("  ") for r in ws.collect()}
+    assert got == py_syms
+
+
+def test_bpe_segment_oov_char_fallback(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    train = spark.createDataFrame([(1, "hello hello help")], "doc_id long, text string")
+    merges, wp = B.bpe_train(train, "text", n_merges=3)
+    # "zap" never seen in training → inline character segmentation
+    test = spark.createDataFrame([(9, "hello zap")], "doc_id long, text string")
+    seg = B.bpe_segment(test, "text", "doc_id", wp).collect()[0]
+    assert seg.n_words == 2
+    pieces = seg.pieces.split("  ")
+    assert pieces[-3:] == ["z", "a", "p"]
+    assert seg.n_pieces == len(pieces)
+
+
+def test_bpe_merge_overlap_and_adjacent_semantics(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    # "a a a" overlapping pair merges ONCE; "a b a b" back-to-back merges TWICE
+    ws = spark.createDataFrame(
+        [("aaa", 1, "  a  a  a  "), ("abab", 1, "  a  b  a  b  ")],
+        "word string, freq long, syms string",
+    )
+    got = {r.word: r.syms for r in B.merge_pair(ws, "a", "a").collect()}
+    assert got["aaa"] == "  aa  a  "
+    got2 = {r.word: r.syms for r in B.merge_pair(ws, "a", "b").collect()}
+    assert got2["abab"] == "  ab  ab  "
+
+
+def test_bpe_min_freq_early_stop(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    merges, _ = B.bpe_train(docs, "text", n_merges=10, min_freq=2)
+    # only (a,b) reaches freq 2; everything else is below min_freq
+    assert [(a, b) for a, b, _ in merges] == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier (textops.nb_token_weights / nb_score)
+# ---------------------------------------------------------------------------
+
+def test_nb_classifier_matches_python_oracle(spark):
+    import math
+    from decimal import Decimal
+
+    texts = [
+        (0, "good clean prose text", True),
+        (1, "good text text prose", True),
+        (2, "spam spam buy now", False),
+        (3, "buy spam now now", False),
+        (4, "clean prose buy", True),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, y boolean")
+    V = 50
+    w = T.nb_token_weights(docs, "text", "y", vocab_size=V)
+    got_w = {r.tok: r.weight for r in w.collect()}
+
+    # python oracle
+    from collections import Counter
+    pos, neg = Counter(), Counter()
+    for _, t, y in texts:
+        (pos if y else neg).update(t.split())
+    pt, nt = sum(pos.values()), sum(neg.values())
+    exp_w = {}
+    for tok in set(pos) | set(neg):
+        lw = math.log((pos[tok] + 1.0) / (pt + V)) - math.log((neg[tok] + 1.0) / (nt + V))
+        exp_w[tok] = Decimal(repr(round(lw, 12)))
+    assert set(got_w) == set(exp_w)
+    for tok in exp_w:
+        assert abs(got_w[tok] - exp_w[tok]) <= Decimal("1e-12"), tok
+
+    sc = {r.id: r for r in T.nb_score(docs, "text", "doc_id", w, prior=0.0).collect()}
+    for did, t, _ in texts:
+        expect = sum(exp_w[tok] for tok in t.split())
+        assert abs(sc[did].score - expect) <= Decimal("1e-10")
+        assert sc[did].keep == (expect > 0)
+    # classifier separates the planted classes
+    assert sc[0].keep and sc[1].keep and not sc[2].keep and not sc[3].keep
+
+
+def test_nb_score_prior_shifts_decision(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", True), (1, "gamma delta", False)],
+        "doc_id long, text string, y boolean",
+    )
+    w = T.nb_token_weights(docs, "text", "y", vocab_size=10)
+    neutral = {r.id: r.score for r in T.nb_score(docs, "text", "doc_id", w).collect()}
+    shifted = {r.id: r.score for r in
+               T.nb_score(docs, "text", "doc_id", w, prior=5.0).collect()}
+    for i in neutral:
+        assert shifted[i] - neutral[i] == 5
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup (dedup.dedup_cross_corpus)
+# ---------------------------------------------------------------------------
+
+def test_dedup_cross_corpus_drops_banked_texts(spark):
+    from crawl4ai_scraper_spark.operators.dedup import dedup_cross_corpus
+
+    ref = spark.createDataFrame(
+        [(100, "already banked"), (101, "also banked")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "already banked"),   # exact dup of ref → dropped
+         (2, "fresh content"),
+         (3, "also banked"),     # dropped
+         (4, "fresh content")],  # within-batch dup of 2 → BOTH kept (by design)
+        "doc_id long, text string",
+    )
+    surv = sorted(r.id for r in dedup_cross_corpus(new, ref, "text", "doc_id").collect())
+    assert surv == [2, 4]
