@@ -125,6 +125,11 @@ QUERY_NAMES = [
     "host_reputation",
     "minhash_recall",
     "url_spam_filter",
+    "bpe_pair_counts",
+    "bpe_learned_merges",
+    "bpe_segment",
+    "nb_classifier_score",
+    "dedup_cross_corpus",
 ]
 
 
