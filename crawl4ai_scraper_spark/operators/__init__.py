@@ -5,8 +5,10 @@ keep-one-per-cluster survivor selection), similarity search (brute-force
 cosine, IVF-cell with computed assignment, LSH hyperplane buckets), text
 analysis (language-ID, quality scoring, token counting, fingerprinting,
 Gopher-style repetition signals and quality filtering, top-n-gram statistics,
-PII redaction, deterministic hash sampling), temporal ops (as-of join,
-keep-latest revision dedup) and multimodal binary-column plumbing.
+PII redaction, deterministic hash sampling, naive-Bayes model-based quality
+classification), BPE tokenizer training + segmentation, cross-corpus exact
+dedup, temporal ops (as-of join, keep-latest revision dedup) and multimodal
+binary-column plumbing.
 
 Everything is built from native ``pyspark.sql.functions`` (JVM-side,
 whole-stage-codegen-friendly) except where binary decoding genuinely needs

@@ -65,7 +65,11 @@ def word_syms(df: DataFrame, text_col: str) -> DataFrame:
     map-side-combined groupBy at distinct-word key space.
     """
     w = df.select(F.explode(words(F.col(text_col))).alias("word"))
-    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    counts = (
+        w.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
     chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
     syms = F.concat(F.lit(_SEP), F.array_join(chars, _SEP), F.lit(_SEP))
     return counts.select("word", "freq", syms.alias("syms"))
@@ -139,10 +143,153 @@ def apply_merges(ws: DataFrame, merges: List[Tuple[str, ...]]) -> DataFrame:
     """Re-segment a word-symbol table under an already-learned merge list —
     n sequential narrow replaces, zero shuffles (serving-time path when the
     model was trained on a reference corpus). Accepts (a, b) or (a, b, cnt)
-    entries."""
+    entries.
+
+    The replace chain grows the expression tree linearly with the merge
+    count — fine for the tens-of-merges regime; for production-size merge
+    lists (32k+) use ``apply_merges_arrow``."""
     for m in merges:
         ws = merge_pair(ws, m[0], m[1])
     return ws
+
+
+def _py_apply_merges(word: str, by_str: dict) -> List[str]:
+    """Exact sequential merge replay for one word, restricted to candidate
+    merges: every BPE symbol is a contiguous substring of the original word,
+    so a merge (a, b) can only ever fire if a+b is a substring of the word.
+    Collecting candidates from the word's O(L²) substrings and replaying
+    them in training-rank order (left-to-right, non-overlapping — identical
+    semantics to ``merge_pair``) reproduces the full merge-list replay
+    exactly, at a cost independent of the merge-list size. Pure python;
+    runs inside the Arrow batch pass only."""
+    cands = []
+    L = len(word)
+    for i in range(L):
+        for j in range(i + 2, L + 1):  # substrings of length >= 2
+            for cand in by_str.get(word[i:j], ()):
+                cands.append(cand)
+    syms = list(word)
+    for _, a, b in sorted(set(cands)):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def apply_merges_arrow(ws: DataFrame, merges: List[Tuple[str, ...]]) -> DataFrame:
+    """Re-segment a word-symbol table under a LARGE merge list — one Arrow
+    ``mapInPandas`` pass over the distinct-word table with a merged-string →
+    merges index in the batch closure (a 32k-merge model is ~1 MB; this is
+    how production tokenizers ship their models). Output schema is identical
+    to ``apply_merges`` so ``bpe_segment`` consumes either; results are
+    exactly equal to the native replace chain (asserted in tests) — the
+    chain just can't grow a 32k-deep expression tree."""
+    by_str: dict = {}
+    for i, m in enumerate(merges):
+        by_str.setdefault(m[0] + m[1], []).append((i, m[0], m[1]))
+    schema = "word string, freq long, syms string"
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                _SEP + _SEP.join(_py_apply_merges(w, by_str)) + _SEP
+                for w in pdf["word"]
+            ]
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "syms": out}
+            )
+
+    return ws.select("word", "freq").mapInPandas(seg, schema)
+
+
+def bpe_train_local(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 1,
+    max_words: int = 5_000_000,
+) -> List[Tuple[str, str, int]]:
+    """Learn BPE merges with the distributed-count / local-merge split that
+    production tokenizer trainers use: the 100-TB work is ONE corpus scan
+    aggregating the word-frequency table (map-side combine, distinct-word
+    key space); the merge loop then runs on that collected artifact in the
+    driver — 32k merges in seconds instead of 32k Spark jobs. This is the
+    path for real vocab sizes; ``bpe_train`` (fully distributed, one job per
+    merge) is the oracle-checked reference for small merge counts.
+
+    The collect is bounded: ``min_freq`` drops the hapax tail and
+    ``max_words`` caps the table at the top-N words by (freq desc, word) —
+    a TakeOrderedAndProject, no global sort. (Truncating rare words before
+    merge-learning is standard trainer behavior; pair counts from words
+    seen once change nothing above ``min_freq`` 2+.)
+
+    Tie-breaks are identical to ``bpe_train`` ((cnt desc, a, b), merges
+    applied left-to-right non-overlapping), so both trainers produce the
+    same merge list on the same input (asserted in tests). Pair counts are
+    maintained incrementally — each merge touches only the words that
+    contain its pair."""
+    wf_df = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+    )
+    wf = [(r.word, r.freq) for r in wf_df.collect()]
+
+    syms = {w: list(w) for w, _ in wf}
+    freq = dict(wf)
+    pair_cnt: dict = {}
+    pair_words: dict = {}
+
+    def _count_word(w, sign):
+        s = syms[w]
+        f = freq[w] * sign
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_cnt[p] = pair_cnt.get(p, 0) + f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(w)
+
+    for w, _ in wf:
+        _count_word(w, +1)
+
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best, best_key = None, None
+        for p, c in pair_cnt.items():
+            if c < min_freq:
+                continue
+            key = (-c, p)
+            if best_key is None or key < best_key:
+                best, best_key = (p, c), key
+        if best is None:
+            break
+        (a, b), cnt = best
+        merges.append((a, b, int(cnt)))
+        for w in list(pair_words.get((a, b), ())):
+            _count_word(w, -1)
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+            _count_word(w, +1)
+    return merges
 
 
 def bpe_segment(

@@ -1610,3 +1610,40 @@ def test_dedup_cross_corpus_drops_banked_texts(spark):
     )
     surv = sorted(r.id for r in dedup_cross_corpus(new, ref, "text", "doc_id").collect())
     assert surv == [2, 4]
+
+
+def test_bpe_train_local_matches_distributed(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider low new",
+        "aaa abab abab banana bandana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    dist, _ = B.bpe_train(docs, "text", n_merges=10)
+    local = B.bpe_train_local(docs, "text", n_merges=10)
+    assert local == dist
+    # min_freq + max_words truncation keep the loop well-defined
+    trunc = B.bpe_train_local(docs, "text", n_merges=10, min_freq=2, max_words=6)
+    assert all(c >= 2 for _, _, c in trunc)
+
+
+def test_apply_merges_arrow_equals_native_chain(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana low lower aaa abab")], "doc_id long, text string"
+    )
+    merges = B.bpe_train_local(docs, "text", n_merges=12)
+    ws = B.word_syms(docs, "text")
+    chain = {r.word: r.syms for r in B.apply_merges(ws, merges).collect()}
+    arrow = {r.word: r.syms for r in B.apply_merges_arrow(ws, merges).collect()}
+    assert arrow == chain
+    # and bpe_segment accepts the arrow-produced serving map
+    seg = B.bpe_segment(docs, "text", "doc_id",
+                        B.apply_merges_arrow(ws, merges)).collect()[0]
+    assert seg.n_pieces == len(seg.pieces.split("  "))

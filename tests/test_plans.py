@@ -251,3 +251,55 @@ def test_host_reputation_single_exchange(spark):
     plan = _plan(host_reputation(docs))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_nb_score_broadcasts_weight_table(spark):
+    """The classifier weight table (a ≤vocab_size model artifact) must enter
+    the scoring scan as a broadcast: hot tokens never skew an exchange, and
+    the only corpus-volume shuffle is the per-doc sum's hash exchange."""
+    from crawl4ai_scraper_spark.operators.textops import nb_score, nb_token_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here", i % 2 == 0) for i in range(40)],
+        "doc_id long, text string, y boolean",
+    )
+    w = nb_token_weights(docs, "text", "y", vocab_size=50)
+    plan = _plan(nb_score(docs, "text", "doc_id", w))
+    assert "BroadcastHashJoin" in plan
+    # three hash exchanges in the whole train+score pipeline, all at
+    # distinct-token or doc key space: token counts for the top-V cut,
+    # token counts again for the totals reduce (two consumers of the same
+    # agg — one extra scan, no new shuffle shape), and the per-doc sum.
+    # The corpus token stream itself reaches the broadcast join unshuffled.
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "partial_sum" in plan  # map-side combine on the per-doc sum
+
+
+def test_bpe_pair_counts_single_small_exchange(spark):
+    """Pair counting runs over the distinct-word table: one corpus-volume
+    word-count exchange + one pair-key exchange, both with map-side
+    combine; the symbol strings themselves never shuffle at corpus
+    volume."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(B.pair_counts(B.word_syms(docs, "text")))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_bpe_segment_broadcasts_model_map(spark):
+    """The word→pieces serving map broadcasts into the corpus token stream
+    (same shape as vocab_encode); per-doc reassembly is the one
+    corpus-volume exchange."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana low") for i in range(20)], "doc_id long, text string"
+    )
+    merges = B.bpe_train_local(docs, "text", n_merges=4)
+    wp = B.apply_merges(B.word_syms(docs, "text"), merges)
+    plan = _plan(B.bpe_segment(docs, "text", "doc_id", wp))
+    assert "BroadcastHashJoin" in plan
