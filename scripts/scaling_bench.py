@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Two-cluster-size scaling evidence (north_rule): run the SAME crawl job at
 local[N] and local[4N] on the same input and report throughput at both plus
-scaling efficiency = (thr_4N / thr_N) / 4. Writes/updates BENCH.md.
+scaling efficiency = (thr_4N / thr_N) / 4. Prints a JSON report; the
+measured rows are folded into BENCH.md's hand-curated run-history table
+(every run listed, none dropped).
 
 Methodology notes (this sandbox is a shared VM):
 
@@ -17,9 +19,10 @@ Methodology notes (this sandbox is a shared VM):
 
 Env: SCALE_N (default 2 → spans 2→8), SCALE_REPS (default 3),
      SCALE_SECONDARY=8 adds an 8→32 row (0 disables),
-     SCALE_WRITE_MD=0 prints JSON only (leaves BENCH.md alone — used by the
-     big-corpus serial-share-amortization run, which sets
-     SPARK_GRAFT_CORPUS_X to measure the same spans on an X× corpus).
+     SCALE_WRITE_MD=1 additionally rewrites BENCH.md's scaling section with
+     a single-run skeleton (default 0 = JSON only; the curated BENCH.md
+     lists every run). SPARK_GRAFT_CORPUS_X measures the same spans on an
+     X× corpus (the big-corpus serial-share-amortization runs).
 """
 
 from __future__ import annotations
@@ -101,7 +104,11 @@ def main():
         "generated": datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(report, indent=2))
-    if os.environ.get("SCALE_WRITE_MD", "1") == "0":
+    # Default is JSON-only: BENCH.md's scaling section is hand-curated (it
+    # lists EVERY run of this script under the no-run-dropped policy plus
+    # the 4×-corpus amortization tables, which this writer would clobber).
+    # Set SCALE_WRITE_MD=1 to regenerate the single-run scaling skeleton.
+    if os.environ.get("SCALE_WRITE_MD", "0") != "1":
         return
 
     p = spans[0]

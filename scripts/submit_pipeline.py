@@ -15,16 +15,22 @@ Stages (each optional via flags, all composed as ONE lazy plan except the
 iterative cluster step):
 
   1. Gopher-style quality filter     (pure projection — scan speed)
-  2. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
-  3. near-dup MinHash-LSH → connected components → keep-one-per-cluster
+  2. naive-Bayes classifier filter   (--nb-label-lang: train log-odds
+     weights on the corpus, broadcast them back, keep score > threshold —
+     the fastText-style model-based filtering stage)
+  3. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
+  4. near-dup MinHash-LSH → connected components → keep-one-per-cluster
      (band equi-join carries ids only; min-label propagation rounds)
-  4. enrichment: lang-ID, quality, token counts, fingerprint, repetition
+  5. enrichment: lang-ID, quality, token counts, fingerprint, repetition
      signals (pure projection)
-  5. parquet write + one-line JSON summary on stdout
+  6. optional BPE tokenization (--bpe-merges: distributed word count +
+     driver-side merge learning, Arrow re-segmentation, broadcast serving
+     map → n_pieces / pieces columns on the survivors)
+  7. parquet write + one-line JSON summary on stdout
 
-The stage order is the cost-correct one for 100 TB: the cheap filter first
+The stage order is the cost-correct one for 100 TB: the cheap filters first
 (shrinks everything downstream), exact dedup before near-dup (shrinks the
-pair graph), enrichment last (only survivors pay it).
+pair graph), enrichment and tokenization last (only survivors pay them).
 """
 
 from __future__ import annotations
@@ -56,6 +62,22 @@ def parse_args(argv=None):
                    help="exact-substring dedup rewrite: strip repeated K-token "
                         "spans, first copy wins (rewrites the text column to "
                         "the whitespace-normalized surviving tokens)")
+    p.add_argument("--nb-label-lang", metavar="XX",
+                   help="model-based quality filter: train a naive-Bayes "
+                        "classifier with (lang == XX) as the positive class "
+                        "and keep docs scoring above --nb-threshold")
+    p.add_argument("--nb-threshold", type=float, default=None,
+                   help="absolute score cut (score > T). At small corpus "
+                        "sizes the Laplace +V smoothing shifts all scores "
+                        "when the class totals are unbalanced, so the "
+                        "quantile cut below is the calibration-free default")
+    p.add_argument("--nb-keep-quantile", type=float, default=0.5,
+                   help="keep the top fraction of docs by classifier score "
+                        "(default 0.5; ignored when --nb-threshold is set)")
+    p.add_argument("--nb-vocab-size", type=int, default=1000)
+    p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
+                   help="learn N BPE merges on the surviving corpus and "
+                        "append (n_pieces, pieces) subword columns")
     p.add_argument("--split", action="store_true",
                    help="append a deterministic train/validation/test column")
     p.add_argument("--val-rate", type=float, default=0.01)
@@ -81,6 +103,26 @@ def run_pipeline(spark, args):
         flags = T.gopher_filter(docs, tc, ic).filter(F.col("keep")).select(ic)
         docs = docs.join(flags, ic)  # AQE broadcasts / shuffles as sizes dictate
         summary["after_filter"] = docs.count()
+
+    if args.nb_label_lang:
+        labeled = docs.withColumn("_y", F.col("lang") == args.nb_label_lang)
+        weights = T.nb_token_weights(labeled, tc, "_y",
+                                     vocab_size=args.nb_vocab_size)
+        scored = T.nb_score(docs, tc, ic, weights)
+        if args.nb_threshold is not None:
+            kept = scored.filter(F.col("score") > args.nb_threshold)
+        else:
+            # top-quantile keep: one scalar percentile agg broadcast back —
+            # calibration-free (same shape as ccnet quality_buckets)
+            q = max(0.0, min(1.0, 1.0 - args.nb_keep_quantile))
+            cut = scored.agg(
+                F.percentile(F.col("score").cast("double"), q).alias("c")
+            )
+            kept = scored.crossJoin(F.broadcast(cut)).filter(
+                F.col("score").cast("double") >= F.col("c")
+            )
+        docs = docs.join(kept.select(F.col("id").alias(ic)), ic)
+        summary["after_nb_filter"] = docs.count()
 
     if not args.skip_exact_dedup:
         keep = (
@@ -129,6 +171,17 @@ def run_pipeline(spark, args):
         T.mean_word_length(F.col(tc)).alias("mean_word_len"),
         T.symbol_word_ratio(F.col(tc)).alias("symbol_ratio"),
     )
+
+    if args.bpe_merges:
+        from crawl4ai_scraper_spark.operators import bpe as B
+
+        merges = B.bpe_train_local(enriched, tc, n_merges=args.bpe_merges)
+        serving = B.apply_merges_arrow(B.word_syms(enriched, tc), merges)
+        seg = B.bpe_segment(enriched, tc, ic, serving).select(
+            F.col("id").alias(ic), "n_pieces", "pieces"
+        )
+        enriched = enriched.join(seg, ic)
+        summary["bpe_merges_learned"] = len(merges)
 
     if args.dry_run:
         enriched.explain("formatted")

@@ -1647,3 +1647,33 @@ def test_apply_merges_arrow_equals_native_chain(spark):
     seg = B.bpe_segment(docs, "text", "doc_id",
                         B.apply_merges_arrow(ws, merges)).collect()[0]
     assert seg.n_pieces == len(seg.pieces.split("  "))
+
+
+def test_submit_pipeline_nb_and_bpe_stages(spark, tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    sw = ["the", "a", "of", "and", "to", "in", "is"]
+
+    def clean_doc(prefix):
+        return " ".join(x for i in range(20) for x in (sw[i % 7], f"{prefix}{i}"))
+
+    docs = [(i, clean_doc(chr(97 + i)), "en" if i % 2 == 0 else "de")
+            for i in range(8)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+
+    args = parse_args([
+        "--input", inp, "--output", out, "--skip-near-dup",
+        "--nb-label-lang", "en", "--nb-keep-quantile", "0.5",
+        "--bpe-merges", "6",
+    ])
+    summary = run_pipeline(spark, args)
+    assert summary["after_nb_filter"] >= 4       # top half kept (ties may add)
+    assert summary["bpe_merges_learned"] == 6
+    kept = spark.read.parquet(out)
+    assert "pieces" in kept.columns and "n_pieces" in kept.columns
+    row = kept.collect()[0]
+    assert row.n_pieces == len(row.pieces.split("  "))
