@@ -120,6 +120,48 @@ def main():
         plan_of(contract.queries()["anchor_text_agg"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "URL blocklist + spam screen — broadcast anti-join, filter pushed to the scan",
+        "`plans/politeness.url_blocklist_filter` (wired into `run_round` behind\n"
+        "`cfg.url_spam_threshold` / `blocked_hosts`). The executed plan shows the two\n"
+        "claims: the blocklist is a BroadcastExchange into a LeftAnti hash join (the\n"
+        "url side is never exchanged), and Catalyst pushes the `spam_score < thr`\n"
+        "CASE-sum predicate BELOW the join, to the scan side — candidates are\n"
+        "score-screened before they even reach the anti-join's probe (hand-reduced\n"
+        "capture; the live assertion is tests/test_plans.py\n"
+        "test_url_blocklist_filter_broadcast_anti_join):",
+        "Project [doc_id, url, round(CASE-sum(betting..xxx), 4) AS spam_score]\n"
+        "+- BroadcastHashJoin [_host], [_host], LeftAnti, BuildRight\n"
+        "   :- Project [doc_id, url, _host]\n"
+        "   :  +- Filter (round(CASE-sum(betting..xxx), 4) < 0.9)     ← pushed down\n"
+        "   :     +- <candidate scan>\n"
+        "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+        "      +- Filter isnotnull(host)\n"
+        "         +- <blocklist>",
+    ))
+
+    sections.append((
+        "NB classifier scoring — model artifact broadcast, token stream unshuffled",
+        "nb_token_weights trains at distinct-token key space (map-side combined "
+        "conditional sums; the top-V cut is TakeOrderedAndProject); nb_score "
+        "broadcasts the ≤V-row weight table into the corpus token stream — the "
+        "stream reaches the BroadcastHashJoin with NO exchange, so hot tokens "
+        "('the') can never skew a shuffle — and the only corpus-volume exchange "
+        "is the per-doc sum with partial_sum combine.",
+        plan_of(contract.queries()["nb_classifier_score"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "BPE segmentation — word→pieces serving map broadcast, one reassembly shuffle",
+        "bpe_segment joins the trained word→pieces map (distinct-word volume, "
+        "broadcast) into the posexploded token stream and reassembles per doc — "
+        "the same single-shuffle shape as vocab_encode; training itself never "
+        "appears here because it runs over the distinct-word artifact, not the "
+        "corpus (bpe_train per-merge groupBys, or bpe_train_local's one "
+        "distributed count + driver merge loop).",
+        plan_of(contract.queries()["bpe_segment"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
