@@ -56,6 +56,11 @@ from crawl4ai_scraper_spark.operators.textops import words
 # whitespace-split words, so they can never contain the separator.
 _SEP = "  "
 
+# Initial character segmentation of a `word` column (shared by word_syms and
+# bpe_segment's OOV fallback). Only valid for non-empty words: length 0 makes
+# sequence(1, 0) count DOWN to [1, 0] and emit two phantom empty symbols.
+_CHARS_EXPR = "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+
 
 def word_syms(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus → distinct-word table ``(word, freq, syms)``.
@@ -70,7 +75,7 @@ def word_syms(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    chars = F.expr(_CHARS_EXPR)
     syms = F.concat(F.lit(_SEP), F.array_join(chars, _SEP), F.lit(_SEP))
     return counts.select("word", "freq", syms.alias("syms"))
 
@@ -153,6 +158,22 @@ def apply_merges(ws: DataFrame, merges: List[Tuple[str, ...]]) -> DataFrame:
     return ws
 
 
+def _merge_syms(syms: List[str], a: str, b: str) -> List[str]:
+    """One merge applied to a symbol list — greedy left-to-right,
+    non-overlapping: the single definition of the replay semantics shared by
+    the local trainer and the Arrow segmenter (and mirrored by the native
+    ``merge_pair`` replace; tests assert the three stay equivalent)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _py_apply_merges(word: str, by_str: dict) -> List[str]:
     """Exact sequential merge replay for one word, restricted to candidate
     merges: every BPE symbol is a contiguous substring of the original word,
@@ -170,15 +191,7 @@ def _py_apply_merges(word: str, by_str: dict) -> List[str]:
                 cands.append(cand)
     syms = list(word)
     for _, a, b in sorted(set(cands)):
-        out, i = [], 0
-        while i < len(syms):
-            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _merge_syms(syms, a, b)
     return syms
 
 
@@ -216,6 +229,7 @@ def bpe_train_local(
     n_merges: int,
     min_freq: int = 1,
     max_words: int = 5_000_000,
+    min_word_freq: int = 1,
 ) -> List[Tuple[str, str, int]]:
     """Learn BPE merges with the distributed-count / local-merge split that
     production tokenizer trainers use: the 100-TB work is ONE corpus scan
@@ -225,11 +239,15 @@ def bpe_train_local(
     path for real vocab sizes; ``bpe_train`` (fully distributed, one job per
     merge) is the oracle-checked reference for small merge counts.
 
-    The collect is bounded: ``min_freq`` drops the hapax tail and
-    ``max_words`` caps the table at the top-N words by (freq desc, word) —
-    a TakeOrderedAndProject, no global sort. (Truncating rare words before
-    merge-learning is standard trainer behavior; pair counts from words
-    seen once change nothing above ``min_freq`` 2+.)
+    The collect is bounded by ``max_words`` (top-N words by (freq desc,
+    word) — a TakeOrderedAndProject, no global sort) and optionally by
+    ``min_word_freq`` (drop the hapax word tail before collecting).
+    NOTE: word-table truncation is a deliberate approximation — hapax words
+    sharing a pair accumulate pair counts, so dropping them CAN change the
+    learned merges (standard trainer behavior, but not equivalence-
+    preserving). ``min_freq`` by contrast is only the merge STOP criterion,
+    exactly as in ``bpe_train``: with untruncated inputs the two trainers
+    produce identical merge lists at any ``min_freq`` (asserted in tests).
 
     Tie-breaks are identical to ``bpe_train`` ((cnt desc, a, b), merges
     applied left-to-right non-overlapping), so both trainers produce the
@@ -241,7 +259,7 @@ def bpe_train_local(
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= min_freq)
+        .filter(F.col("freq") >= min_word_freq)
         .orderBy(F.col("freq").desc(), F.col("word"))
         .limit(max_words)
     )
@@ -279,15 +297,7 @@ def bpe_train_local(
         merges.append((a, b, int(cnt)))
         for w in list(pair_words.get((a, b), ())):
             _count_word(w, -1)
-            s, out, i = syms[w], [], 0
-            while i < len(s):
-                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            syms[w] = out
+            syms[w] = _merge_syms(syms[w], a, b)
             _count_word(w, +1)
     return merges
 
@@ -309,6 +319,12 @@ def bpe_segment(
     table outgrows the broadcast budget); unseen words fall back to their
     character segmentation computed inline (same protocol, no second pass).
     The per-doc reassembly groupBy is the one corpus-volume shuffle.
+
+    Empty tokens are dropped (``split`` on whitespace-only or
+    newline/tab-adjacent text emits '' tokens, which are not words and whose
+    char fallback would emit phantom pieces); a doc with no non-empty tokens
+    has no output row — the same semantics as the word_syms model domain and
+    the SQL oracle's join.
     """
     model = word_pieces.select("word", F.trim(F.col("syms")).alias("_model_syms"))
     if broadcast_model:
@@ -316,8 +332,8 @@ def bpe_segment(
     stream = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(words(F.col(text_col))).alias("pos", "word"),
-    )
-    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    ).filter(F.length("word") > 0)
+    chars = F.expr(_CHARS_EXPR)
     seg = stream.join(model, "word", "left").select(
         "id",
         "pos",

@@ -105,10 +105,16 @@ def run_pipeline(spark, args):
         summary["after_filter"] = docs.count()
 
     if args.nb_label_lang:
-        labeled = docs.withColumn("_y", F.col("lang") == args.nb_label_lang)
+        # label source: a `lang` metadata column when the input has one,
+        # else the heuristic lang_id over the text (the same signal stage 5
+        # enriches with); NULL langs are explicitly negative examples
+        lang_col = F.col("lang") if "lang" in docs.columns else T.lang_id(F.col(tc))
+        labeled = docs.withColumn(
+            "_y", F.coalesce(lang_col == args.nb_label_lang, F.lit(False))
+        )
         weights = T.nb_token_weights(labeled, tc, "_y",
                                      vocab_size=args.nb_vocab_size)
-        scored = T.nb_score(docs, tc, ic, weights)
+        scored = T.nb_score(docs, tc, ic, weights).persist()
         if args.nb_threshold is not None:
             kept = scored.filter(F.col("score") > args.nb_threshold)
         else:
@@ -175,12 +181,20 @@ def run_pipeline(spark, args):
     if args.bpe_merges:
         from crawl4ai_scraper_spark.operators import bpe as B
 
+        # the surviving corpus is consumed three times below (word count,
+        # serving map, segmentation join-back) — cut the filter/dedup/
+        # cluster lineage once instead of recomputing it per consumer
+        enriched = enriched.persist()
         merges = B.bpe_train_local(enriched, tc, n_merges=args.bpe_merges)
         serving = B.apply_merges_arrow(B.word_syms(enriched, tc), merges)
         seg = B.bpe_segment(enriched, tc, ic, serving).select(
             F.col("id").alias(ic), "n_pieces", "pieces"
         )
-        enriched = enriched.join(seg, ic)
+        # LEFT join: tokenization must never change the row set (null/empty
+        # texts have no token rows and would vanish under an inner join)
+        enriched = enriched.join(seg, ic, "left").withColumn(
+            "n_pieces", F.coalesce(F.col("n_pieces"), F.lit(0))
+        )
         summary["bpe_merges_learned"] = len(merges)
 
     if args.dry_run:

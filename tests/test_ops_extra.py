@@ -1512,6 +1512,24 @@ def test_bpe_segment_oov_char_fallback(spark):
     assert seg.n_pieces == len(pieces)
 
 
+def test_bpe_segment_whitespace_edge_tokens(spark):
+    """Newline/tab-adjacent text produces empty '' split tokens — they must
+    not become phantom pieces; whitespace-only docs have no output row."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    train = spark.createDataFrame([(1, "hi hi ho")], "doc_id long, text string")
+    _, wp = B.bpe_train(train, "text", n_merges=2)
+    test = spark.createDataFrame(
+        [(1, "\nhi hi"), (2, "hi\tho"), (3, "  \n ")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in B.bpe_segment(test, "text", "doc_id", wp).collect()}
+    assert rows[1].n_words == 2 and rows[1].n_pieces == 2
+    assert rows[1].pieces == "hi  hi"
+    assert rows[2].n_words == 2  # tab splits into two real words
+    assert 3 not in rows  # whitespace-only doc: no token rows
+
+
 def test_bpe_merge_overlap_and_adjacent_semantics(spark):
     from crawl4ai_scraper_spark.operators import bpe as B
 
@@ -1627,8 +1645,16 @@ def test_bpe_train_local_matches_distributed(spark):
     dist, _ = B.bpe_train(docs, "text", n_merges=10)
     local = B.bpe_train_local(docs, "text", n_merges=10)
     assert local == dist
-    # min_freq + max_words truncation keep the loop well-defined
-    trunc = B.bpe_train_local(docs, "text", n_merges=10, min_freq=2, max_words=6)
+    # min_freq is the merge STOP criterion in BOTH trainers (never a word
+    # pre-filter: hapax words sharing a pair accumulate counts above it)
+    dist2, _ = B.bpe_train(docs, "text", n_merges=10, min_freq=3)
+    local2 = B.bpe_train_local(docs, "text", n_merges=10, min_freq=3)
+    assert local2 == dist2
+    assert all(c >= 3 for _, _, c in local2)
+    # max_words / min_word_freq word-table truncation keeps the loop
+    # well-defined (documented as approximation, not equivalence-preserving)
+    trunc = B.bpe_train_local(docs, "text", n_merges=10, min_freq=2,
+                              max_words=6, min_word_freq=2)
     assert all(c >= 2 for _, _, c in trunc)
 
 
