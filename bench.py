@@ -22,7 +22,8 @@ meaningful. Python workers are warmed up before timing (a cluster amortizes
 worker start over hours; a 2-minute bench must not bill it to round 1).
 
 Scaling evidence (N vs 4N cores) is produced by scripts/scaling_bench.py,
-which shells out to this file at two parallelism levels and writes BENCH.md.
+which shells out to this file at two parallelism levels and prints a JSON
+report (folded into BENCH.md's hand-curated run-history table).
 """
 
 from __future__ import annotations
@@ -130,6 +131,7 @@ QUERY_NAMES = [
     "bpe_segment",
     "nb_classifier_score",
     "dedup_cross_corpus",
+    "bpe_piece_vocab",
 ]
 
 

@@ -2914,6 +2914,28 @@ def bpe_segment_q(spark, sf):
 
 
 @_q(
+    "bpe_piece_vocab",
+    _BPE_MERGES_SQL
+    + """,
+p AS (SELECT freq, UNNEST(string_split(trim(s), '  ')) AS piece FROM ws3),
+c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY piece)
+SELECT piece, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT) AS piece_id
+FROM c ORDER BY cnt DESC, piece LIMIT 64""",
+)
+def bpe_piece_vocab_q(spark, sf):
+    """Trained-tokenizer vocabulary (operators.bpe.piece_vocab over the
+    3-merge serving map): every emitted subword with corpus frequency and
+    dense id. Counting runs at distinct-word volume (pieces weighted by
+    word freq); the id window covers only the top-V artifact."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    _, word_pieces = B.bpe_train(docs, "text", n_merges=3)
+    return B.piece_vocab(word_pieces, vocab_size=64)
+
+
+@_q(
     "nb_classifier_score",
     r"""WITH t AS (SELECT doc_id, (lang = 'en') AS y,
         UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),

@@ -352,3 +352,26 @@ def bpe_segment(
             _SEP,
         ).alias("pieces"),
     )
+
+
+def piece_vocab(word_pieces: DataFrame, vocab_size: int = 32768) -> DataFrame:
+    """The trained tokenizer's piece vocabulary: every subword the serving
+    map emits, with its corpus frequency and a dense id — the artifact a
+    downstream id-encoder consumes (the BPE twin of textops.vocab_build).
+
+    Works over the ``(word, freq, syms)`` serving map, NOT the corpus: the
+    explode and count run at distinct-word volume (pieces weighted by word
+    frequency), the top-V cut is TakeOrderedAndProject, and the id window
+    runs over the ≤V-row artifact only. Output: (piece, cnt, piece_id) with
+    ids 1..V by (cnt desc, piece)."""
+    from pyspark.sql import Window
+
+    pieces = word_pieces.select(
+        "freq", F.explode(F.split(F.trim(F.col("syms")), _SEP)).alias("piece")
+    )
+    counts = pieces.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("piece")).limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+    return top.select(
+        "piece", "cnt", F.row_number().over(w).cast("int").alias("piece_id")
+    )

@@ -1703,3 +1703,15 @@ def test_submit_pipeline_nb_and_bpe_stages(spark, tmp_path):
     assert "pieces" in kept.columns and "n_pieces" in kept.columns
     row = kept.collect()[0]
     assert row.n_pieces == len(row.pieces.split("  "))
+
+
+def test_bpe_piece_vocab_known_corpus(spark):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = spark.createDataFrame([(1, "low low lower")], "doc_id long, text string")
+    # merges: (l,o) cnt 3 -> (lo,w) cnt 3 -> (e,r) cnt 1
+    merges, wp = B.bpe_train(docs, "text", n_merges=3)
+    vocab = {r.piece: (r.cnt, r.piece_id) for r in B.piece_vocab(wp).collect()}
+    # "low" segments to [low] x3 words; "lower" -> [low, er]
+    assert vocab["low"] == (3, 1)
+    assert vocab["er"] == (1, 2)
