@@ -1715,3 +1715,60 @@ def test_bpe_piece_vocab_known_corpus(spark):
     # "low" segments to [low] x3 words; "lower" -> [low, er]
     assert vocab["low"] == (3, 1)
     assert vocab["er"] == (1, 2)
+
+
+class TestBpeProperties:
+    """Property-based equivalence for the three BPE merge implementations:
+    the candidate-restricted Arrow replay, the double-space string-replace
+    protocol (what the native merge_pair compiles to), and the plain
+    sequential fold. No Spark involved — these pin the pure semantics the
+    engine paths share."""
+
+    def _full_replay(self, word, merges):
+        from crawl4ai_scraper_spark.operators.bpe import _merge_syms
+
+        syms = list(word)
+        for m in merges:
+            syms = _merge_syms(syms, m[0], m[1])
+        return syms
+
+    def test_candidate_replay_equals_full_replay(self):
+        from hypothesis import given, settings, strategies as st
+
+        from crawl4ai_scraper_spark.operators.bpe import _py_apply_merges
+
+        word_st = st.text(alphabet="abc", min_size=0, max_size=12)
+        corpus_st = st.lists(word_st, min_size=1, max_size=8)
+
+        @given(corpus=corpus_st, probe=word_st, n=st.integers(1, 10))
+        @settings(max_examples=300, deadline=None)
+        def check(corpus, probe, n):
+            merges, _ = _py_bpe([" ".join(corpus)], n)
+            by_str = {}
+            for i, m in enumerate(merges):
+                by_str.setdefault(m[0] + m[1], []).append((i, m[0], m[1]))
+            assert _py_apply_merges(probe, by_str) == self._full_replay(probe, merges)
+
+        check()
+
+    def test_string_replace_protocol_equals_fold(self):
+        """replace('  '-joined syms, ' a  b ', ' ab ') must equal the greedy
+        left-to-right fold for ANY symbol sequence and pair — including
+        overlapping (aaa) and back-to-back (abab) occurrences. python
+        str.replace has the same non-overlapping left-to-right semantics as
+        Spark's replace()."""
+        from hypothesis import given, settings, strategies as st
+
+        from crawl4ai_scraper_spark.operators.bpe import _SEP, _merge_syms
+
+        sym_st = st.sampled_from(["a", "b", "ab", "ba", "aa"])
+        seq_st = st.lists(sym_st, min_size=1, max_size=10)
+
+        @given(syms=seq_st, a=sym_st, b=sym_st)
+        @settings(max_examples=300, deadline=None)
+        def check(syms, a, b):
+            s = _SEP + _SEP.join(syms) + _SEP
+            replaced = s.replace(f" {a}{_SEP}{b} ", f" {a}{b} ")
+            assert replaced.strip().split(_SEP) == _merge_syms(syms, a, b)
+
+        check()
