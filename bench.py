@@ -132,6 +132,7 @@ QUERY_NAMES = [
     "nb_classifier_score",
     "dedup_cross_corpus",
     "bpe_piece_vocab",
+    "embedding_cluster_balance",
 ]
 
 

@@ -945,6 +945,37 @@ def ann_ivf_assign_topk(spark, sf):
 
 
 @_q(
+    "embedding_cluster_balance",
+    f"""WITH a AS (
+      SELECT vec_id,
+             CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+      FROM (SELECT vec_id, {{dots}} AS dots FROM embeddings)
+    ), c AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs FROM a GROUP BY cell),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+                 CAST(COUNT(*) AS DOUBLE) AS k FROM c),
+    r AS (SELECT cell, n_docs,
+                 CAST(LEAST(4096, FLOOR(total / k / n_docs * 4096)) AS INT)
+                   AS keep_steps
+          FROM c CROSS JOIN t)
+    SELECT a.vec_id, a.cell, r.n_docs, r.keep_steps
+    FROM a JOIN r USING (cell)
+    WHERE r.keep_steps >= 4096
+       OR substr(md5('cb1:' || CAST(a.vec_id AS VARCHAR)), 1, 3)
+          < lpad(lower(to_hex(r.keep_steps)), 3, '0')""".replace(
+        "{dots}", _centroid_dots_sql()
+    ),
+)
+def embedding_cluster_balance(spark, sf):
+    """Cluster-balanced corpus sampling (similarity.cluster_balance over
+    ivf_assign): per-cluster keep rates flattening the cluster-size
+    distribution toward uniform, applied as the deterministic md5-threshold
+    sample. One cell-key groupBy for the k-row rate table, broadcast back;
+    the keep decision is a projected compare at scan speed."""
+    emb = _t(spark, sf, "embeddings")
+    return S.cluster_balance(S.ivf_assign(emb))
+
+
+@_q(
     "ann_ivf_kmeans_step",
     f"""WITH a AS (
       SELECT CAST(embedding AS DOUBLE[]) AS e,

@@ -352,3 +352,51 @@ def lsh_hyperplane_buckets(
         for plane in planes
     ]
     return embeddings.select(F.col(id_col).alias("vec_id"), F.concat(*bits).alias("bucket"))
+
+
+def cluster_balance(
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    salt: str = "cb1",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling (the SemDeDup-adjacent rebalancing
+    pass): given per-item cluster assignments (from ``ivf_assign`` /
+    ``ivf_assign_to`` over document embeddings), compute the per-cluster
+    keep rate that flattens the cluster-size distribution toward uniform —
+    rate_c = min(1, (total/k) / n_c) quantized to 1/4096 — and apply it as
+    a deterministic md5-threshold sample (same scheme as
+    ``textops.hash_sample``: repeatable, engine- and partitioning-
+    independent). Over-represented clusters are downsampled; clusters at or
+    under the uniform share keep everything.
+
+    Scale shape: one map-side-combined groupBy on the cell key builds the
+    k-row rate table; it broadcasts back into the assignment stream, and the
+    keep decision is a projected md5 compare at scan speed — no second
+    shuffle. Clusters more than 4096× the uniform share round to rate 0 and
+    drop entirely (document the salt and re-run with a coarser k if that is
+    not intended).
+
+    Output: kept rows (id, cell, n_docs, keep_steps) — keep_steps/4096 is
+    the applied rate; join back to the corpus by id for the filtered set."""
+    counts = assignments.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        cell_col,
+        "n_docs",
+        F.least(
+            F.lit(4096),
+            F.floor(F.col("_total") / F.col("_k") / F.col("n_docs") * 4096),
+        ).cast("int").alias("keep_steps"),
+    )
+    joined = assignments.join(F.broadcast(rates), cell_col)
+    digest = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 3
+    )
+    thr = F.lpad(F.lower(F.hex(F.col("keep_steps"))), 3, "0")
+    return joined.filter((F.col("keep_steps") >= 4096) | (digest < thr)).select(
+        id_col, cell_col, "n_docs", "keep_steps"
+    )

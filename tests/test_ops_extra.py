@@ -1772,3 +1772,27 @@ class TestBpeProperties:
             assert replaced.strip().split(_SEP) == _merge_syms(syms, a, b)
 
         check()
+
+
+def test_cluster_balance_flattens_skewed_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.similarity import cluster_balance
+
+    # 3 clusters: 800 / 100 / 100 docs; uniform share = 1000/3 ≈ 333
+    rows = [(i, 1 if i < 800 else (2 if i < 900 else 3)) for i in range(1000)]
+    assign = spark.createDataFrame(rows, "vec_id long, cell int")
+    kept = cluster_balance(assign)
+    by_cell = {r.cell: r for r in
+               kept.groupBy("cell").agg(F.count(F.lit(1)).alias("n"),
+                                        F.first("keep_steps").alias("s")).collect()}
+    # small clusters keep everything
+    assert by_cell[2].n == 100 and by_cell[2].s == 4096
+    assert by_cell[3].n == 100 and by_cell[3].s == 4096
+    # the big cluster downsamples toward the uniform share (rate ≈ 333/800)
+    expected_rate = (1000 / 3) / 800
+    assert by_cell[1].s == int(expected_rate * 4096)
+    assert abs(by_cell[1].n / 800 - expected_rate) < 0.07
+    # deterministic: same salt → identical kept set
+    again = sorted(r.vec_id for r in cluster_balance(assign).collect())
+    assert again == sorted(r.vec_id for r in kept.collect())
