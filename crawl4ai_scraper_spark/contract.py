@@ -2828,7 +2828,7 @@ def recrawl_change_rate(spark, sf):
 _BPE_MERGES_SQL = r"""WITH wf AS (
   SELECT w AS word, COUNT(*) AS freq
   FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
-  GROUP BY w),
+  WHERE w <> '' GROUP BY w),
 ws0 AS (
   SELECT word, freq, '  ' || array_to_string(
     list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)),
@@ -2865,7 +2865,7 @@ ws3 AS (SELECT word, freq,
     r"""WITH wf AS (
   SELECT w AS word, COUNT(*) AS freq
   FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents)
-  GROUP BY w)
+  WHERE w <> '' GROUP BY w)
 SELECT substr(word, CAST(i AS INT), 1) AS a, substr(word, CAST(i AS INT)+1, 1) AS b,
        CAST(SUM(freq) AS BIGINT) AS cnt
 FROM wf, UNNEST(range(1, length(word))) AS r(i)

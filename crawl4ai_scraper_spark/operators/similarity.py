@@ -392,10 +392,10 @@ def cluster_balance(
             F.floor(F.col("_total") / F.col("_k") / F.col("n_docs") * 4096),
         ).cast("int").alias("keep_steps"),
     )
+    from crawl4ai_scraper_spark.operators.textops import sample_digest
+
     joined = assignments.join(F.broadcast(rates), cell_col)
-    digest = F.substring(
-        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 3
-    )
+    digest = sample_digest(F.col(id_col), salt)
     thr = F.lpad(F.lower(F.hex(F.col("keep_steps"))), 3, "0")
     return joined.filter((F.col("keep_steps") >= 4096) | (digest < thr)).select(
         id_col, cell_col, "n_docs", "keep_steps"

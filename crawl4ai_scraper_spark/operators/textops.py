@@ -262,6 +262,16 @@ def pii_counts(text: Column) -> Dict[str, Column]:
     }
 
 
+def sample_digest(key_col: Column, salt: str) -> Column:
+    """The shared 3-hex-digit sampling digest: substring(md5(salt:key),1,3).
+    Single source of the repeatable-slice protocol used by hash_sample,
+    stratified_sample and similarity.cluster_balance — 1/4096 granularity,
+    engine/partitioning-independent; compare against format(steps,'03x')."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), key_col.cast("string"))), 1, 3
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "s1") -> DataFrame:
     """Deterministic, engine-reproducible sampling: keep rows where
     md5(salt ‖ key) is lexicographically below a hex threshold — a pure
@@ -274,8 +284,7 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "s1") -> D
     steps = max(0, min(4096, round(rate * 4096)))
     if steps >= 4096:
         return df
-    digest = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
-    return df.filter(F.substring(digest, 1, 3) < F.lit(format(steps, "03x")))
+    return df.filter(sample_digest(F.col(key_col), salt) < F.lit(format(steps, "03x")))
 
 
 def stratified_sample(
@@ -291,9 +300,7 @@ def stratified_sample(
     mechanics as hash_sample so every stratum's selection is repeatable and
     nested across rates; one CASE expression, still a pure pushed-down
     filter (no shuffle, no per-stratum passes)."""
-    digest3 = F.substring(
-        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 3
-    )
+    digest3 = sample_digest(F.col(key_col), salt)
 
     def thresh(rate: float) -> str:
         return format(max(0, min(4096, round(rate * 4096))), "03x")
