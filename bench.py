@@ -133,6 +133,7 @@ QUERY_NAMES = [
     "dedup_cross_corpus",
     "bpe_piece_vocab",
     "embedding_cluster_balance",
+    "cdx_fetch_candidates",
 ]
 
 

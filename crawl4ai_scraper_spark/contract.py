@@ -3016,6 +3016,101 @@ def dedup_cross_corpus_q(spark, sf):
     return D.dedup_cross_corpus(new_df, ref_df, "text", "doc_id")
 
 
+@_q(
+    "cdx_fetch_candidates",
+    """WITH sel AS (
+      SELECT doc_id, source, text, n_chars FROM documents WHERE doc_id % 100 < 30
+    ), caps AS (
+      SELECT 'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(('2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                   || ' 12:00:00') AS TIMESTAMP) AS ts,
+             200 AS status, 'text/html' AS mime, md5(text) AS digest,
+             CAST(n_chars AS BIGINT) AS warc_length,
+             CAST(doc_id * 1000 AS BIGINT) AS warc_offset,
+             'shard-w1.warc.gz' AS warc_filename
+      FROM sel
+      UNION ALL
+      SELECT 'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR),
+             CAST(('2024-02-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                   || ' 12:00:00') AS TIMESTAMP),
+             CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END,
+             CASE WHEN doc_id % 7 = 0 THEN 'image/png' ELSE 'text/html' END,
+             md5(text || 'b'),
+             CAST(n_chars + 1 AS BIGINT),
+             CAST(doc_id * 2000 AS BIGINT),
+             'shard-w2.warc.gz'
+      FROM sel
+    ), w AS (
+      SELECT * FROM caps WHERE status = 200 AND mime LIKE 'text/%'
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY url
+        ORDER BY ts DESC, digest DESC, warc_filename DESC,
+                 warc_offset DESC, warc_length DESC) AS rn
+      FROM w)
+    SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS capture_ts_str,
+           digest, warc_length, warc_offset, warc_filename
+    FROM r WHERE rn = 1""",
+)
+def cdx_fetch_candidates(spark, sf):
+    """Common-Crawl-style CDX index ingestion (sources/cdx.py): two
+    synthesized CDXJ captures per selected URL (the February one sometimes
+    404/non-text), rendered as real index lines, parsed by the REAL native
+    parser (split + from_json + to_timestamp_ntz — parse is load-bearing),
+    then fetch_candidates keeps the newest wanted capture per URL via ONE
+    max-struct groupBy (no window). The oracle reproduces the selection
+    with an explicit QUALIFY-style ranking."""
+    from crawl4ai_scraper_spark.sources.cdx import fetch_candidates, parse_cdxj
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 100 < 30)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/docs/d"),
+        F.col("doc_id").cast("string"),
+    )
+    dd = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+
+    def line(ts_prefix, status, mime, digest, length, offset, fname):
+        payload = F.to_json(
+            F.struct(
+                url.alias("url"),
+                status.cast("string").alias("status"),
+                mime.alias("mime"),
+                digest.alias("digest"),
+                length.cast("string").alias("length"),
+                offset.cast("string").alias("offset"),
+                F.lit(fname).alias("filename"),
+            )
+        )
+        ts = F.concat(F.lit(ts_prefix), dd, F.lit("120000"))
+        urlkey = F.concat(F.lit("k"), F.col("doc_id").cast("string"))
+        return F.concat_ws(" ", urlkey, ts, payload)
+
+    cap_a = docs.select(
+        line(
+            "202401", F.lit(200), F.lit("text/html"), F.md5("text"),
+            F.col("n_chars"), F.col("doc_id") * 1000, "shard-w1.warc.gz",
+        ).alias("value")
+    )
+    cap_b = docs.select(
+        line(
+            "202402",
+            F.when(F.col("doc_id") % 4 == 0, F.lit(404)).otherwise(F.lit(200)),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("image/png")).otherwise(
+                F.lit("text/html")
+            ),
+            F.md5(F.concat(F.col("text"), F.lit("b"))),
+            F.col("n_chars") + 1, F.col("doc_id") * 2000, "shard-w2.warc.gz",
+        ).alias("value")
+    )
+    captures = parse_cdxj(cap_a.unionByName(cap_b))
+    cands = fetch_candidates(captures, statuses=(200,), mime_prefix="text/")
+    return cands.select(
+        "url",
+        F.date_format("capture_ts", "yyyy-MM-dd HH:mm:ss").alias("capture_ts_str"),
+        "digest", "warc_length", "warc_offset", "warc_filename",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

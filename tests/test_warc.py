@@ -142,3 +142,35 @@ def test_full_journey_warc_to_clean_corpus(spark, web3, chk_dir, tmp_path):
     assert 0 < summary["output_rows"] <= n_docs
     kept = spark.read.parquet(out)
     assert {"url", "markdown", "quality", "fp", "lang_pred"} <= set(kept.columns)
+
+
+def test_cdxj_round_trip_and_candidates(spark, tmp_path):
+    from crawl4ai_scraper_spark.sources.cdx import (
+        cdxj_line,
+        fetch_candidates,
+        read_cdxj,
+    )
+
+    lines = [
+        cdxj_line("k1", "20240101120000", "https://a.example/x", 200,
+                  "text/html", "d1", 100, 0, "w1.warc.gz"),
+        cdxj_line("k1", "20240301120000", "https://a.example/x", 200,
+                  "text/html", "d2", 120, 555, "w2.warc.gz"),   # newest → wins
+        cdxj_line("k1", "20240401120000", "https://a.example/x", 404,
+                  "text/html", "d3", 10, 9, "w3.warc.gz"),      # 404 → skipped
+        cdxj_line("k2", "20240201120000", "https://b.example/y", 200,
+                  "image/png", "d4", 50, 1, "w1.warc.gz"),      # non-text → skipped
+        "this line is not cdxj at all",                          # malformed → NULLs
+    ]
+    p = tmp_path / "idx.cdxj"
+    p.write_text("\n".join(lines) + "\n")
+
+    caps = read_cdxj(spark, str(p))
+    assert caps.count() == 5
+    assert caps.filter("url IS NULL").count() == 1  # malformed line degraded
+
+    cands = {r.url: r for r in fetch_candidates(caps).collect()}
+    assert list(cands) == ["https://a.example/x"]
+    pick = cands["https://a.example/x"]
+    assert (pick.digest, pick.warc_offset, pick.warc_filename) == ("d2", 555, "w2.warc.gz")
+    assert str(pick.capture_ts) == "2024-03-01 12:00:00"
