@@ -134,6 +134,7 @@ QUERY_NAMES = [
     "bpe_piece_vocab",
     "embedding_cluster_balance",
     "cdx_fetch_candidates",
+    "wet_roundtrip_fidelity",
 ]
 
 

@@ -3111,6 +3111,64 @@ def cdx_fetch_candidates(spark, sf):
     )
 
 
+@_q(
+    "wet_roundtrip_fidelity",
+    """SELECT 'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR) AS url,
+       '2024-03-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || ' 08:30:00' AS ts_str,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+    FROM documents WHERE doc_id % 100 < 25""",
+)
+def wet_roundtrip_fidelity(spark, sf):
+    """Common-Crawl WET interchange (sources/wet.py): the selected documents
+    are serialized into real WET conversion shards by the production packer
+    (``wet_shards`` — per-partition serialization, member-per-record gzip,
+    leading warcinfo record) and parsed back by the REAL reader codec
+    (``parse_wet_shard`` — warcinfo skipped, UTF-8 payloads). Both codec
+    directions are load-bearing: the output (url, timestamp, char count,
+    text md5) only matches the oracle — which reads the documents table
+    directly — if the round-trip is byte-faithful."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.sources.wet import (
+        WET_SCHEMA,
+        parse_wet_shard,
+        wet_shards,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 100 < 25)
+    dd = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+    recs = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/docs/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-"), dd, F.lit(" 08:30:00"))
+        ).alias("warc_ts"),
+        "text",
+    )
+    shards = wet_shards(recs.repartition(8), per_record_gzip=True)
+
+    def _unpack(batches):
+        for pdf in batches:
+            urls, tss, texts = [], [], []
+            for blob in pdf["shard"]:
+                for url, ts, text in parse_wet_shard(bytes(blob)):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(text)
+            yield pd.DataFrame({"url": urls, "warc_ts": tss, "text": texts})
+
+    parsed = shards.mapInPandas(_unpack, WET_SCHEMA)
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.length("text").cast("long").alias("n_chars_rt"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
