@@ -135,6 +135,7 @@ QUERY_NAMES = [
     "embedding_cluster_balance",
     "cdx_fetch_candidates",
     "wet_roundtrip_fidelity",
+    "lm_perplexity",
 ]
 
 

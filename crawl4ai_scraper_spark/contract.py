@@ -3169,6 +3169,47 @@ def wet_roundtrip_fidelity(spark, sf):
     )
 
 
+@_q(
+    "lm_perplexity",
+    """WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM (SELECT UNNEST(w) AS w1 FROM w) GROUP BY w1
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ), dg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+      FROM (SELECT doc_id, w, UNNEST(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)
+    ), big AS (
+      SELECT gram, COUNT(*) AS c2 FROM dg GROUP BY gram
+    ), bt AS (
+      SELECT dg.doc_id,
+             SUM(-log2((big.c2 + 0.5) / (uni.c1 + 0.5 * tot.v))) AS bs
+      FROM dg JOIN big USING (gram) JOIN uni ON uni.w1 = dg.w1 CROSS JOIN tot
+      GROUP BY dg.doc_id
+    ), ft AS (
+      SELECT w.doc_id, len(w.w) AS n_tokens,
+             -log2((uni.c1 + 0.5) / (tot.n + 0.5 * tot.v)) AS t0
+      FROM w JOIN uni ON uni.w1 = w.w[1] CROSS JOIN tot
+    )
+    SELECT ft.doc_id, CAST(ft.n_tokens AS BIGINT) AS n_tokens,
+           ROUND((ft.t0 + COALESCE(bt.bs, 0)) / ft.n_tokens, 4) AS xent_bits,
+           ROUND(POWER(2, ROUND((ft.t0 + COALESCE(bt.bs, 0)) / ft.n_tokens, 4)), 4) AS ppl
+    FROM ft LEFT JOIN bt ON bt.doc_id = ft.doc_id""",
+)
+def lm_perplexity(spark, sf):
+    """CCNet-style bigram-LM perplexity (operators.textops.
+    bigram_lm_perplexity): every document scored by its cross-entropy under
+    an add-0.5-smoothed bigram model trained on the same corpus — two count
+    aggregations, two scoring joins, one per-doc sum. The oracle unrolls the
+    identical model in SQL (unigram/bigram CTEs, same smoothing, same
+    first-token unigram term, ppl derived from the 4-decimal-rounded
+    cross-entropy on both sides)."""
+    return T.bigram_lm_perplexity(
+        _t(spark, sf, "documents"), "text", "doc_id", alpha=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

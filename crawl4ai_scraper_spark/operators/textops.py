@@ -945,3 +945,116 @@ def nb_score(
     return agg.select(
         "id", "n_tokens", score.alias("score"), (score > 0).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+# CCNet / RefinedWeb-style pipelines keep or bucket documents by their
+# perplexity under a small LM trained on a trusted corpus. This is that
+# signal with a self-contained bigram model: add-alpha smoothed
+# p(w2 | w1) = (C(w1 w2) + a) / (C(w1) + a*V), first token scored by the
+# unigram p(w) = (C(w) + a) / (N + a*V); per-doc cross-entropy in
+# bits/token and perplexity 2^H.
+#
+# Scale shape: two count aggregations (unigram, bigram — explode →
+# groupBy, map-side combine), two equi-joins of the scoring stream
+# against the count tables (broadcast when the vocabulary is small,
+# sort-merge above; the probe side is Zipf-skewed on hot grams — counts
+# side is one row per gram, AQE skew-join splits oversized probe
+# partitions), one final groupBy doc. (N, V) are two driver scalars.
+
+def _bigram_structs(toks: Column) -> Column:
+    """Per-position (w1, 'w1 w2') structs; docs under 2 tokens yield an
+    EMPTY array (a true conditional LM has no bigram events there — unlike
+    ngrams_from_tokens' degenerate whole-text gram)."""
+    cnt = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), cnt - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ).alias("gram"),
+        ),
+    )
+    return F.when(
+        cnt < 2, F.array().cast("array<struct<w1:string,gram:string>>")
+    ).otherwise(pairs)
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """→ (id_col, n_tokens, xent_bits, ppl) per document: cross-entropy and
+    perplexity under an add-alpha bigram LM trained on ``train`` (defaults
+    to ``df`` itself — self-scoring; pass a trusted-corpus frame for the
+    CCNet arrangement). Tokens are the repo-wide lowercased whitespace
+    convention (``words``); ppl is derived from the 4-decimal-rounded
+    cross-entropy so the pair is self-consistent and engine-stable."""
+    toks_df = df.select(F.col(id_col).alias("_doc"), words(F.col(text_col)).alias("w"))
+    train_toks = (
+        toks_df
+        if train is None
+        else train.select(words(F.col(text_col)).alias("w"))
+    )
+
+    uni = (
+        train_toks.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, vocab = float(totals["n"]), float(totals["v"])
+    a = float(alpha)
+
+    big = (
+        train_toks.select(F.explode(_bigram_structs(F.col("w"))).alias("g"))
+        .select(F.col("g.gram").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+    first = toks_df.select(
+        "_doc",
+        F.size("w").alias("n_tokens"),
+        F.element_at("w", 1).alias("w1"),
+    )
+    t0 = -F.log2(
+        (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a)) / F.lit(n_total + a * vocab)
+    )
+    first = first.join(uni, "w1", "left").select("_doc", "n_tokens", t0.alias("t0"))
+
+    dg = toks_df.select(
+        "_doc", F.explode(_bigram_structs(F.col("w"))).alias("g")
+    ).select("_doc", F.col("g.w1").alias("w1"), F.col("g.gram").alias("gram"))
+    t = -F.log2(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(a))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a * vocab))
+    )
+    bsum = (
+        dg.join(big, "gram", "left")
+        .join(uni, "w1", "left")
+        .select("_doc", t.alias("t"))
+        .groupBy("_doc")
+        .agg(F.sum("t").alias("bs"))
+    )
+
+    xent = F.round(
+        (F.col("t0") + F.coalesce(F.col("bs"), F.lit(0.0))) / F.col("n_tokens"), 4
+    )
+    return (
+        first.join(bsum, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            xent.alias("xent_bits"),
+        )
+        .withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("xent_bits")), 4))
+    )

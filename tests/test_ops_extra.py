@@ -1796,3 +1796,37 @@ def test_cluster_balance_flattens_skewed_clusters(spark):
     # deterministic: same salt → identical kept set
     again = sorted(r.vec_id for r in cluster_balance(assign).collect())
     assert again == sorted(r.vec_id for r in kept.collect())
+
+
+def test_bigram_lm_perplexity_orders_and_edges(spark):
+    """Formulaic text must score lower perplexity than never-repeating text
+    under the self-trained bigram LM; 1-token and blank docs still score
+    (unigram term only); a separate train corpus makes unseen grams costly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat sat again"),
+            (2, "quixotic zephyrs bewilder jovial marmots nightly"),
+            (3, "single"),
+            (4, "   "),
+            (5, "the cat sat on the mat and the cat sat again"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in T.bigram_lm_perplexity(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # duplicated formulaic doc shares all its bigrams -> cheaper than the
+    # all-unique-words doc
+    assert out[1]["ppl"] < out[2]["ppl"]
+    assert out[1]["xent_bits"] == out[5]["xent_bits"]  # identical text, identical score
+    assert out[3]["n_tokens"] == 1 and out[3]["xent_bits"] is not None
+    assert out[4]["n_tokens"] == 1  # blank doc tokenizes to [''] by convention
+    assert all(r["ppl"] == round(2 ** r["xent_bits"], 4) for r in out.values())
+
+    # train on doc 1 only: doc 2's events are all unseen -> max-cost scores
+    train = docs.filter(F.col("doc_id") == 1)
+    scored = {
+        r["doc_id"]: r
+        for r in T.bigram_lm_perplexity(docs, train=train).collect()
+    }
+    assert scored[2]["ppl"] > scored[1]["ppl"]
+    assert scored[2]["ppl"] > out[2]["ppl"]  # stranger under a foreign model
