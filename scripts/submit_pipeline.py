@@ -18,6 +18,9 @@ iterative cluster step):
   2. naive-Bayes classifier filter   (--nb-label-lang: train log-odds
      weights on the corpus, broadcast them back, keep score > threshold —
      the fastText-style model-based filtering stage)
+  2b. bigram-LM perplexity filter    (--ppl-keep-quantile / --ppl-max:
+     CCNet-style — train an add-α bigram LM on the corpus or a
+     --ppl-train-lang trusted slice, keep the most-natural docs)
   3. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
   4. near-dup MinHash-LSH → connected components → keep-one-per-cluster
      (band equi-join carries ids only; min-label propagation rounds)
@@ -75,6 +78,18 @@ def parse_args(argv=None):
                    help="keep the top fraction of docs by classifier score "
                         "(default 0.5; ignored when --nb-threshold is set)")
     p.add_argument("--nb-vocab-size", type=int, default=1000)
+    p.add_argument("--ppl-keep-quantile", type=float, default=None, metavar="Q",
+                   help="CCNet-style LM filter: keep the Q lowest-cross-"
+                        "entropy fraction of docs under a bigram LM "
+                        "(trained on the corpus itself, or on the "
+                        "--ppl-train-lang slice)")
+    p.add_argument("--ppl-max", type=float, default=None,
+                   help="absolute perplexity cut (keep ppl <= X); takes "
+                        "precedence over --ppl-keep-quantile")
+    p.add_argument("--ppl-train-lang", metavar="XX",
+                   help="train the LM on the (lang == XX) slice only — the "
+                        "CCNet trusted-corpus arrangement; default trains "
+                        "on all surviving docs")
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
                    help="learn N BPE merges on the surviving corpus and "
                         "append (n_pieces, pieces) subword columns")
@@ -129,6 +144,30 @@ def run_pipeline(spark, args):
             )
         docs = docs.join(kept.select(F.col("id").alias(ic)), ic)
         summary["after_nb_filter"] = docs.count()
+
+    if args.ppl_keep_quantile is not None or args.ppl_max is not None:
+        # CCNet-style LM filter: cross-entropy under an add-α bigram model;
+        # lower = more natural. The kept docs carry (xent_bits, ppl) into
+        # the output so downstream bucketing can reuse the signal.
+        train = None
+        if args.ppl_train_lang:
+            lang_col = F.col("lang") if "lang" in docs.columns else T.lang_id(F.col(tc))
+            train = docs.filter(
+                F.coalesce(lang_col == args.ppl_train_lang, F.lit(False))
+            )
+        scored = T.bigram_lm_perplexity(docs, tc, ic, train=train).persist()
+        if args.ppl_max is not None:
+            kept = scored.filter(F.col("ppl") <= args.ppl_max)
+        else:
+            q = max(0.0, min(1.0, args.ppl_keep_quantile))
+            cut = scored.agg(
+                F.percentile(F.col("xent_bits").cast("double"), q).alias("c")
+            )
+            kept = scored.crossJoin(F.broadcast(cut)).filter(
+                F.col("xent_bits").cast("double") <= F.col("c")
+            )
+        docs = docs.join(kept.select(ic, "xent_bits", "ppl"), ic)
+        summary["after_ppl_filter"] = docs.count()
 
     if not args.skip_exact_dedup:
         keep = (

@@ -1830,3 +1830,39 @@ def test_bigram_lm_perplexity_orders_and_edges(spark):
     }
     assert scored[2]["ppl"] > scored[1]["ppl"]
     assert scored[2]["ppl"] > out[2]["ppl"]  # stranger under a foreign model
+
+
+def test_submit_pipeline_ppl_filter_stage(spark, tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    # 6 formulaic docs sharing bigrams + 2 gibberish docs with unique words:
+    # the LM filter must keep the formulaic ones and carry ppl columns out
+    common = "the cat sat on the mat and the dog ran to the mat"
+    docs = [(i, common + f" tail{i % 2}", "en") for i in range(6)] + [
+        (6, "qux zorp blen fira mond trell vask", "en"),
+        (7, "yilt prav skun dorm welx crag nibs", "en"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(inp)
+    out = str(tmp_path / "kept")
+
+    args = parse_args([
+        "--input", inp, "--output", out, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--ppl-keep-quantile", "0.75",
+    ])
+    summary = run_pipeline(spark, args)
+    kept = spark.read.parquet(out)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert {0, 1, 2, 3, 4, 5} <= kept_ids and 7 not in kept_ids
+    assert {"xent_bits", "ppl"} <= set(kept.columns)
+    assert summary["after_ppl_filter"] == len(kept_ids)
+
+    # absolute cut takes precedence and also orders correctly
+    args2 = parse_args([
+        "--input", inp, "--dry-run", "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--ppl-max", "1e9", "--ppl-train-lang", "en",
+    ])
+    summary2 = run_pipeline(spark, args2)
+    assert summary2["after_ppl_filter"] == 8  # huge cut keeps everything
