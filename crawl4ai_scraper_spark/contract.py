@@ -3210,6 +3210,116 @@ def lm_perplexity(spark, sf):
     )
 
 
+@_q(
+    "bpe_encode_ids",
+    _BPE_MERGES_SQL
+    + r""",
+p AS (SELECT freq, UNNEST(string_split(trim(s), '  ')) AS piece FROM ws3),
+c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY piece),
+v AS (SELECT piece, piece_id FROM (
+    SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT) AS piece_id
+    FROM c) WHERE piece_id <= 64),
+wp AS (SELECT word, CAST(r.i AS INT) AS ppos, t[CAST(r.i AS INT)] AS piece
+       FROM (SELECT word, string_split(trim(s), '  ') AS t FROM ws3),
+            UNNEST(range(1, len(t) + 1)) AS r(i)),
+tok AS (SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS word
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents) t,
+             UNNEST(range(1, len(toks) + 1)) AS r(pos)),
+enc AS (SELECT tok.doc_id, tok.pos, wp.ppos, COALESCE(v.piece_id, 0) AS pid
+        FROM tok JOIN wp ON wp.word = tok.word
+        LEFT JOIN v ON v.piece = wp.piece)
+SELECT doc_id AS id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       array_to_string(list(CAST(pid AS VARCHAR) ORDER BY pos, ppos), ',') AS ids_csv
+FROM enc GROUP BY doc_id""",
+)
+def bpe_encode_ids_q(spark, sf):
+    """Tokenize-to-ids under the TRAINED tokenizer (operators.bpe.
+    bpe_encode_ids over the 3-merge model + top-64 piece_vocab, unk_id=0):
+    the word -> id-array encode map is built at distinct-word volume (pieces
+    resolved against the broadcast vocabulary; tail pieces outside the top-V
+    become unk — exercised here since V=64 cuts the real piece set), then
+    broadcast into the document token stream with one per-doc reassembly
+    shuffle. The id arrays are joined to a CSV scalar for the driver's hash
+    (lists are unhashable in its canonicalizer); the char-fallback path for
+    serving-time OOV words is pytest-covered (the contract corpus is the
+    training corpus, so every word is in the model)."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    _, word_pieces = B.bpe_train(docs, "text", n_merges=3)
+    vocab = B.piece_vocab(word_pieces, vocab_size=64)
+    enc = B.bpe_encode_ids(docs, "text", "doc_id", word_pieces, vocab, unk_id=0)
+    return enc.select(
+        "id", "n_words", "n_pieces",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids_csv"),
+    )
+
+
+@_q(
+    "sequence_pack_ids",
+    r"""WITH tok AS (
+  SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents) t,
+       UNNEST(range(1, len(toks) + 1)) AS r(pos)
+), counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+vocab AS (
+  SELECT tok, tid FROM (
+    SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS tid
+    FROM counts) WHERE tid <= 30
+), enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+), n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM enc GROUP BY doc_id),
+c AS (SELECT doc_id,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM n),
+g AS (SELECT e.doc_id, c.cum_before + e.pos - 1 AS gp, e.tid
+      FROM enc e JOIN c USING (doc_id)),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM n)
+SELECT gp // 128 AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_filled,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       array_to_string(list(CAST(tid AS VARCHAR) ORDER BY gp), ',') AS ids_csv
+FROM g CROSS JOIN tot
+WHERE (gp // 128 + 1) * 128 <= t
+GROUP BY 1""",
+)
+def sequence_pack_ids_q(spark, sf):
+    """MATERIALIZED training sequences (operators.packing.pack_token_ids +
+    packed_sequences over vocab_encode ids, V=30, OOV=0, seq_len=128):
+    documents' id arrays laid end-to-end in doc_id order, exploded to global
+    token positions via the two-phase bucketed cumsum (bucket_size=64 so the
+    contract input crosses buckets), trailing partial sequence dropped via
+    the broadcast total (training-loader drop-last). The oracle's
+    single-partition SUM OVER window is the semantic spec the bucketed
+    cumsum must equal; each sequence's ids join to a CSV scalar for the
+    driver's hash."""
+    from crawl4ai_scraper_spark.operators.packing import (
+        pack_token_ids,
+        packed_sequences,
+    )
+
+    docs = _t(spark, sf, "documents")
+    vocab = T.vocab_build(docs, "text", vocab_size=30)
+    enc = T.vocab_encode(docs, "text", "doc_id", vocab, oov_id=0)
+    packed = pack_token_ids(enc, "id", "token_ids", seq_len=128, bucket_size=64)
+    seqs = packed_sequences(packed, "id", 128)
+    return seqs.select(
+        "seq_id",
+        F.size("token_ids").cast("long").alias("n_filled"),
+        "n_docs",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

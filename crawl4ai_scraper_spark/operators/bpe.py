@@ -375,3 +375,138 @@ def piece_vocab(word_pieces: DataFrame, vocab_size: int = 32768) -> DataFrame:
     return top.select(
         "piece", "cnt", F.row_number().over(w).cast("int").alias("piece_id")
     )
+
+
+def word_ids(
+    word_pieces: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Resolve a serving map's pieces to dense vocabulary ids — the
+    ``word → array<int>`` encode map an id-emitting segmenter broadcasts.
+
+    Runs entirely at distinct-word volume: explode each word's pieces with
+    position, broadcast-join the ≤V-row vocabulary, reassemble per word.
+    Pieces outside the vocabulary (the tail cut by ``piece_vocab``'s top-V)
+    become ``unk_id``. → (word, n_pieces, ids array<int>)."""
+    pieces = word_pieces.select(
+        "word",
+        F.posexplode(F.split(F.trim(F.col("syms")), _SEP)).alias("ppos", "piece"),
+    )
+    mapped = pieces.join(
+        F.broadcast(vocab.select("piece", "piece_id")), "piece", "left"
+    ).select(
+        "word",
+        "ppos",
+        F.coalesce(F.col("piece_id"), F.lit(unk_id)).cast("int").alias("pid"),
+    )
+    return mapped.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ppos", "pid"))),
+            lambda s: s["pid"],
+        ).alias("ids"),
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    word_pieces: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = 0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Encode documents to dense piece-id sequences under a trained model +
+    vocabulary → ``(id, n_words, n_pieces, token_ids array<int>)`` — the
+    tensor-ready output ``pack_token_ids`` lays into training sequences.
+
+    Same two-touch shape as ``bpe_segment``: the encode map is built at
+    DISTINCT-WORD volume (this corpus's own word table left-joined to the
+    serving map; unseen words fall back to their char segmentation before
+    the vocab lookup, so OOV resolution never runs at corpus volume), then
+    broadcast into the document token stream; the per-doc reassembly groupBy
+    is the one corpus-volume shuffle. Docs with no non-empty tokens have no
+    output row (``bpe_segment`` semantics)."""
+    model = word_pieces.select("word", F.trim(F.col("syms")).alias("_model_syms"))
+    if broadcast_model:
+        model = F.broadcast(model)
+    corpus_words = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    chars = F.expr(_CHARS_EXPR)
+    wseg = corpus_words.join(model, "word", "left").select(
+        "word",
+        F.coalesce(F.col("_model_syms"), F.array_join(chars, _SEP)).alias("syms"),
+    )
+    wmap = word_ids(wseg, vocab, unk_id=unk_id)
+    if broadcast_model:
+        wmap = F.broadcast(wmap)
+    stream = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    per_word = stream.join(wmap, "word").select("id", "pos", "n_pieces", "ids")
+    return per_word.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                lambda s: s["ids"],
+            )
+        ).alias("token_ids"),
+    )
+
+
+def save_tokenizer(path, merges, vocab) -> dict:
+    """Persist a trained tokenizer as a portable JSON artifact:
+    ``{"format": "bpe-tokenizer", "version": 1, "merges": [[a, b, cnt]...],
+    "vocab": [[piece, cnt, piece_id]...]}``. ``vocab`` may be the
+    ``piece_vocab`` DataFrame or pre-collected rows. The artifact is
+    driver-small (a 32k-merge model is ~1 MB); everything corpus-sized stays
+    in parquet."""
+    import json
+
+    if isinstance(vocab, DataFrame):
+        vocab = [
+            (r["piece"], int(r["cnt"]), int(r["piece_id"]))
+            for r in vocab.orderBy("piece_id").collect()
+        ]
+    doc = {
+        "format": "bpe-tokenizer",
+        "version": 1,
+        "merges": [[m[0], m[1], int(m[2]) if len(m) > 2 else 0] for m in merges],
+        "vocab": [[p, int(c), int(i)] for p, c, i in vocab],
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False)
+    return doc
+
+
+def load_tokenizer(path):
+    """Load a ``save_tokenizer`` artifact → ``(merges, vocab_rows)``.
+    Serving on a new corpus: ``apply_merges_arrow(word_syms(df, col),
+    merges)`` rebuilds the word→pieces map; ``vocab_frame`` lifts the
+    vocabulary back into a DataFrame for ``bpe_encode_ids``."""
+    import json
+
+    with open(path, "r", encoding="utf-8") as f:
+        doc = json.load(f)
+    if doc.get("format") != "bpe-tokenizer" or doc.get("version") != 1:
+        raise ValueError(f"not a v1 bpe-tokenizer artifact: {path}")
+    merges = [tuple(m) for m in doc["merges"]]
+    vocab = [tuple(v) for v in doc["vocab"]]
+    return merges, vocab
+
+
+def vocab_frame(spark, vocab_rows) -> DataFrame:
+    """(piece, cnt, piece_id) rows → the DataFrame shape ``piece_vocab``
+    emits (what ``word_ids``/``bpe_encode_ids`` consume)."""
+    return spark.createDataFrame(
+        [(p, int(c), int(i)) for p, c, i in vocab_rows],
+        "piece string, cnt long, piece_id int",
+    )

@@ -84,3 +84,71 @@ def sequence_pack(
         F.expr(f"cum_before DIV {seq_len}").alias("seq_id"),
         (F.col("cum_before") % seq_len).alias("offset_in_seq"),
     )
+
+
+def pack_token_ids(
+    enc: DataFrame,
+    id_col: str,
+    ids_col: str,
+    seq_len: int,
+    bucket_size: int = 1 << 16,
+    complete_only: bool = True,
+) -> DataFrame:
+    """MATERIALIZE the training sequences ``sequence_pack`` only lays out:
+    documents' token-id arrays (from ``vocab_encode`` / ``bpe_encode_ids``)
+    are laid end-to-end in ``id_col`` order and exploded to one row per
+    token position → ``(seq_id, pos_in_seq, token_id, <id_col>)``.
+
+    Global position = two-phase ``global_cumsum`` offset + the token's index
+    in its document — no whole-corpus window. ``complete_only`` keeps only
+    sequences with all ``seq_len`` positions filled (the trailing partial
+    sequence is dropped via a broadcast single-row total, the usual
+    drop-last of training loaders). Docs with empty id arrays contribute
+    nothing and never shift the layout."""
+    counted = enc.select(
+        F.col(id_col), F.col(ids_col).alias("_ids")
+    ).withColumn("n_tokens", F.size("_ids").cast("long"))
+    c = global_cumsum(
+        counted.filter(F.col("n_tokens") > 0),
+        id_col,
+        "n_tokens",
+        bucket_size=bucket_size,
+    )
+    ex = c.select(
+        F.col(id_col),
+        "cum_before",
+        F.posexplode("_ids").alias("pos", "token_id"),
+    )
+    gp = F.col("cum_before") + F.col("pos")
+    out = ex.select(
+        F.expr(f"(cum_before + pos) DIV {seq_len}").alias("seq_id"),
+        (gp % seq_len).cast("long").alias("pos_in_seq"),
+        F.col("token_id").cast("int").alias("token_id"),
+        F.col(id_col),
+    )
+    if complete_only:
+        tot = counted.agg(F.sum("n_tokens").alias("_tot"))
+        out = (
+            out.crossJoin(F.broadcast(tot))
+            .filter((F.col("seq_id") + 1) * seq_len <= F.col("_tot"))
+            .drop("_tot")
+        )
+    return out
+
+
+def packed_sequences(
+    packed: DataFrame,
+    id_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Collapse ``pack_token_ids`` rows to one row per training sequence →
+    ``(seq_id, n_docs, token_ids array<int>)`` — the tensor the training
+    loader reads. One groupBy over seq_id (uniform keys, ≤ seq_len rows per
+    group); position order restored by the in-group array sort."""
+    return packed.groupBy("seq_id").agg(
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos_in_seq", "token_id"))),
+            lambda s: s["token_id"],
+        ).alias("token_ids"),
+    )

@@ -28,8 +28,14 @@ iterative cluster step):
      signals (pure projection)
   6. optional BPE tokenization (--bpe-merges: distributed word count +
      driver-side merge learning, Arrow re-segmentation, broadcast serving
-     map → n_pieces / pieces columns on the survivors)
-  7. parquet write + one-line JSON summary on stdout
+     map → n_pieces / pieces columns on the survivors; --bpe-load reuses a
+     saved tokenizer instead of training; --bpe-save persists merges +
+     piece vocabulary as a portable JSON artifact; --bpe-encode appends
+     dense-id token_ids under the piece vocabulary)
+  7. optional sequence packing (--pack-seq-len L: the encoded corpus laid
+     end-to-end into L-token drop-last training sequences via the two-phase
+     global cumsum → a second (seq_id, n_docs, token_ids) parquet output)
+  8. parquet write + one-line JSON summary on stdout
 
 The stage order is the cost-correct one for 100 TB: the cheap filters first
 (shrinks everything downstream), exact dedup before near-dup (shrinks the
@@ -93,6 +99,24 @@ def parse_args(argv=None):
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
                    help="learn N BPE merges on the surviving corpus and "
                         "append (n_pieces, pieces) subword columns")
+    p.add_argument("--bpe-load", metavar="TOK.json",
+                   help="skip training: segment/encode under a saved "
+                        "tokenizer artifact (see --bpe-save)")
+    p.add_argument("--bpe-save", metavar="TOK.json",
+                   help="persist the trained tokenizer (merges + piece "
+                        "vocabulary) as a portable JSON artifact")
+    p.add_argument("--bpe-vocab-size", type=int, default=32768,
+                   help="piece-vocabulary size for --bpe-save/--bpe-encode "
+                        "(default 32768)")
+    p.add_argument("--bpe-encode", action="store_true",
+                   help="also append dense-id columns (n_bpe_pieces, "
+                        "token_ids) under the trained/loaded tokenizer")
+    p.add_argument("--pack-seq-len", type=int, default=0, metavar="L",
+                   help="with --bpe-encode: pack the encoded corpus into "
+                        "L-token training sequences (drop-last)")
+    p.add_argument("--pack-output", metavar="DIR",
+                   help="where the packed (seq_id, n_docs, token_ids) "
+                        "sequences land (default <output>_sequences)")
     p.add_argument("--split", action="store_true",
                    help="append a deterministic train/validation/test column")
     p.add_argument("--val-rate", type=float, default=0.01)
@@ -217,15 +241,28 @@ def run_pipeline(spark, args):
         T.symbol_word_ratio(F.col(tc)).alias("symbol_ratio"),
     )
 
-    if args.bpe_merges:
+    packed_out = None
+    if args.bpe_merges or args.bpe_load:
         from crawl4ai_scraper_spark.operators import bpe as B
 
         # the surviving corpus is consumed three times below (word count,
         # serving map, segmentation join-back) — cut the filter/dedup/
         # cluster lineage once instead of recomputing it per consumer
         enriched = enriched.persist()
-        merges = B.bpe_train_local(enriched, tc, n_merges=args.bpe_merges)
+        vocab = None
+        if args.bpe_load:
+            merges, vocab_rows = B.load_tokenizer(args.bpe_load)
+            vocab = B.vocab_frame(spark, vocab_rows)
+            summary["bpe_artifact"] = args.bpe_load
+        else:
+            merges = B.bpe_train_local(enriched, tc, n_merges=args.bpe_merges)
+            summary["bpe_merges_learned"] = len(merges)
         serving = B.apply_merges_arrow(B.word_syms(enriched, tc), merges)
+        if (args.bpe_save or args.bpe_encode or args.pack_seq_len) and vocab is None:
+            vocab = B.piece_vocab(serving, vocab_size=args.bpe_vocab_size)
+        if args.bpe_save:
+            B.save_tokenizer(args.bpe_save, merges, vocab)
+            summary["bpe_artifact"] = args.bpe_save
         seg = B.bpe_segment(enriched, tc, ic, serving).select(
             F.col("id").alias(ic), "n_pieces", "pieces"
         )
@@ -234,15 +271,35 @@ def run_pipeline(spark, args):
         enriched = enriched.join(seg, ic, "left").withColumn(
             "n_pieces", F.coalesce(F.col("n_pieces"), F.lit(0))
         )
-        summary["bpe_merges_learned"] = len(merges)
+        if args.bpe_encode or args.pack_seq_len:
+            enc = B.bpe_encode_ids(enriched, tc, ic, serving, vocab, unk_id=0)
+            enriched = enriched.join(
+                enc.select(F.col("id").alias(ic), "token_ids"), ic, "left"
+            )
+            if args.pack_seq_len:
+                from crawl4ai_scraper_spark.operators.packing import (
+                    pack_token_ids,
+                    packed_sequences,
+                )
+
+                packed = pack_token_ids(enc, "id", "token_ids",
+                                        seq_len=args.pack_seq_len)
+                packed_out = packed_sequences(packed, "id", args.pack_seq_len)
 
     if args.dry_run:
         enriched.explain("formatted")
+        if packed_out is not None:
+            packed_out.explain("formatted")
     else:
         enriched.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         summary["output_rows"] = out.count()
         summary["output_path"] = args.output
+        if packed_out is not None:
+            pdir = args.pack_output or args.output.rstrip("/") + "_sequences"
+            packed_out.write.mode("overwrite").parquet(pdir)
+            summary["sequences_written"] = spark.read.parquet(pdir).count()
+            summary["sequences_path"] = pdir
     return summary
 
 

@@ -1866,3 +1866,114 @@ def test_submit_pipeline_ppl_filter_stage(spark, tmp_path):
     ])
     summary2 = run_pipeline(spark, args2)
     assert summary2["after_ppl_filter"] == 8  # huge cut keeps everything
+
+
+def test_bpe_encode_ids_artifact_roundtrip_and_oov(spark, tmp_path):
+    from crawl4ai_scraper_spark.operators import bpe as B
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer lowest")],
+        "doc_id long, text string",
+    )
+    merges, wp = B.bpe_train(train, "text", n_merges=3)
+    vocab = B.piece_vocab(wp, vocab_size=6)  # cuts the tail -> unk path live
+    enc = {r["id"]: r for r in
+           B.bpe_encode_ids(train, "text", "doc_id", wp, vocab).collect()}
+    assert enc[1]["n_words"] == 5 and enc[1]["n_pieces"] == len(enc[1]["token_ids"])
+
+    # artifact round-trip: loaded merges + vocab reproduce the encoding
+    art = str(tmp_path / "tok.json")
+    B.save_tokenizer(art, merges, vocab)
+    m2, v2 = B.load_tokenizer(art)
+    assert [tuple(m) for m in m2] == [tuple(m) for m in merges]
+    serving2 = B.apply_merges_arrow(B.word_syms(train, "text"), m2)
+    enc2 = {r["id"]: r for r in
+            B.bpe_encode_ids(train, "text", "doc_id", serving2,
+                             B.vocab_frame(spark, v2)).collect()}
+    for i in enc:
+        assert enc2[i]["token_ids"] == enc[i]["token_ids"]
+
+    # serving-time OOV word -> char fallback, chars resolved via the vocab
+    serve = spark.createDataFrame([(9, "low lox")], "doc_id long, text string")
+    out = {r["id"]: r for r in
+           B.bpe_encode_ids(serve, "text", "doc_id", wp, vocab).collect()}
+    vmap = {r["piece"]: r["piece_id"] for r in vocab.collect()}
+    # "lox" is not in the model: chars l/o/x, none in the tiny vocab -> unk 0
+    assert out[9]["token_ids"] == [vmap["low"], 0, 0, 0]
+    assert out[9]["n_words"] == 2 and out[9]["n_pieces"] == 4
+
+    # bad artifact rejected
+    (tmp_path / "bad.json").write_text('{"format": "other"}')
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        B.load_tokenizer(str(tmp_path / "bad.json"))
+
+
+def test_pack_token_ids_layout_properties(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.packing import (
+        pack_token_ids,
+        packed_sequences,
+    )
+
+    rows = [(i, list(range(i * 100, i * 100 + n)))
+            for i, n in [(0, 5), (1, 0), (2, 7), (3, 1), (4, 11)]]
+    enc = spark.createDataFrame(rows, "id long, token_ids array<int>")
+    flat = [t for _, ids in sorted(rows) for t in ids]  # 24 tokens
+
+    packed = pack_token_ids(enc, "id", "token_ids", seq_len=5, bucket_size=2)
+    got = sorted((r["seq_id"], r["pos_in_seq"], r["token_id"])
+                 for r in packed.collect())
+    # drop-last: 24 tokens -> 4 complete sequences of 5
+    assert got == [(g // 5, g % 5, t) for g, t in enumerate(flat[:20])]
+
+    seqs = {r["seq_id"]: (r["n_docs"], r["token_ids"])
+            for r in packed_sequences(packed, "id", 5).collect()}
+    assert seqs[1][1] == flat[5:10]
+    assert seqs[2][0] == 3  # docs 2 (tail), 3, and 4 (head) share sequence 2
+
+    # complete_only=False keeps the 4-token tail
+    tail = pack_token_ids(enc, "id", "token_ids", seq_len=5, bucket_size=2,
+                          complete_only=False)
+    assert tail.count() == 24
+    assert tail.agg(F.max("seq_id")).first()[0] == 4
+
+
+def test_submit_pipeline_bpe_artifact_and_packing(spark, tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    docs = [(i, "low lower lowest new newer " + ("alpha beta " * (i % 3 + 1)).strip())
+            for i in range(8)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    art = str(tmp_path / "tok.json")
+
+    # train + save + encode + pack in one job
+    out1 = str(tmp_path / "out1")
+    s1 = run_pipeline(spark, parse_args([
+        "--input", inp, "--output", out1, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--bpe-merges", "3", "--bpe-save", art,
+        "--bpe-vocab-size", "16", "--bpe-encode", "--pack-seq-len", "8",
+    ]))
+    assert s1["bpe_merges_learned"] == 3 and s1["bpe_artifact"] == art
+    kept1 = spark.read.parquet(out1)
+    assert {"n_pieces", "pieces", "token_ids"} <= set(kept1.columns)
+    seqs = spark.read.parquet(s1["sequences_path"])
+    total = kept1.selectExpr("sum(size(token_ids))").first()[0]
+    assert s1["sequences_written"] == seqs.count() == total // 8
+    assert seqs.selectExpr("max(size(token_ids))").first()[0] == 8
+
+    # second corpus encoded under the LOADED artifact — no training stage
+    out2 = str(tmp_path / "out2")
+    s2 = run_pipeline(spark, parse_args([
+        "--input", inp, "--output", out2, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--bpe-load", art, "--bpe-encode",
+    ]))
+    assert "bpe_merges_learned" not in s2 and s2["bpe_artifact"] == art
+    a = {r["doc_id"]: r["token_ids"] for r in kept1.collect()}
+    b = {r["doc_id"]: r["token_ids"]
+         for r in spark.read.parquet(out2).collect()}
+    assert a == b  # same corpus + same artifact -> identical ids
