@@ -136,6 +136,8 @@ QUERY_NAMES = [
     "cdx_fetch_candidates",
     "wet_roundtrip_fidelity",
     "lm_perplexity",
+    "bpe_encode_ids",
+    "sequence_pack_ids",
 ]
 
 

@@ -3320,6 +3320,35 @@ def sequence_pack_ids_q(spark, sf):
     )
 
 
+@_q(
+    "weighted_sample",
+    r"""WITH s AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST('0x' || substr(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) + 1.0) / 281474976710656.0)
+             / (CAST(n_chars AS DOUBLE) + 1.0) AS samp_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) + 1.0 > 0)
+SELECT doc_id, n_chars, ROUND(samp_key, 6) AS samp_key
+FROM s ORDER BY s.samp_key, doc_id LIMIT 50""",
+)
+def weighted_sample_q(spark, sf):
+    """Deterministic weighted sampling without replacement (textops.
+    weighted_sample — Efraimidis-Spirakis A-Res, length-weighted here):
+    every doc draws u from its md5 digest (first 12 hex digits, so the draw
+    is engine-reproducible) and ranks by -ln(u)/weight; the 50 smallest keys
+    win via TakeOrderedAndProject — per-partition heaps, no global sort, no
+    RNG state. The oracle replays the identical digest -> u -> key math;
+    keys rounded to 6dp for the hash (selection uses the unrounded key on
+    both sides)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    out = T.weighted_sample(
+        docs, "doc_id", F.col("n_chars").cast("double") + F.lit(1.0), k=50,
+        salt="w1",
+    )
+    return out.select("doc_id", "n_chars", F.round("samp_key", 6).alias("samp_key"))
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -93,6 +93,7 @@ def pack_token_ids(
     seq_len: int,
     bucket_size: int = 1 << 16,
     complete_only: bool = True,
+    eos_id: int | None = None,
 ) -> DataFrame:
     """MATERIALIZE the training sequences ``sequence_pack`` only lays out:
     documents' token-id arrays (from ``vocab_encode`` / ``bpe_encode_ids``)
@@ -103,10 +104,20 @@ def pack_token_ids(
     in its document — no whole-corpus window. ``complete_only`` keeps only
     sequences with all ``seq_len`` positions filled (the trailing partial
     sequence is dropped via a broadcast single-row total, the usual
-    drop-last of training loaders). Docs with empty id arrays contribute
+    drop-last of training loaders). ``eos_id`` appends a document separator
+    to every doc's ids before layout (GPT-style packing; the EOS position is
+    attributed to its document). Docs with empty id arrays contribute
     nothing and never shift the layout."""
+    ids = F.col(ids_col)
+    if eos_id is not None:
+        # only docs that contribute tokens get a separator — an empty doc
+        # must not materialize as a lone EOS
+        ids = F.when(
+            F.size(ids) > 0,
+            F.concat(ids, F.array(F.lit(int(eos_id)).cast("int"))),
+        ).otherwise(ids)
     counted = enc.select(
-        F.col(id_col), F.col(ids_col).alias("_ids")
+        F.col(id_col), ids.alias("_ids")
     ).withColumn("n_tokens", F.size("_ids").cast("long"))
     c = global_cumsum(
         counted.filter(F.col("n_tokens") > 0),

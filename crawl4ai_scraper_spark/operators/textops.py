@@ -1058,3 +1058,43 @@ def bigram_lm_perplexity(
         )
         .withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("xent_bits")), 4))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "w1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — Efraimidis-
+    Spirakis A-Res: each row draws u from its md5 digest and ranks by
+    ``-ln(u) / w``; the k smallest keys win. Rows with higher weight draw
+    systematically smaller keys, giving exactly the
+    weight-proportional-without-replacement distribution (quality-weighted
+    corpus subsetting, importance-sampled eval slices) while staying
+    engine-reproducible: u = (first 12 md5 hex digits + 1) / 2^48, so the
+    same (salt, key) always draws the same u in any engine.
+
+    The top-k is orderBy+limit — TakeOrderedAndProject, per-partition heaps,
+    no global sort; the digest math is a pure projection. Rows with NULL or
+    non-positive weight never qualify. → input columns + ``samp_key``."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 48))
+    key = -F.log(u) / weight
+    return (
+        df.filter(weight.isNotNull() & (weight > 0))
+        .withColumn("samp_key", key)
+        .orderBy("samp_key", key_col)
+        .limit(k)
+    )

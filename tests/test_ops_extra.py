@@ -1977,3 +1977,53 @@ def test_submit_pipeline_bpe_artifact_and_packing(spark, tmp_path):
     b = {r["doc_id"]: r["token_ids"]
          for r in spark.read.parquet(out2).collect()}
     assert a == b  # same corpus + same artifact -> identical ids
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.textops import weighted_sample
+
+    rows = [(i, 1.0) for i in range(40)] + [(100, 5000.0), (101, None), (102, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    picks = weighted_sample(df, "doc_id", F.col("w"), k=8, salt="sA")
+    ids = [r["doc_id"] for r in picks.collect()]
+    again = [r["doc_id"] for r in
+             weighted_sample(df, "doc_id", F.col("w"), k=8, salt="sA").collect()]
+    assert ids == again                       # fully deterministic
+    assert 100 in ids                         # 5000x weight dominates k=8
+    assert 101 not in ids and 102 not in ids  # null / non-positive excluded
+    assert len(ids) == 8 == len(set(ids))     # without replacement
+
+    # different salt -> a genuinely different (but still deterministic) draw
+    other = [r["doc_id"] for r in
+             weighted_sample(df, "doc_id", F.col("w"), k=8, salt="sB").collect()]
+    assert set(other) != set(ids)
+
+    # the heavy row wins across many independent draws; uniform rows rotate
+    hits = sum(
+        100 in {r["doc_id"] for r in
+                weighted_sample(df, "doc_id", F.col("w"), k=2, salt=f"s{i}").collect()}
+        for i in range(12)
+    )
+    assert hits >= 11  # P(miss) per draw is ~(41/5041)^2-scale tiny
+
+
+def test_pack_token_ids_eos_separator(spark):
+    from crawl4ai_scraper_spark.operators.packing import (
+        pack_token_ids,
+        packed_sequences,
+    )
+
+    rows = [(0, [1, 2, 3]), (1, []), (2, [4, 5])]
+    enc = spark.createDataFrame(rows, "id long, token_ids array<int>")
+    packed = pack_token_ids(enc, "id", "token_ids", seq_len=7, bucket_size=2,
+                            eos_id=99, complete_only=False)
+    seqs = {r["seq_id"]: r["token_ids"]
+            for r in packed_sequences(packed, "id", 7).collect()}
+    # doc 0 + EOS, (empty doc 1 contributes NOTHING — no lone EOS), doc 2 + EOS
+    assert seqs == {0: [1, 2, 3, 99, 4, 5, 99]}
+    # EOS positions are attributed to their documents
+    owner = {(r["seq_id"], r["pos_in_seq"]): r["id"] for r in packed.collect()}
+    assert owner[(0, 3)] == 0 and owner[(0, 6)] == 2
