@@ -162,6 +162,26 @@ def main():
         plan_of(contract.queries()["bpe_segment"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Sequence packing — two-phase global cumsum, no whole-corpus window",
+        "pack_token_ids lays every doc's id array at an exact global token "
+        "position. The plan's ONLY unpartitioned ordering windows run over "
+        "BUCKET IDS (corpus/65536 rows) and the ≤V-row vocab; the within-bucket "
+        "cumsum window is partitioned by _b so no task ever sorts more than "
+        "bucket_size rows. The drop-last cut is a broadcast single-row total "
+        "(BroadcastNestedLoopJoin over 1 row), never a recount per partition.",
+        plan_of(contract.queries()["sequence_pack_ids"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Weighted sampling — digest math in the scan, top-k without a sort",
+        "weighted_sample ranks by -ln(u)/w with u drawn from md5 — a pure "
+        "projection evaluated inside the scan stage — and takes the k smallest "
+        "via TakeOrderedAndProject: per-partition heaps, ZERO exchanges, no RNG "
+        "state to coordinate across executors.",
+        plan_of(contract.queries()["weighted_sample"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",

@@ -24,6 +24,9 @@ iterative cluster step):
   3. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
   4. near-dup MinHash-LSH → connected components → keep-one-per-cluster
      (band equi-join carries ids only; min-label propagation rounds)
+  4b. quality-weighted subsetting   (--weighted-sample-k: deterministic
+     Efraimidis-Spirakis K-doc sample, quality-proportional, after dedup
+     so duplicates can't buy extra tickets)
   5. enrichment: lang-ID, quality, token counts, fingerprint, repetition
      signals (pure projection)
   6. optional BPE tokenization (--bpe-merges: distributed word count +
@@ -117,6 +120,11 @@ def parse_args(argv=None):
     p.add_argument("--pack-output", metavar="DIR",
                    help="where the packed (seq_id, n_docs, token_ids) "
                         "sequences land (default <output>_sequences)")
+    p.add_argument("--weighted-sample-k", type=int, default=0, metavar="K",
+                   help="after dedup, keep a K-doc quality-weighted sample "
+                        "(Efraimidis-Spirakis without replacement; "
+                        "deterministic — same salt, same subset)")
+    p.add_argument("--weighted-sample-salt", default="w1")
     p.add_argument("--split", action="store_true",
                    help="append a deterministic train/validation/test column")
     p.add_argument("--val-rate", type=float, default=0.01)
@@ -223,6 +231,18 @@ def run_pipeline(spark, args):
             .withColumnRenamed("text_stripped", tc)
         )
         summary["after_strip_spans"] = docs.count()
+
+    if args.weighted_sample_k:
+        # quality-weighted corpus subsetting (Efraimidis-Spirakis without
+        # replacement): higher-quality docs are proportionally likelier to
+        # survive, but no hard cutoff — the long tail keeps diversity. Runs
+        # after dedup so duplicates can't buy extra tickets.
+        kept = T.weighted_sample(
+            docs, ic, T.quality_score(F.col(tc)) + F.lit(1e-3),
+            k=args.weighted_sample_k, salt=args.weighted_sample_salt,
+        )
+        docs = docs.join(kept.select(ic), ic)
+        summary["after_weighted_sample"] = docs.count()
 
     if args.split:
         docs = T.dataset_split(docs, ic, val_rate=args.val_rate,

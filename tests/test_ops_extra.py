@@ -2027,3 +2027,34 @@ def test_pack_token_ids_eos_separator(spark):
     # EOS positions are attributed to their documents
     owner = {(r["seq_id"], r["pos_in_seq"]): r["id"] for r in packed.collect()}
     assert owner[(0, 3)] == 0 and owner[(0, 6)] == 2
+
+
+def test_submit_pipeline_weighted_sample_stage(spark, tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    docs = [(i, f"a readable sentence with enough words to score well {i}")
+            for i in range(30)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "kept")
+
+    args = parse_args([
+        "--input", inp, "--output", out, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--weighted-sample-k", "10",
+    ])
+    summary = run_pipeline(spark, args)
+    kept = spark.read.parquet(out)
+    assert summary["after_weighted_sample"] == 10 == kept.count()
+
+    # deterministic: a re-run with the same salt keeps the same subset
+    out2 = str(tmp_path / "kept2")
+    args2 = parse_args([
+        "--input", inp, "--output", out2, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--weighted-sample-k", "10",
+    ])
+    run_pipeline(spark, args2)
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert a == b

@@ -303,3 +303,36 @@ def test_bpe_segment_broadcasts_model_map(spark):
     wp = B.apply_merges(B.word_syms(docs, "text"), merges)
     plan = _plan(B.bpe_segment(docs, "text", "doc_id", wp))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_token_ids_no_corpus_volume_window(spark):
+    """Every ordering window in the packing plan must be either partitioned
+    (within-bucket cumsum over _b) or over bucket ids — never an
+    unpartitioned window over corpus-volume rows; the drop-last total must
+    arrive by broadcast."""
+    from crawl4ai_scraper_spark.operators.packing import pack_token_ids
+
+    enc = spark.range(2000).select(
+        F.col("id"),
+        F.sequence(F.lit(1), (F.col("id") % 7 + 1).cast("int")).alias("token_ids"),
+    )
+    plan = _plan(pack_token_ids(enc, "id", "token_ids", seq_len=64))
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # unpartitioned windows are allowed only over the bucket-id frame
+        # (its ordering column is the DIV-derived _b)
+        assert "_b#" in spec, spec
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_weighted_sample_takeordered_zero_exchange(spark):
+    """Digest → key math is a scan-side projection; the top-k is
+    TakeOrderedAndProject (per-partition heaps) with no Exchange at all."""
+    from crawl4ai_scraper_spark.operators.textops import weighted_sample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).cast("double").alias("w")
+    )
+    plan = _plan(weighted_sample(docs, "doc_id", F.col("w"), k=25))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
