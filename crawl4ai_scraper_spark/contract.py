@@ -3349,6 +3349,63 @@ def weighted_sample_q(spark, sf):
     return out.select("doc_id", "n_chars", F.round("samp_key", 6).alias("samp_key"))
 
 
+@_q(
+    "host_trap_stats",
+    r"""WITH u AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CASE WHEN doc_id % 5 = 0
+              THEN '/cal/2024/' || CAST(doc_id AS VARCHAR)
+              ELSE '/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) END AS path,
+         CASE WHEN doc_id % 5 = 0 THEN 'trap page content' ELSE text END AS body
+  FROM documents
+), t AS (
+  SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS tpl, md5(body) AS th
+  FROM u
+), a AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT tpl) AS BIGINT) AS n_templates,
+         CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts
+  FROM t GROUP BY host)
+SELECT host, n_urls, n_templates, n_distinct_texts,
+       ROUND(n_urls / n_templates, 4) AS urls_per_template,
+       ROUND(1.0 - n_distinct_texts / n_urls, 4) AS dup_content_ratio,
+       (n_urls >= 20 AND ROUND(n_urls / n_templates, 4) > 10.0
+        AND ROUND(1.0 - n_distinct_texts / n_urls, 4) > 0.5) AS trap_suspect
+FROM a""",
+)
+def host_trap_stats_q(spark, sf):
+    """Statistical per-host trap detection (plans.politeness.
+    host_trap_stats) over a deterministically trap-seeded frontier: host h0
+    serves a calendar-style URL space (digit-normalized templates collapse
+    to ONE) with duplicated content, the other hosts mint hash-distinct
+    paths with their real texts. Template + content hash are scan-speed
+    projections; ONE host-keyed groupBy (shared Expand for the two exact
+    distinct counts) yields urls_per_template and dup_content_ratio, and
+    ``trap_suspect`` composes them — the behavioral complement to the
+    per-URL hygiene_flags heuristics, feeding url_blocklist_filter."""
+    from crawl4ai_scraper_spark.plans.politeness import host_trap_stats
+
+    docs = _t(spark, sf, "documents")
+    is_trap = F.col("doc_id") % 5 == 0
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example"))
+    path = F.when(
+        is_trap,
+        F.concat(F.lit("/cal/2024/"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/"),
+                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6))
+    )
+    frame = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        F.when(is_trap, F.lit("trap page content")).otherwise(F.col("text"))
+        .alias("body"),
+    )
+    return host_trap_stats(frame, "host", "url", "body")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

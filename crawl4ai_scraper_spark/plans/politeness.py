@@ -499,3 +499,67 @@ def url_blocklist_filter(
     if spam_threshold is not None:
         out = out.filter(F.col("spam_score") < F.lit(spam_threshold))
     return out.drop("_host")
+
+
+def host_trap_stats(
+    df: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    min_urls: int = 20,
+    max_urls_per_template: float = 10.0,
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """STATISTICAL trap detection per host — the behavioral complement to
+    ``hygiene_flags``'s per-URL heuristics. A calendar/faceted/session-id
+    trap looks like: many URLs that collapse to few path TEMPLATES
+    (digit runs normalized to 'N') while serving near-identical content.
+    Per host over already-visited pages:
+
+      urls_per_template = n_urls / n_templates      (URL-space explosion)
+      dup_content_ratio = 1 - n_distinct_texts/n    (content productivity)
+
+    ``trap_suspect`` fires when a host minted ≥ ``min_urls`` URLs AND both
+    signals cross their thresholds — feed it into the frontier as a
+    blocklist (``url_blocklist_filter``) or a negative priority, the same
+    way ``host_reputation`` feeds the positive one.
+
+    Scale shape: template + content hash are pure projections at scan
+    speed; ONE groupBy on the host key computes all counts (the two exact
+    distinct aggregates share the single Expand pass — constant-factor,
+    map-side combined, no skew beyond the host key itself). text never
+    shuffles — only its md5."""
+    path = F.regexp_replace(
+        F.regexp_replace(F.col(url_col), "^[a-z]+://[^/]*", ""), "[?#].*$", ""
+    )
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    per = df.select(
+        F.col(host_col).alias("host"),
+        template.alias("_tpl"),
+        F.md5(F.col(text_col)).alias("_th"),
+    )
+    n = F.count(F.lit(1))
+    n_tpl = F.countDistinct(F.col("_tpl"))
+    n_txt = F.countDistinct(F.col("_th"))
+    agg = per.groupBy("host").agg(
+        n.alias("n_urls"),
+        n_tpl.alias("n_templates"),
+        n_txt.alias("n_distinct_texts"),
+    )
+    upt = F.round(F.col("n_urls") / F.col("n_templates"), 4)
+    dup = F.round(
+        F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_urls"), 4
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        "n_distinct_texts",
+        upt.alias("urls_per_template"),
+        dup.alias("dup_content_ratio"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (upt > max_urls_per_template)
+            & (dup > max_dup_ratio)
+        ).alias("trap_suspect"),
+    )

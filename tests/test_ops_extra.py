@@ -2058,3 +2058,39 @@ def test_submit_pipeline_weighted_sample_stage(spark, tmp_path):
     a = {r.doc_id for r in kept.collect()}
     b = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert a == b
+
+
+def test_host_trap_stats_flags_trap_and_feeds_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.plans.politeness import (
+        host_trap_stats,
+        url_blocklist_filter,
+    )
+
+    # trap.example mints 40 calendar URLs all serving the same page;
+    # good.example has 40 genuinely distinct pages
+    rows = [(f"https://trap.example/cal/2024/{i}", "trap.example", "same page")
+            for i in range(40)]
+    rows += [(f"https://good.example/art-{chr(97 + i % 26)}{i}", "good.example",
+              f"article body {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "url string, host string, text string")
+
+    stats = {r["host"]: r for r in
+             host_trap_stats(df, "host", "url", "text").collect()}
+    assert stats["trap.example"]["trap_suspect"]
+    assert stats["trap.example"]["n_templates"] == 1
+    assert stats["trap.example"]["dup_content_ratio"] > 0.9
+    assert not stats["good.example"]["trap_suspect"]
+
+    # the suspect frame feeds the frontier blocklist directly
+    blocked = (
+        host_trap_stats(df, "host", "url", "text")
+        .filter(F.col("trap_suspect")).select("host")
+    )
+    survivors = url_blocklist_filter(
+        df.select("url"), "url", blocked_hosts=blocked
+    )
+    hosts_left = {r[0] for r in survivors.select(
+        F.regexp_extract("url", "^[a-z]+://([^/]+)", 1)).distinct().collect()}
+    assert hosts_left == {"good.example"}

@@ -336,3 +336,27 @@ def test_weighted_sample_takeordered_zero_exchange(spark):
     plan = _plan(weighted_sample(docs, "doc_id", F.col("w"), k=25))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_host_trap_stats_single_host_exchange(spark):
+    """Template/content-hash are projections; the only exchanges belong to
+    the single host-keyed aggregate (Expand pass shared by the two exact
+    distinct counts) — html/text itself never shuffles, only its md5."""
+    from crawl4ai_scraper_spark.plans.politeness import host_trap_stats
+
+    df = spark.range(200).select(
+        F.concat(F.lit("h"), (F.col("id") % 4).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("id") % 4).cast("string"),
+                 F.lit(".ex/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+    )
+    out = host_trap_stats(df, "host", "url", "text")
+    plan = _plan(out)
+    assert "Expand" in plan
+    # text reaches no Exchange: every exchange carries only host/tpl/md5 cols
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+    r = {x["host"]: x for x in out.collect()}
+    assert r["h0"]["n_urls"] == 50 and r["h0"]["n_templates"] == 1
+    assert not r["h0"]["trap_suspect"]  # distinct bodies -> low dup ratio
