@@ -105,6 +105,17 @@ class CrawlJobConfig:
     # frame comes in via run_crawl(blocked_hosts=...). Default off — parity
     # with the reference is defined without it.
     url_spam_threshold: float = 0.0
+    # Statistical trap screening (plans/politeness.template_trap_stats):
+    # when on, each FUSED round's visited pages feed the per-(host,
+    # path-template) duplicate-content signal, and flagged templates are
+    # anti-joined out of the candidate stream in every later round —
+    # template grain, because the same-domain gate puts most traps ON the
+    # host being crawled. Default off — parity with the reference is
+    # defined without it (and non-fused rounds carry no content to
+    # fingerprint).
+    trap_screen: bool = False
+    trap_min_urls: int = 20
+    trap_max_dup_ratio: float = 0.5
 
     def dump(self, path: Path) -> None:
         path.parent.mkdir(parents=True, exist_ok=True)

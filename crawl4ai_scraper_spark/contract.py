@@ -3406,6 +3406,66 @@ def host_trap_stats_q(spark, sf):
     return host_trap_stats(frame, "host", "url", "body")
 
 
+@_q(
+    "template_trap_stats",
+    r"""WITH u AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CASE WHEN doc_id % 3 = 0 THEN '/cal/2024/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN '/tag/' || CAST(doc_id AS VARCHAR)
+              ELSE '/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) END AS path,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'event listing for 2024/' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS body
+  FROM documents
+), t AS (
+  SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS tpl,
+         md5(regexp_replace(body, '[0-9]+', 'N', 'g')) AS th
+  FROM u
+), a AS (
+  SELECT host, tpl, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts
+  FROM t GROUP BY host, tpl)
+SELECT host, tpl, n_urls, n_distinct_texts,
+       ROUND(1.0 - n_distinct_texts / n_urls, 4) AS dup_content_ratio,
+       (n_urls >= 20 AND ROUND(1.0 - n_distinct_texts / n_urls, 4) > 0.5)
+           AS trap_suspect
+FROM a""",
+)
+def template_trap_stats_q(spark, sf):
+    """Trap detection at the (host, path-template) grain — the unit the
+    LIVE crawl screens on (plans.politeness.template_trap_stats, wired into
+    run_crawl via cfg.trap_screen → run_round(blocked_templates=...)). The
+    content fingerprint gets the same digit-collapse as the URL template,
+    so calendar pages that echo their own date into the body collapse to
+    one fingerprint while the /tag/N pages carrying real distinct texts do
+    not. One (host, tpl)-keyed groupBy; text never shuffles — only its
+    normalized md5."""
+    from crawl4ai_scraper_spark.plans.politeness import template_trap_stats
+
+    docs = _t(spark, sf, "documents")
+    m3 = F.col("doc_id") % 3
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example"))
+    path = (
+        F.when(m3 == 0, F.concat(F.lit("/cal/2024/"),
+                                 F.col("doc_id").cast("string")))
+        .when(m3 == 1, F.concat(F.lit("/tag/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(
+            F.lit("/"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)))
+    )
+    body = F.when(
+        m3 == 0,
+        F.concat(F.lit("event listing for 2024/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    frame = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        body.alias("body"),
+    )
+    return template_trap_stats(frame, "host", "url", "body")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -46,7 +46,7 @@ from crawl4ai_scraper_spark.plans.checkpoint import (
     reset_checkpoint,
 )
 from crawl4ai_scraper_spark.plans.frontier import run_round
-from crawl4ai_scraper_spark.plans.politeness import virtual_schedule
+from crawl4ai_scraper_spark.plans.politeness import template_trap_stats, virtual_schedule
 from crawl4ai_scraper_spark.sources.pages import DEFAULT_PBUCKETS, with_pbucket
 
 RUN_TS_ISO = "2025-01-01T00:00:00"  # virtual clock epoch: reproducible crawled_at
@@ -186,6 +186,13 @@ def run_crawl(
     # (filter, capacity, enqueued-count covered) — bloom-family URL-seen
     # filter maintained incrementally across rounds; see the build block.
     seen_state = None
+    # Trap screening: (host, path-template) pairs flagged by the round's
+    # visited pages are blocked for every later round — template grain, not
+    # host grain, because the same-domain gate puts most traps ON the host
+    # being crawled. Only flagged PAIRS cross to the driver (bounded by the
+    # number of trap templates, never by urls).
+    trap_templates: set = set()
+    blocked_templates = None
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
         if max_rounds is not None and rnd > max_rounds:
             break
@@ -234,6 +241,7 @@ def run_crawl(
             host_rules=host_rules, bloom=bloom, n_buckets=n_buckets,
             priority_col=priority_col, frontier_count=frontier_n,
             extraction=extraction, blocked_hosts=blocked_hosts,
+            blocked_templates=blocked_templates,
         )
         timer.lap("run_round (actions: matched count, visit agg, rank+count)")
         # persisted: BOTH the max-agg action and the commit write consume the
@@ -273,6 +281,27 @@ def run_crawl(
                    "lineage": 0},
         )
         timer.lap("commit_round (3 parquet writes)")
+        if cfg.trap_screen and fused:
+            stats = template_trap_stats(
+                visits.filter(F.col("success")).select(
+                    "url", "host",
+                    F.coalesce(F.col("markdown"), F.lit("")).alias("body"),
+                ),
+                "host", "url", "body",
+                min_urls=cfg.trap_min_urls,
+                max_dup_ratio=cfg.trap_max_dup_ratio,
+            )
+            new_traps = {
+                (r["host"], r["tpl"])
+                for r in stats.filter(F.col("trap_suspect"))
+                .select("host", "tpl").collect()
+            } - trap_templates
+            if new_traps:
+                trap_templates |= new_traps
+                blocked_templates = spark.createDataFrame(
+                    sorted(trap_templates), "host string, tpl string"
+                )
+            timer.lap("trap screen")
         for cached in rr.caches:  # round state is on disk now — free the memory
             cached.unpersist()
         last = rnd
@@ -293,6 +322,8 @@ def run_crawl(
                                           n_discovered=discovered_n)
     summary["rounds"] = last
     summary["discovered"] = discovered_n
+    if cfg.trap_screen:
+        summary["trap_templates"] = sorted(trap_templates)
 
     return CrawlResult(
         visited=visited, discovered=discovered, edges=edges, lineage=lineage,

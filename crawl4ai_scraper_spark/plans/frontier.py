@@ -50,6 +50,7 @@ from crawl4ai_scraper_spark.plans.politeness import (
     host_budget_cap,
     hygiene_filter,
     robots_filter,
+    template_blocklist_filter,
     url_blocklist_filter,
 )
 from crawl4ai_scraper_spark.plans.ranking import global_rank
@@ -145,6 +146,7 @@ def run_round(
     frontier_count: Optional[int] = None,  # tracked by the driver — saves a job
     extraction: Optional[dict] = None,  # fused extraction (see visit_and_expand)
     blocked_hosts: Optional[DataFrame] = None,  # URL screening (url_blocklist_filter)
+    blocked_templates: Optional[DataFrame] = None,  # trap screen (template_blocklist_filter)
 ) -> RoundResult:
     # ---- single-pass fetch + expand (O-4/O-18 + O-9/O-13) ----
     # The pages scan is touched ONCE per round. On the broadcast path (the
@@ -330,6 +332,13 @@ def run_round(
             spam_threshold=cfg.url_spam_threshold if cfg.url_spam_threshold > 0 else None,
             host_col="child_host",  # precomputed by the Arrow pass — no re-parse
         ).drop("spam_score")
+    if blocked_templates is not None:
+        # trap templates flagged by earlier rounds (template_trap_stats):
+        # broadcast anti-join on (child_host, digit-normalized template) —
+        # kills a calendar trap's URL space without blocking its host
+        candidates = template_blocklist_filter(
+            candidates, "child_url", "child_host", blocked_templates
+        )
 
     # ---- first-appender-wins (O-17/O-25): min(struct) keeps the earliest
     # (parent_seq, link_pos); partial aggregation combines hot children

@@ -529,10 +529,7 @@ def host_trap_stats(
     distinct aggregates share the single Expand pass — constant-factor,
     map-side combined, no skew beyond the host key itself). text never
     shuffles — only its md5."""
-    path = F.regexp_replace(
-        F.regexp_replace(F.col(url_col), "^[a-z]+://[^/]*", ""), "[?#].*$", ""
-    )
-    template = F.regexp_replace(path, "[0-9]+", "N")
+    template = url_path_template(F.col(url_col))
     per = df.select(
         F.col(host_col).alias("host"),
         template.alias("_tpl"),
@@ -563,3 +560,84 @@ def host_trap_stats(
             & (dup > max_dup_ratio)
         ).alias("trap_suspect"),
     )
+
+
+def url_path_template(url: Column) -> Column:
+    """Digit-normalized path template of a URL (scheme/host and
+    query/fragment stripped, digit runs → 'N') — the trap-space collapse
+    unit shared by host_trap_stats, template_trap_stats and the in-crawl
+    template screen. /cal/2024/03/17 and /cal/2025/01/02 are the SAME
+    template."""
+    path = F.regexp_replace(
+        F.regexp_replace(url, "^[a-z]+://[^/]*", ""), "[?#].*$", ""
+    )
+    return F.regexp_replace(path, "[0-9]+", "N")
+
+
+def template_trap_stats(
+    df: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    min_urls: int = 20,
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """Trap detection at the (host, path-template) grain — the unit the
+    LIVE crawl screens on. The same-domain gate means a calendar/faceted
+    trap usually lives on the host being crawled, so blocking the whole
+    host would kill the crawl; blocking its exploding TEMPLATE only
+    removes the trap's URL space. ``trap_suspect`` fires when one template
+    minted ≥ ``min_urls`` URLs whose contents are ≥ ``max_dup_ratio``
+    duplicate. The content fingerprint gets the SAME digit-collapse as the
+    URL template before hashing: trap pages echo their own URL/date into
+    the title and body ("Calendar — 2024/03/17"), so raw md5 would see
+    every page as unique; with digit runs normalized, pages that differ
+    only by their calendar position collapse to one fingerprint while
+    genuinely distinct articles stay distinct. Same scale shape as
+    host_trap_stats: projections at scan speed, ONE (host, tpl)-keyed
+    groupBy, text never shuffles — only its md5. Feed the flagged pairs to
+    ``run_round(blocked_templates=...)``."""
+    per = df.select(
+        F.col(host_col).alias("host"),
+        url_path_template(F.col(url_col)).alias("tpl"),
+        F.md5(F.regexp_replace(F.col(text_col), "[0-9]+", "N")).alias("_th"),
+    )
+    agg = per.groupBy("host", "tpl").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(F.col("_th")).alias("n_distinct_texts"),
+    )
+    dup = F.round(F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_urls"), 4)
+    return agg.select(
+        "host",
+        "tpl",
+        "n_urls",
+        "n_distinct_texts",
+        dup.alias("dup_content_ratio"),
+        ((F.col("n_urls") >= min_urls) & (dup > max_dup_ratio)).alias(
+            "trap_suspect"
+        ),
+    )
+
+
+def template_blocklist_filter(
+    candidates: DataFrame,
+    url_col: str,
+    host_col: str,
+    blocked_templates: DataFrame,
+) -> DataFrame:
+    """Drop frontier candidates whose (host, digit-normalized template)
+    pair is on the trap blocklist — a broadcast LEFT ANTI join, so the
+    candidate stream is never exchanged and the (small, bounded-by-trap-
+    count) blocklist ships to every task."""
+    bl = F.broadcast(
+        blocked_templates.select(
+            F.col("host").alias("_bl_host"), F.col("tpl").alias("_bl_tpl")
+        )
+    )
+    out = candidates.withColumn("_tpl", url_path_template(F.col(url_col)))
+    out = out.join(
+        bl,
+        (F.col(host_col) == F.col("_bl_host")) & (F.col("_tpl") == F.col("_bl_tpl")),
+        "left_anti",
+    )
+    return out.drop("_tpl")

@@ -2094,3 +2094,71 @@ def test_host_trap_stats_flags_trap_and_feeds_blocklist(spark):
     hosts_left = {r[0] for r in survivors.select(
         F.regexp_extract("url", "^[a-z]+://([^/]+)", 1)).distinct().collect()}
     assert hosts_left == {"good.example"}
+
+
+def _trap_web_pages(spark, out_path):
+    """Tiny same-host web with a calendar trap: seed -> 5 distinct articles
+    + /cal/2024/1..8 (identical content), each cal page minting two deeper
+    cal children (all one digit-normalized template)."""
+    from crawl4ai_scraper_spark.sources.pages import DEFAULT_PBUCKETS, with_pbucket
+    from pyspark.sql import functions as F
+
+    def page(path, body, links):
+        anchors = "".join(f'<a href="{l}">x</a>' for l in links)
+        html = (f"<html><head><title>{path}</title></head><body>"
+                f"<p>{body}</p>{anchors}</body></html>")
+        return (f"https://t.example{path}", html.encode("utf-8"))
+
+    cal_body = "calendar listing page " + "no events today " * 20
+    rows = [page("/", "welcome " * 30,
+                 [f"/art-{c}" for c in "abcde"]
+                 + [f"/cal/2024/{i}" for i in range(1, 9)])]
+    rows += [page(f"/art-{c}", f"article {c} " + f"unique body {c} " * 20, [])
+             for c in "abcde"]
+    cal_ids = list(range(1, 9))
+    deeper = [10 * n + d for n in cal_ids for d in (1, 2)]
+    deepest = [10 * n + d for n in deeper for d in (1, 2)]
+    for n in cal_ids + deeper:
+        rows.append(page(f"/cal/2024/{n}", cal_body,
+                         [f"/cal/2024/{10 * n + 1}", f"/cal/2024/{10 * n + 2}"]))
+    for n in deepest:
+        rows.append(page(f"/cal/2024/{n}", cal_body, []))
+    df = spark.createDataFrame(rows, "url string, html binary").select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit("").alias("text"), F.lit("en").alias("lang"),
+    )
+    (with_pbucket(df, DEFAULT_PBUCKETS)
+     .repartition(4).write.mode("overwrite").partitionBy("pbucket")
+     .parquet(out_path))
+
+
+def test_trap_screen_contains_calendar_trap(spark, tmp_path):
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import run_crawl
+    from crawl4ai_scraper_spark.sources.pages import read_pages
+
+    _trap_web_pages(spark, str(tmp_path / "web"))
+    pages = read_pages(spark, str(tmp_path / "web"))
+    base = dict(max_depth=6, max_pages=500)
+
+    def crawl(name, **kw):
+        cfg = CrawlJobConfig(**base, **kw)
+        res = run_crawl(spark, pages, "https://t.example/", cfg,
+                        str(tmp_path / name), use_bloom=False)
+        return res, {r["url"] for r in res.visited.collect()}
+
+    res_off, seen_off = crawl("chk_off")
+    res_on, seen_on = crawl("chk_on", trap_screen=True, trap_min_urls=6)
+
+    cal = lambda urls: {u for u in urls if "/cal/" in u}
+    # unscreened: the whole 56-page trap space gets crawled
+    assert len(cal(seen_off)) == 8 + 16 + 32
+    # screened: the template is flagged after the 8 depth-1 pages; the
+    # depth-2 pages were already enqueued (one-round containment lag) but
+    # the 32 depth-3 pages are never minted
+    assert len(cal(seen_on)) == 8 + 16
+    assert list(map(tuple, res_on.summary["trap_templates"])) == [
+        ("t.example", "/cal/N/N")
+    ]
+    # the articles are untouched by the screen
+    assert {u for u in seen_on if "/art-" in u} == {u for u in seen_off if "/art-" in u}
