@@ -79,6 +79,12 @@ def parse_args(argv=None):
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--hygiene", action="store_true",
                    help="enable crawler-trap hygiene screens on the frontier")
+    p.add_argument("--trap-screen", action="store_true",
+                   help="statistical trap screening: per-round (host, "
+                        "path-template) duplicate-content detection; flagged "
+                        "templates are blocked for later rounds")
+    p.add_argument("--trap-min-urls", type=int, default=None)
+    p.add_argument("--trap-max-dup-ratio", type=float, default=None)
     p.add_argument("--host-cap", type=int, default=None,
                    help="max NEW urls enqueued per host per round (fairness cap)")
     p.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default=None,
@@ -155,6 +161,12 @@ def main(argv=None):
         cfg.shuffle_partitions = args.shuffle_partitions
     if args.hygiene:
         cfg.hygiene_enabled = True
+    if args.trap_screen:
+        cfg.trap_screen = True
+    if args.trap_min_urls is not None:
+        cfg.trap_min_urls = args.trap_min_urls
+    if args.trap_max_dup_ratio is not None:
+        cfg.trap_max_dup_ratio = args.trap_max_dup_ratio
     if args.host_cap is not None:
         cfg.max_new_urls_per_host_round = args.host_cap
     if args.seen_filter:
