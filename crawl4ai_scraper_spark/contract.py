@@ -3466,6 +3466,71 @@ def template_trap_stats_q(spark, sf):
     return template_trap_stats(frame, "host", "url", "body")
 
 
+@_q(
+    "kn_perplexity",
+    r"""WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), tev AS (
+  SELECT w[CAST(i AS INT)] AS w1,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS gram,
+         w[CAST(i AS INT)+1] AS w2
+  FROM (SELECT w FROM tok WHERE doc_id % 2 = 0) t,
+       UNNEST(range(1, len(w))) AS r(i)
+), c2 AS (SELECT gram, CAST(COUNT(*) AS DOUBLE) AS c2 FROM tev GROUP BY gram),
+ctx AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1,
+               CAST(COUNT(DISTINCT w2) AS DOUBLE) AS nfol
+        FROM tev GROUP BY w1),
+pred AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS DOUBLE) AS npred
+         FROM tev GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM c2),
+vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vcont FROM pred),
+dev AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1,
+         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS gram,
+         w[CAST(i AS INT)+1] AS w2
+  FROM tok, UNNEST(range(1, len(w))) AS r(i)
+), ft AS (
+  SELECT tok.doc_id, len(tok.w) AS n_tokens,
+         CAST(ROUND(-log2((COALESCE(p.npred, 0) + 1)
+                          / (tot.nt + vc.vcont + 1)), 12)
+              AS DECIMAL(28,12)) AS t0
+  FROM tok LEFT JOIN pred p ON p.w2 = tok.w[1] CROSS JOIN tot CROSS JOIN vc
+), sc AS (
+  SELECT d.doc_id,
+         CAST(ROUND(-log2(CASE WHEN x.c1 IS NULL
+             THEN (COALESCE(p.npred, 0) + 1) / (tot.nt + vc.vcont + 1)
+             ELSE GREATEST(COALESCE(b.c2, 0) - 0.75, 0) / x.c1
+                  + 0.75 * x.nfol / x.c1
+                    * ((COALESCE(p.npred, 0) + 1) / (tot.nt + vc.vcont + 1))
+             END), 12) AS DECIMAL(28,12)) AS t
+  FROM dev d LEFT JOIN c2 b USING (gram) LEFT JOIN ctx x USING (w1)
+       LEFT JOIN pred p USING (w2) CROSS JOIN tot CROSS JOIN vc
+), bs AS (SELECT doc_id, CAST(SUM(t) AS DECIMAL(38,12)) AS bs
+          FROM sc GROUP BY doc_id)
+SELECT ft.doc_id, CAST(ft.n_tokens AS BIGINT) AS n_tokens,
+       ROUND((CAST(ft.t0 AS DOUBLE) + COALESCE(CAST(bs.bs AS DOUBLE), 0.0))
+             / ft.n_tokens, 4) AS xent_bits,
+       ROUND(POWER(2, ROUND((CAST(ft.t0 AS DOUBLE)
+             + COALESCE(CAST(bs.bs AS DOUBLE), 0.0)) / ft.n_tokens, 4)), 4)
+           AS ppl
+FROM ft LEFT JOIN bs USING (doc_id)""",
+)
+def kn_perplexity_q(spark, sf):
+    """Interpolated Kneser-Ney bigram perplexity (textops.kn_lm_perplexity,
+    D=0.75) — the smoothing family KenLM/CCNet actually use — trained on
+    the EVEN-doc_id half of the corpus and scoring every doc, so the
+    unseen-bigram backoff, unseen-context and unseen-continuation floors
+    are all live in the contract. Per-event bits are 12dp-rounded and
+    summed as DECIMAL(28,12) (exact, order-free — partitioning/engine
+    independent); the oracle replays the identical model: continuation
+    counts, discount, floors, final 4dp rounding."""
+    docs = _t(spark, sf, "documents")
+    return T.kn_lm_perplexity(
+        docs, "text", "doc_id",
+        train=docs.filter(F.col("doc_id") % 2 == 0), discount=0.75,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -1098,3 +1098,113 @@ def weighted_sample(
         .orderBy("samp_key", key_col)
         .limit(k)
     )
+
+
+def kn_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing family
+    KenLM (and therefore CCNet's real filter) uses, next to the add-α
+    baseline ``bigram_lm_perplexity``:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1·)
+                   + D·N1+(w1,·)/c(w1·) · Pcont(w2)
+        Pcont(w2) = (N1+(·,w2) + 1) / (N_bigram_types + V_cont + 1)
+
+    with context counts from bigram events, continuation probability from
+    DISTINCT-predecessor counts (the "how many contexts license this word"
+    insight that makes KN beat frequency smoothing), +1/+V_cont+1 floors so
+    unseen words keep positive mass, and P = Pcont(w2) when w1 was never a
+    context. The first token scores -log2(Pcont(w1)). Train on ``train``
+    (trusted slice) or self-score.
+
+    Scale shape mirrors bigram_lm_perplexity: three training groupBys at
+    gram/word key space, scoring joins on gram/w1/w2, ONE per-doc sum. Each
+    event's bits are rounded to 12dp and summed as DECIMAL(28,12) — exact,
+    order-free arithmetic, so the result is identical under any
+    partitioning (and hash-stable vs the SQL oracle); only the final
+    per-doc division runs in DOUBLE. → (id_col, n_tokens, xent_bits, ppl),
+    4dp like the add-α op."""
+    D = float(discount)
+    toks_df = df.select(F.col(id_col).alias("_doc"), words(F.col(text_col)).alias("w"))
+    train_toks = (
+        toks_df if train is None else train.select(words(F.col(text_col)).alias("w"))
+    )
+
+    ev_t = train_toks.select(
+        F.explode(_bigram_structs(F.col("w"))).alias("g")
+    ).select(
+        F.col("g.w1").alias("w1"),
+        F.col("g.gram").alias("gram"),
+        F.element_at(F.split(F.col("g.gram"), " ", 2), 2).alias("w2"),
+    )
+    c2 = ev_t.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = ev_t.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"), F.countDistinct("w2").alias("nfol")
+    )
+    pred = ev_t.groupBy("w2").agg(F.countDistinct("w1").alias("npred"))
+    tots = c2.agg(F.count(F.lit(1)).alias("nt")).collect()[0]
+    vc = pred.count()
+    n_types, v_cont = float(tots["nt"]), float(vc)
+
+    def pcont(npred_col):
+        return (F.coalesce(npred_col, F.lit(0)) + F.lit(1.0)) / F.lit(
+            n_types + v_cont + 1.0
+        )
+
+    def bits(p):
+        return F.round(-F.log2(p), 12).cast("decimal(28,12)")
+
+    first = toks_df.select(
+        "_doc", F.size("w").alias("n_tokens"), F.element_at("w", 1).alias("w2")
+    )
+    first = first.join(pred, "w2", "left").select(
+        "_doc", "n_tokens", bits(pcont(F.col("npred"))).alias("t0")
+    )
+
+    dg = toks_df.select(
+        "_doc", F.explode(_bigram_structs(F.col("w"))).alias("g")
+    ).select(
+        "_doc",
+        F.col("g.w1").alias("w1"),
+        F.col("g.gram").alias("gram"),
+        F.element_at(F.split(F.col("g.gram"), " ", 2), 2).alias("w2"),
+    )
+    pc = pcont(F.col("npred"))
+    p = F.when(
+        F.col("c1").isNull(), pc
+    ).otherwise(
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - F.lit(D), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(D) * F.col("nfol") / F.col("c1") * pc
+    )
+    bsum = (
+        dg.join(c2, "gram", "left")
+        .join(ctx, "w1", "left")
+        .join(pred, "w2", "left")
+        .select("_doc", bits(p).alias("t"))
+        .groupBy("_doc")
+        .agg(F.sum("t").alias("bs"))
+    )
+
+    xent = F.round(
+        (
+            F.col("t0").cast("double")
+            + F.coalesce(F.col("bs").cast("double"), F.lit(0.0))
+        )
+        / F.col("n_tokens"),
+        4,
+    )
+    return (
+        first.join(bsum, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            xent.alias("xent_bits"),
+        )
+        .withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("xent_bits")), 4))
+    )

@@ -19,8 +19,9 @@ iterative cluster step):
      weights on the corpus, broadcast them back, keep score > threshold —
      the fastText-style model-based filtering stage)
   2b. bigram-LM perplexity filter    (--ppl-keep-quantile / --ppl-max:
-     CCNet-style — train an add-α bigram LM on the corpus or a
-     --ppl-train-lang trusted slice, keep the most-natural docs)
+     CCNet-style — train an add-α or Kneser-Ney (--ppl-model kn) bigram
+     LM on the corpus or a --ppl-train-lang trusted slice, keep the
+     most-natural docs)
   3. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
   4. near-dup MinHash-LSH → connected components → keep-one-per-cluster
      (band equi-join carries ids only; min-label propagation rounds)
@@ -95,6 +96,9 @@ def parse_args(argv=None):
     p.add_argument("--ppl-max", type=float, default=None,
                    help="absolute perplexity cut (keep ppl <= X); takes "
                         "precedence over --ppl-keep-quantile")
+    p.add_argument("--ppl-model", choices=["addk", "kn"], default="addk",
+                   help="LM family for the perplexity filter: add-α bigram "
+                        "(default) or interpolated Kneser-Ney (KenLM-style)")
     p.add_argument("--ppl-train-lang", metavar="XX",
                    help="train the LM on the (lang == XX) slice only — the "
                         "CCNet trusted-corpus arrangement; default trains "
@@ -187,7 +191,9 @@ def run_pipeline(spark, args):
             train = docs.filter(
                 F.coalesce(lang_col == args.ppl_train_lang, F.lit(False))
             )
-        scored = T.bigram_lm_perplexity(docs, tc, ic, train=train).persist()
+        lm = (T.kn_lm_perplexity if args.ppl_model == "kn"
+              else T.bigram_lm_perplexity)
+        scored = lm(docs, tc, ic, train=train).persist()
         if args.ppl_max is not None:
             kept = scored.filter(F.col("ppl") <= args.ppl_max)
         else:

@@ -2162,3 +2162,53 @@ def test_trap_screen_contains_calendar_trap(spark, tmp_path):
     ]
     # the articles are untouched by the screen
     assert {u for u in seen_on if "/art-" in u} == {u for u in seen_off if "/art-" in u}
+
+
+def test_kn_lm_perplexity_matches_python_oracle(spark):
+    import math
+
+    from crawl4ai_scraper_spark.operators.textops import kn_lm_perplexity
+
+    train_rows = [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")]
+    score_rows = train_rows + [(2, "the cat sat quietly")]  # 'sat quietly' unseen
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           kn_lm_perplexity(docs, "text", "doc_id", train=train).collect()}
+
+    # plain-python replay
+    D = 0.75
+    evs = []
+    for _, t in train_rows:
+        w = t.split()
+        evs += [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+    from collections import Counter
+    c2 = Counter(evs)
+    c1 = Counter(w1 for w1, _ in evs)
+    nfol = Counter()
+    npred = Counter()
+    for (w1, w2) in set(evs):
+        nfol[w1] += 1
+        npred[w2] += 1
+    ntypes, vcont = len(c2), len(npred)
+
+    def pcont(w):
+        return (npred.get(w, 0) + 1) / (ntypes + vcont + 1)
+
+    def prob(w1, w2):
+        if w1 not in c1:
+            return pcont(w2)
+        return (max(c2.get((w1, w2), 0) - D, 0) / c1[w1]
+                + D * nfol[w1] / c1[w1] * pcont(w2))
+
+    for i, t in score_rows:
+        w = t.lower().split()
+        bits = round(-math.log2(pcont(w[0])), 12)
+        bits += sum(round(-math.log2(prob(w[j], w[j + 1])), 12)
+                    for j in range(len(w) - 1))
+        xent = round(bits / len(w), 4)
+        assert abs(got[i]["xent_bits"] - xent) < 1e-9, (i, got[i]["xent_bits"], xent)
+        assert got[i]["n_tokens"] == len(w)
+
+    # the doc with the unseen bigram is stranger than the training docs
+    assert got[2]["ppl"] > got[0]["ppl"] and got[2]["ppl"] > got[1]["ppl"]
