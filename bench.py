@@ -138,6 +138,10 @@ QUERY_NAMES = [
     "lm_perplexity",
     "bpe_encode_ids",
     "sequence_pack_ids",
+    "kn_perplexity",
+    "weighted_sample",
+    "host_trap_stats",
+    "template_trap_stats",
 ]
 
 

@@ -2212,3 +2212,23 @@ def test_kn_lm_perplexity_matches_python_oracle(spark):
 
     # the doc with the unseen bigram is stranger than the training docs
     assert got[2]["ppl"] > got[0]["ppl"] and got[2]["ppl"] > got[1]["ppl"]
+
+
+def test_corpus_report_data_card(spark, tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from corpus_report import build_report, parse_args
+
+    rows = [(i, "good text with words " * 5, "en") for i in range(8)]
+    rows += [(100 + i, "otro texto util aqui " * 4, "es") for i in range(4)]
+    rows += [(200, rows[0][1], "en")]  # one exact dup
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(inp)
+
+    rep = build_report(spark, parse_args(["--input", inp, "--lang-col", "lang"]))
+    assert rep["n_docs"] == 13
+    assert abs(rep["exact_dup_rate"] - (1 - 2 / 13)) < 1e-6  # 2 distinct texts
+    langs = {l["lang"]: l for l in rep["languages"]}
+    assert langs["en"]["docs"] == 9 and langs["es"]["docs"] == 4
+    assert rep["total_tokens"] == 9 * 20 + 4 * 16  # 4-word phrases x5 / x4
+    assert set(rep["tokens_per_doc"]) == {"p10", "p25", "p50", "p75", "p90", "p99"}
