@@ -100,6 +100,29 @@ def url_dedup_stream(
     )
 
 
+def content_dedup_stream(
+    pages_stream: DataFrame,
+    watermark: Optional[str] = "1 day",
+) -> DataFrame:
+    """Streaming CONTENT dedup — the incremental analog of the batch
+    ``dedup_exact`` groupBy: of all records whose html bytes hash identically
+    within the watermark horizon (mirrors, tracking-parameter aliases, CDN
+    hosts), only the first survives. Same state-store mechanics as
+    ``url_dedup_stream`` (keys are md5 hex — uniform, no skew; state evicted
+    at the watermark), composable behind it so a re-fetch never even reaches
+    the content hash. Pass ``watermark=None`` when the input stream already
+    carries one (chained after url_dedup_stream — Spark forbids redefining
+    it)."""
+    if watermark is not None:
+        pages_stream = pages_stream.withWatermark("warc_ts", watermark)
+    return (
+        pages_stream
+        .withColumn("_content_md5", F.md5(F.col("html")))
+        .dropDuplicatesWithinWatermark(["_content_md5"])
+        .drop("_content_md5")
+    )
+
+
 def stream_dedup_extract(
     spark: SparkSession,
     pages_path: str,
@@ -109,13 +132,18 @@ def stream_dedup_extract(
     cleaning_kwargs: Optional[dict] = None,
     run_ts_iso: str = "2025-01-01T00:00:00",
     await_termination: bool = True,
+    content_dedup: bool = False,
 ):
     """The composed incremental ingest pipeline: URL-seen dedup IN FRONT OF
     extraction — re-fetches are dropped from state before any Arrow compute
     is spent on them, and the sink stays append-only-unique. One streaming
     query: file source → dropDuplicatesWithinWatermark → mapInPandas
-    extraction → parquet sink, exactly-once across restarts."""
+    extraction → parquet sink, exactly-once across restarts.
+    ``content_dedup`` chains the content-hash stage behind the URL stage
+    (mirror suppression: same bytes under a second url never reach Arrow)."""
     deduped = url_dedup_stream(read_pages_stream(spark, pages_path), watermark)
+    if content_dedup:
+        deduped = content_dedup_stream(deduped, watermark=None)
     docs = deduped.select(
         "url", "html", F.lit(run_ts_iso).alias("crawled_at")
     ).mapInPandas(extract_documents(cleaning_kwargs or {}), EXTRACTED_SCHEMA)

@@ -239,3 +239,49 @@ def test_stream_dedup_extract_composed(spark):
     assert got2.count() == len(batch) + len(new_rows)
     assert got2.select("url").distinct().count() == got2.count()
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_content_dedup_stream_drops_mirrors(spark):
+    """Streaming content dedup: the same html bytes arriving under a SECOND
+    url (mirror / alias) are dropped within a drain and across restarts;
+    genuinely new content passes. Composed behind the URL stage via
+    stream_dedup_extract(content_dedup=True)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.streaming import stream_dedup_extract
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    pages_dir, out_dir, chk = str(TMP / "pages"), str(TMP / "cdocs"), str(TMP / "chk_cd")
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        with_pbucket(df, 8).write.mode("append").parquet(pages_dir)
+
+    import datetime
+    ts = datetime.datetime(2025, 1, 1)
+    html = b"<html><head><title>m</title></head><body><p>mirrored body text</p></body></html>"
+    other = b"<html><head><title>o</title></head><body><p>genuinely different</p></body></html>"
+    write([("https://a.example/p", ts, html, "", "en"),
+           ("https://b.example/mirror-of-p", ts, html, "", "en"),
+           ("https://a.example/q", ts, other, "", "en")])
+    stream_dedup_extract(spark, pages_dir, out_dir, chk,
+                         watermark="3650 days", content_dedup=True)
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 2  # mirror dropped before extraction
+    assert got1.select("url").distinct().count() == 2
+
+    # second drain: the mirror re-delivered under a THIRD url + new content
+    third = b"<html><head><title>t</title></head><body><p>third body here</p></body></html>"
+    write([("https://c.example/also-mirror", ts, html, "", "en"),
+           ("https://a.example/r", ts, third, "", "en")])
+    stream_dedup_extract(spark, pages_dir, out_dir, chk,
+                         watermark="3650 days", content_dedup=True)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 3  # state survived the restart; only 'third' passed
+    names = {u[0].split("/")[-1] for u in got2.select("url").collect()}
+    # which alias of the mirrored bytes wins within the first drain is not
+    # defined — but exactly ONE of them survives, plus q and r
+    assert len(names & {"p", "mirror-of-p"}) == 1 and {"q", "r"} <= names
+    shutil.rmtree(TMP, ignore_errors=True)
