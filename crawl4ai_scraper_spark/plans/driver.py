@@ -134,6 +134,7 @@ def run_crawl(
         enqueued = read_enqueued(spark, chk_dir, last)
         frontier_n = meta.get("frontier_n", frontier.count())
         enqueued_n = meta.get("enqueued_n", enqueued.count())
+        resume_traps = meta.get("trap_templates", [])
     else:
         fused = fused_requested
         # Fresh crawl: a reused chk_dir may hold a previous crawl's rounds,
@@ -169,6 +170,7 @@ def run_crawl(
         frontier = frontier.select("url", "host", "depth", "arrival_rank")
         enqueued = frontier.select("url")
         frontier_n, enqueued_n = 1, 1
+        resume_traps = []
 
     extraction = None
     doc_cols: list = []
@@ -191,8 +193,12 @@ def run_crawl(
     # host grain, because the same-domain gate puts most traps ON the host
     # being crawled. Only flagged PAIRS cross to the driver (bounded by the
     # number of trap templates, never by urls).
-    trap_templates: set = set()
-    blocked_templates = None
+    trap_templates: set = {tuple(t) for t in resume_traps}
+    blocked_templates = (
+        spark.createDataFrame(sorted(trap_templates), "host string, tpl string")
+        if trap_templates
+        else None
+    )
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
         if max_rounds is not None and rnd > max_rounds:
             break
@@ -262,25 +268,6 @@ def run_crawl(
         enqueued_n += frontier_n
         done = rr.truncated or frontier_n == 0
 
-        commit_round(
-            chk_dir, rnd, rr.new_frontier,
-            {
-                "visited": visits.select("url", "host", "depth", "seq", "success",
-                                         "matched", "sched_ts", "arrival_rank", *doc_cols),
-                "lineage": rr.lineage,
-            },
-            {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
-             "done": done, "counts": rr.counts,
-             "frontier_n": frontier_n, "enqueued_n": enqueued_n, "fused": fused},
-            # fused visited rows carry ~1 KB of markdown each: weight them
-            # 16x so the snapshot writer's rows//250k file heuristic lands
-            # near one write task per core for the heavy text-encode rounds
-            # (a 500k-row fused round was 9 files = 9 busy cores of 32)
-            sizes={"frontier": frontier_n,
-                   "visited": rr.counts["visited"] * (16 if fused else 1),
-                   "lineage": 0},
-        )
-        timer.lap("commit_round (3 parquet writes)")
         if cfg.trap_screen and fused:
             stats = template_trap_stats(
                 visits.filter(F.col("success")).select(
@@ -302,6 +289,27 @@ def run_crawl(
                     sorted(trap_templates), "host string, tpl string"
                 )
             timer.lap("trap screen")
+
+        commit_round(
+            chk_dir, rnd, rr.new_frontier,
+            {
+                "visited": visits.select("url", "host", "depth", "seq", "success",
+                                         "matched", "sched_ts", "arrival_rank", *doc_cols),
+                "lineage": rr.lineage,
+            },
+            {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
+             "done": done, "counts": rr.counts,
+             "frontier_n": frontier_n, "enqueued_n": enqueued_n, "fused": fused,
+             "trap_templates": sorted(trap_templates)},
+            # fused visited rows carry ~1 KB of markdown each: weight them
+            # 16x so the snapshot writer's rows//250k file heuristic lands
+            # near one write task per core for the heavy text-encode rounds
+            # (a 500k-row fused round was 9 files = 9 busy cores of 32)
+            sizes={"frontier": frontier_n,
+                   "visited": rr.counts["visited"] * (16 if fused else 1),
+                   "lineage": 0},
+        )
+        timer.lap("commit_round (3 parquet writes)")
         for cached in rr.caches:  # round state is on disk now — free the memory
             cached.unpersist()
         last = rnd

@@ -2232,3 +2232,26 @@ def test_corpus_report_data_card(spark, tmp_path):
     assert langs["en"]["docs"] == 9 and langs["es"]["docs"] == 4
     assert rep["total_tokens"] == 9 * 20 + 4 * 16  # 4-word phrases x5 / x4
     assert set(rep["tokens_per_doc"]) == {"p10", "p25", "p50", "p75", "p90", "p99"}
+
+
+def test_trap_screen_flags_survive_resume(spark, tmp_path):
+    from crawl4ai_scraper_spark.config import CrawlJobConfig
+    from crawl4ai_scraper_spark.plans.driver import run_crawl
+    from crawl4ai_scraper_spark.sources.pages import read_pages
+
+    _trap_web_pages(spark, str(tmp_path / "web"))
+    pages = read_pages(spark, str(tmp_path / "web"))
+    cfg = CrawlJobConfig(max_depth=6, max_pages=500, trap_screen=True,
+                         trap_min_urls=6)
+    chk = str(tmp_path / "chk")
+
+    # kill after round 2 — the round whose manifest first carries the flags
+    run_crawl(spark, pages, "https://t.example/", cfg, chk, use_bloom=False,
+              max_rounds=2)
+    res = run_crawl(spark, pages, "https://t.example/", cfg, chk,
+                    use_bloom=False, resume=True)
+    seen = {r["url"] for r in res.visited.collect()}
+    assert len({u for u in seen if "/cal/" in u}) == 8 + 16  # same containment
+    assert list(map(tuple, res.summary["trap_templates"])) == [
+        ("t.example", "/cal/N/N")
+    ]
