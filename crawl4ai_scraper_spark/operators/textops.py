@@ -461,17 +461,22 @@ def contamination(
     base = df.select(
         F.col(id_col), words(F.col(text_col)).alias("_toks")
     ).select(F.col(id_col), grams.alias("_g"))
-    eval_grams = (
-        base.filter(F.col(id_col) % eval_mod == 0)
-        .select(F.explode("_g").alias("gram"))
+    eval_side = base.filter(F.col(id_col) % eval_mod == 0).select("_g")
+    train = base.filter(F.col(id_col) % eval_mod != 0)
+    return _contamination_counts(train, eval_side, id_col, threshold)
+
+
+def _contamination_counts(train_grams, eval_grams, id_col, threshold):
+    """Shared core: train (_g gram arrays keyed by id) scored against the
+    broadcast distinct gram set of eval (_g arrays)."""
+    ev = (
+        eval_grams.select(F.explode("_g").alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = base.filter(F.col(id_col) % eval_mod != 0).select(
-        F.col(id_col), F.explode("_g").alias("gram")
-    )
+    stream = train_grams.select(F.col(id_col), F.explode("_g").alias("gram"))
     counted = (
-        train.join(F.broadcast(eval_grams), "gram", "left")
+        stream.join(F.broadcast(ev), "gram", "left")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_grams"), F.count("hit").alias("n_hits"))
     )
@@ -483,6 +488,29 @@ def contamination(
         frac.alias("contaminated_frac"),
         (frac >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def contamination_vs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """``contamination`` against an EXTERNAL eval corpus (the production
+    arrangement: the benchmark suite lives in its own table). Same plan
+    shape — the eval suite's distinct n-gram set broadcasts into the train
+    scan; the only corpus-volume shuffle is the per-doc count groupBy."""
+    grams = F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+    train = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), grams.alias("_g"))
+    ev = eval_df.select(words(F.col(eval_text_col)).alias("_toks")).select(
+        grams.alias("_g")
+    )
+    return _contamination_counts(train, ev, id_col, threshold)
 
 
 def c4_filter(

@@ -25,6 +25,8 @@ iterative cluster step):
   3. exact dedup                     (md5 groupBy keep-min-id, one shuffle)
   4. near-dup MinHash-LSH → connected components → keep-one-per-cluster
      (band equi-join carries ids only; min-label propagation rounds)
+  4a. benchmark decontamination     (--decontaminate EVAL.parquet: drop
+     docs whose n-grams overlap the eval suite — broadcast gram set)
   4b. quality-weighted subsetting   (--weighted-sample-k: deterministic
      Efraimidis-Spirakis K-doc sample, quality-proportional, after dedup
      so duplicates can't buy extra tickets)
@@ -103,6 +105,13 @@ def parse_args(argv=None):
                    help="train the LM on the (lang == XX) slice only — the "
                         "CCNet trusted-corpus arrangement; default trains "
                         "on all surviving docs")
+    p.add_argument("--decontaminate", metavar="EVAL.parquet",
+                   help="drop docs whose word n-grams overlap the eval "
+                        "suite beyond --decontaminate-threshold (broadcast "
+                        "eval-gram set; the pre-training contamination gate)")
+    p.add_argument("--decontaminate-col", default="text")
+    p.add_argument("--decontaminate-n", type=int, default=3)
+    p.add_argument("--decontaminate-threshold", type=float, default=0.05)
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
                    help="learn N BPE merges on the surviving corpus and "
                         "append (n_pieces, pieces) subword columns")
@@ -237,6 +246,19 @@ def run_pipeline(spark, args):
             .withColumnRenamed("text_stripped", tc)
         )
         summary["after_strip_spans"] = docs.count()
+
+    if args.decontaminate:
+        eval_df = spark.read.parquet(args.decontaminate)
+        scores = T.contamination_vs(
+            docs, tc, ic, eval_df, eval_text_col=args.decontaminate_col,
+            n=args.decontaminate_n, threshold=args.decontaminate_threshold,
+        )
+        # docs with NO n-gram rows (shorter than n tokens) have no score
+        # row and must survive — so drop the contaminated set via anti join
+        # rather than inner-joining the clean set
+        dirty = scores.filter(F.col("contaminated")).select(ic)
+        docs = docs.join(dirty, ic, "left_anti")
+        summary["after_decontaminate"] = docs.count()
 
     if args.weighted_sample_k:
         # quality-weighted corpus subsetting (Efraimidis-Spirakis without

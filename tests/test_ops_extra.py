@@ -2255,3 +2255,45 @@ def test_trap_screen_flags_survive_resume(spark, tmp_path):
     assert list(map(tuple, res.summary["trap_templates"])) == [
         ("t.example", "/cal/N/N")
     ]
+
+
+def test_contamination_vs_external_eval_and_pipeline_stage(spark, tmp_path):
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.textops import contamination_vs
+
+    eval_df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "eid long, text string",
+    )
+    docs_rows = [
+        (1, "the quick brown fox jumps high today indeed"),  # shares 3-grams
+        (2, "completely unrelated training material here now"),
+        (3, "of two"),  # < 3 tokens: no gram rows, must survive the stage
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           contamination_vs(docs, "text", "doc_id", eval_df,
+                            threshold=0.2).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 3
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # docs below n tokens carry the degenerate whole-text gram (the
+    # ngrams_from_tokens convention) — scored, never spuriously contaminated
+    assert out[3]["n_grams"] == 1 and not out[3]["contaminated"]
+
+    # pipeline stage: contaminated doc dropped, short doc kept
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    inp, ev, outp = (str(tmp_path / p) for p in ("docs", "eval", "kept"))
+    docs.write.parquet(inp)
+    eval_df.write.parquet(ev)
+    s = run_pipeline(spark, parse_args([
+        "--input", inp, "--output", outp, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--decontaminate", ev,
+        "--decontaminate-threshold", "0.2",
+    ]))
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {2, 3} and s["after_decontaminate"] == 2
