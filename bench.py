@@ -142,6 +142,8 @@ QUERY_NAMES = [
     "weighted_sample",
     "host_trap_stats",
     "template_trap_stats",
+    "dsir_log_weights",
+    "dsir_select_topk",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from crawl4ai_scraper_spark.kernel.urls import wildcard_to_regex
 from crawl4ai_scraper_spark.operators import dedup as D
+from crawl4ai_scraper_spark.operators import selection as SEL
 from crawl4ai_scraper_spark.operators import similarity as S
 from crawl4ai_scraper_spark.operators import textops as T
 from crawl4ai_scraper_spark.operators.multimodal import media_metadata
@@ -3529,6 +3530,75 @@ def kn_perplexity_q(spark, sf):
         docs, "text", "doc_id",
         train=docs.filter(F.col("doc_id") % 2 == 0), discount=0.75,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+# Shared gram→bucket stream: word unigrams + bigrams (degenerate short-doc
+# rule matches ngrams_from_tokens), 48-bit md5 prefix mod 256.
+_DSIR_B_SQL = """w AS (SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    g AS (SELECT doc_id, UNNEST(w) AS gram FROM w
+          UNION ALL
+          SELECT doc_id, UNNEST(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS gram
+          FROM w),
+    b AS (SELECT g.doc_id,
+                 CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % 256 AS bucket
+          FROM g),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt
+            FROM b JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+            GROUP BY bucket),
+    raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(SUM(t_cnt) AS DOUBLE) FROM tgt) AS t_tot,
+                   (SELECT CAST(SUM(r_cnt) AS DOUBLE) FROM raw) AS r_tot),
+    sc AS (SELECT b.doc_id,
+                  CAST(ROUND(ln((COALESCE(t.t_cnt, 0) + 1.0) / (tot.t_tot + 256))
+                             - ln((COALESCE(r.r_cnt, 0) + 1.0) / (tot.r_tot + 256)),
+                             12) AS DECIMAL(28,12)) AS lr
+           FROM b LEFT JOIN tgt t USING (bucket) LEFT JOIN raw r USING (bucket)
+                CROSS JOIN tot),
+    lw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                  ROUND(CAST(SUM(lr) AS DOUBLE), 6) AS log_weight
+           FROM sc GROUP BY doc_id)"""
+
+
+def _dsir_weights(spark, sf):
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    tp = SEL.dsir_profile(target, "text", "doc_id", n_buckets=256)
+    rp = SEL.dsir_profile(docs, "text", "doc_id", n_buckets=256)
+    return SEL.dsir_log_weights(docs, "text", "doc_id", tp, rp, n_buckets=256)
+
+
+@_q("dsir_log_weights", f"WITH {_DSIR_B_SQL} SELECT doc_id, n_grams, log_weight FROM lw")
+def dsir_log_weights_q(spark, sf):
+    """DSIR (Xie et al. 2023) hashed-ngram importance weights: target =
+    lang='en' slice, raw = whole corpus, 256 buckets, add-one smoothing.
+    Gram stream is a flatMap off the scan; both profiles are ≤B-row
+    broadcast joins; ONE uniform groupBy(doc_id). Per-gram log-ratio
+    12dp-rounded, summed in DECIMAL(28,12) (order-free), 6dp final."""
+    return _dsir_weights(spark, sf)
+
+
+@_q(
+    "dsir_select_topk",
+    f"""WITH {_DSIR_B_SQL}
+    SELECT doc_id, n_grams, log_weight,
+           ROUND(log_weight
+                 - ln(-ln((CAST('0x' || substr(md5('g1:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                                AS BIGINT) + 1.0) / 281474976710656.0)),
+                 6) AS gumbel_key
+    FROM lw ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
+)
+def dsir_select_topk_q(spark, sf):
+    """Gumbel-top-k resampling over the DSIR weights (exact
+    without-replacement sample ∝ exp(log_weight)): per-doc Gumbel noise from
+    the shared md5 digest scheme, top-50 via orderBy+limit
+    (TakeOrderedAndProject — no global sort)."""
+    return SEL.dsir_select(_dsir_weights(spark, sf), "doc_id", k=50, salt="g1")
 
 
 # ---------------------------------------------------------------------------

@@ -2297,3 +2297,82 @@ def test_contamination_vs_external_eval_and_pipeline_stage(spark, tmp_path):
     ]))
     kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
     assert kept == {2, 3} and s["after_decontaminate"] == 2
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+def test_dsir_log_weights_matches_python_oracle(spark):
+    """Weights on a tiny corpus vs a plain-Python replay of the same model
+    (hashed unigram+bigram buckets, add-one smoothing over B)."""
+    import hashlib
+    import math
+
+    from crawl4ai_scraper_spark.operators import selection as SEL
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ran", "en"),
+        (3, "der hund lief schnell davon", "de"),
+        (4, "one", "en"),                      # 1-token doc: degenerate bigram
+        (5, "el gato el gato el gato", "es"),  # heavy repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 64
+
+    def grams(text):
+        w = text.strip().lower().split()
+        w = w if w else [""]
+        bi = [" ".join(w)] if len(w) < 2 else [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return w + bi
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % B
+
+    tgt, raw = {}, {}
+    for did, text, lang in rows:
+        for g in grams(text):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    t_tot, r_tot = sum(tgt.values()), sum(raw.values())
+
+    expected = {}
+    for did, text, lang in rows:
+        s = 0.0
+        for g in grams(text):
+            b = bucket(g)
+            lr = math.log((tgt.get(b, 0) + 1.0) / (t_tot + B)) - math.log(
+                (raw.get(b, 0) + 1.0) / (r_tot + B))
+            s += round(lr, 12)
+        expected[did] = (len(grams(text)), round(s, 6))
+
+    tp = SEL.dsir_profile(df.filter(F.col("lang") == "en"), "text", "doc_id", B)
+    rp = SEL.dsir_profile(df, "text", "doc_id", B)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in SEL.dsir_log_weights(df, "text", "doc_id", tp, rp, B).collect()
+    }
+    assert got == pytest.approx(expected)
+    # English docs must out-weight the German one (that's the point of DSIR)
+    assert min(got[1][1], got[2][1]) > got[3][1]
+
+
+def test_dsir_select_is_weight_biased_without_replacement(spark):
+    """Gumbel-top-k returns k distinct ids, and cranking a doc's weight up
+    pulls it into every sample (monotonicity in log-weight space)."""
+    from crawl4ai_scraper_spark.operators import selection as SEL
+
+    w = spark.createDataFrame(
+        [(i, 10, -50.0 if i != 7 else 50.0) for i in range(40)],
+        "doc_id long, n_grams long, log_weight double",
+    )
+    sel = SEL.dsir_select(w, "doc_id", k=10, salt="g1").collect()
+    ids = [r["doc_id"] for r in sel]
+    assert len(ids) == len(set(ids)) == 10
+    assert 7 in ids  # +100 nats of weight dominates any Gumbel draw
+    # keys are sorted descending, ties impossible at these magnitudes
+    keys = [r["gumbel_key"] for r in sel]
+    assert keys == sorted(keys, reverse=True)
