@@ -105,8 +105,15 @@ def dsir_log_weights(
     the total rounded to 6dp. ``totals`` = (target_total, raw_total) skips
     the two scalar recounts when the caller already has them.
     """
-    t_tot, r_tot = totals if totals is not None else (
-        _profile_total(target_profile), _profile_total(raw_profile))
+    if totals is None:
+        # each profile is consumed twice (scalar total + scoring join);
+        # persisting the B-row frame means the corpus behind it is scanned
+        # once, not twice — B rows of cache, never corpus volume
+        target_profile = target_profile.persist()
+        raw_profile = raw_profile.persist()
+        t_tot, r_tot = _profile_total(target_profile), _profile_total(raw_profile)
+    else:
+        t_tot, r_tot = totals
 
     tp = F.broadcast(
         target_profile.select(F.col("bucket"), F.col("cnt").alias("t_cnt")))

@@ -30,6 +30,10 @@ iterative cluster step):
   4b. quality-weighted subsetting   (--weighted-sample-k: deterministic
      Efraimidis-Spirakis K-doc sample, quality-proportional, after dedup
      so duplicates can't buy extra tickets)
+  4c. DSIR importance resampling    (--dsir-k K --dsir-target-lang XX:
+     hashed-ngram profiles of the target slice vs the surviving corpus →
+     per-doc log importance weights → Gumbel-top-k without replacement —
+     distribution-matching selection, Xie et al. 2023)
   5. enrichment: lang-ID, quality, token counts, fingerprint, repetition
      signals (pure projection)
   6. optional BPE tokenization (--bpe-merges: distributed word count +
@@ -138,6 +142,18 @@ def parse_args(argv=None):
                         "(Efraimidis-Spirakis without replacement; "
                         "deterministic — same salt, same subset)")
     p.add_argument("--weighted-sample-salt", default="w1")
+    p.add_argument("--dsir-k", type=int, default=0, metavar="K",
+                   help="DSIR importance resampling: keep K docs sampled "
+                        "∝ exp(log target/raw hashed-ngram likelihood "
+                        "ratio) toward the --dsir-target-lang slice "
+                        "(Gumbel-top-k, deterministic)")
+    p.add_argument("--dsir-target-lang", metavar="XX",
+                   help="the target distribution for --dsir-k: docs whose "
+                        "lang (metadata column, else the lang_id heuristic) "
+                        "equals XX")
+    p.add_argument("--dsir-buckets", type=int, default=4096,
+                   help="hashed-ngram feature buckets (default 4096)")
+    p.add_argument("--dsir-salt", default="g1")
     p.add_argument("--split", action="store_true",
                    help="append a deterministic train/validation/test column")
     p.add_argument("--val-rate", type=float, default=0.01)
@@ -259,6 +275,26 @@ def run_pipeline(spark, args):
         dirty = scores.filter(F.col("contaminated")).select(ic)
         docs = docs.join(dirty, ic, "left_anti")
         summary["after_decontaminate"] = docs.count()
+
+    if args.dsir_k:
+        # DSIR (Xie et al. 2023): match the kept corpus to the target-lang
+        # slice's hashed-ngram distribution. Runs after dedup/decontamination
+        # (duplicates can't stuff the raw profile) and before the quality
+        # sample — distribution first, quality within it.
+        if not args.dsir_target_lang:
+            raise SystemExit("--dsir-k requires --dsir-target-lang")
+        from crawl4ai_scraper_spark.operators import selection as SEL
+
+        lang_col = F.col("lang") if "lang" in docs.columns else T.lang_id(F.col(tc))
+        target = docs.filter(
+            F.coalesce(lang_col == args.dsir_target_lang, F.lit(False))
+        )
+        tp = SEL.dsir_profile(target, tc, ic, n_buckets=args.dsir_buckets)
+        rp = SEL.dsir_profile(docs, tc, ic, n_buckets=args.dsir_buckets)
+        w = SEL.dsir_log_weights(docs, tc, ic, tp, rp, n_buckets=args.dsir_buckets)
+        kept = SEL.dsir_select(w, ic, k=args.dsir_k, salt=args.dsir_salt)
+        docs = docs.join(kept.select(ic), ic)
+        summary["after_dsir"] = docs.count()
 
     if args.weighted_sample_k:
         # quality-weighted corpus subsetting (Efraimidis-Spirakis without

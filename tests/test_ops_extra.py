@@ -2376,3 +2376,41 @@ def test_dsir_select_is_weight_biased_without_replacement(spark):
     # keys are sorted descending, ties impossible at these magnitudes
     keys = [r["gumbel_key"] for r in sel]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_submit_pipeline_dsir_stage(spark, tmp_path):
+    """--dsir-k keeps exactly K docs, deterministically, and biases the kept
+    set toward the target-lang distribution (English docs dominate when
+    English is the target)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    en = [(i, f"the quick brown fox jumps over the lazy dog number {i}", "en")
+          for i in range(20)]
+    de = [(100 + i, f"der schnelle braune fuchs springt ueber den hund {i}", "de")
+          for i in range(20)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(en + de, "doc_id long, text string, lang string").write.parquet(inp)
+
+    out = str(tmp_path / "dsir")
+    args = parse_args([
+        "--input", inp, "--output", out, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--dsir-k", "12", "--dsir-target-lang", "en",
+        "--dsir-buckets", "128",
+    ])
+    summary = run_pipeline(spark, args)
+    kept = spark.read.parquet(out)
+    assert summary["after_dsir"] == 12 == kept.count()
+    langs = [r.lang for r in kept.collect()]
+    assert langs.count("en") > langs.count("de")  # distribution matching
+
+    # deterministic under the same salt
+    out2 = str(tmp_path / "dsir2")
+    run_pipeline(spark, parse_args([
+        "--input", inp, "--output", out2, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--dsir-k", "12", "--dsir-target-lang", "en",
+        "--dsir-buckets", "128",
+    ]))
+    assert ({r.doc_id for r in kept.collect()}
+            == {r.doc_id for r in spark.read.parquet(out2).collect()})

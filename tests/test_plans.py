@@ -360,3 +360,46 @@ def test_host_trap_stats_single_host_exchange(spark):
     r = {x["host"]: x for x in out.collect()}
     assert r["h0"]["n_urls"] == 50 and r["h0"]["n_templates"] == 1
     assert not r["h0"]["trap_suspect"]  # distinct bodies -> low dup ratio
+
+
+def test_dsir_weights_broadcast_profiles_single_doc_exchange(spark):
+    """DSIR scoring: the gram stream is a projection+generate off the scan,
+    both B-row profiles enter via BroadcastHashJoin (never SortMergeJoin —
+    the corpus-volume side must not shuffle for the join), and the gram
+    volume crosses exactly ONE hashpartitioning Exchange: the final
+    groupBy(doc_id). The profiles' own O(B)-key aggregates are the only
+    other exchanges and carry bucket counts, not corpus data."""
+    from crawl4ai_scraper_spark.operators import selection as SEL
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string"),
+                 F.lit(" word "), (F.col("id") % 3).cast("string")).alias("text"),
+    )
+    tp = SEL.dsir_profile(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", 64)
+    rp = SEL.dsir_profile(docs, "text", "doc_id", 64)
+    plan = _plan(SEL.dsir_log_weights(docs, "text", "doc_id", tp, rp, 64))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # every hash exchange is either the final doc_id agg (at most one — AQE
+    # elides it from the unexecuted plan print) or an O(B)-bucket profile
+    # aggregate behind the persisted InMemoryRelations; the gram/text volume
+    # itself never crosses a non-doc_id shuffle
+    assert plan.count("hashpartitioning(doc_id") <= 1
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "doc_id" not in line:
+            assert "bucket" in line, line
+
+
+def test_dsir_select_takeordered(spark):
+    """Gumbel-top-k is TakeOrderedAndProject over the weights — per-partition
+    heaps + driver k-merge, never a global sort."""
+    from crawl4ai_scraper_spark.operators import selection as SEL
+
+    w = spark.range(400).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_grams"),
+        (F.col("id") % 13).cast("double").alias("log_weight"),
+    )
+    plan = _plan(SEL.dsir_select(w, "doc_id", k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
