@@ -105,17 +105,22 @@ def ngrams_from_tokens(toks: Column, n: int) -> Column:
     shorter than n yield one joined gram (same degenerate-case convention as
     dedup.shingles).
 
-    Callers that explode the grams must materialize the tokens in a prior
-    select: a generator over transform(...slice(split(...))) is evaluated
-    interpreted, re-running the split per gram — O(words²) per doc (measured
-    8× slower at sf0.1)."""
+    Built as an (n-1)-fold ``zip_with`` of shifted slices rather than
+    ``transform(sequence, i -> concat_ws(slice(toks, i+1, n)))``: the
+    per-gram slice in the lambda is evaluated interpreted and re-walks the
+    array per gram — measured 8.7× slower at sf0.1 (identical output
+    multiset). Callers that explode the grams should still materialize the
+    tokens in a prior select so the split isn't re-run per consumer."""
     cnt = F.size(toks)
-    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    m = cnt - (n - 1)  # gram count when cnt >= n
+    arr = F.slice(toks, 1, m)
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
+    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(arr)
 
 
 def word_ngrams(text: Column, n: int) -> Column:
