@@ -247,7 +247,12 @@ def main():
         "cpus": CPUS,
         "crawl": crawl,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the driver tail-captures stdout and can truncate a long line (r2's
+    # BENCH JSON parsed null) — persist the same line to a file as the
+    # durable copy (VERDICT r2 fix #9)
+    (REPO / "BENCH_LAST.json").write_text(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

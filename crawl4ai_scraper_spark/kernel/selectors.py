@@ -9,12 +9,19 @@ forms a user would pass through ``soup.select()`` / lxml:
 * CSS compounds: tag, ``*``, ``.class``, ``#id``, ``[attr]``,
   ``[attr=v]`` ``[attr^=v]`` ``[attr$=v]`` ``[attr*=v]`` ``[attr~=v]``
   ``[attr|=v]``, pseudo-classes ``:first-child`` ``:last-child``
-  ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``;
+  ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
+  of-type variants ``:first-of-type`` ``:last-of-type`` ``:only-of-type``
+  ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, and ``:not(compound[, …])``
+  (combinators inside the argument stay unsupported → invalid-skip);
   combinators: descendant, ``>``, ``+``, ``~``; comma groups.
 * XPath: absolute multi-step paths (``//a//b``, ``/a/b``, ``*``),
   predicates ``[@attr='v']`` ``[@attr]`` ``[contains(@attr,'v')]``
-  ``[contains(text(),'v')]`` ``[text()='v']`` ``[N]`` ``[last()]``
-  ``[position() OP N]``; trailing ``text()`` steps.
+  ``[contains(text(),'v')]`` ``[starts-with(@attr,'v')]``
+  ``[starts-with(text(),'v')]`` ``[text()='v']`` ``[N]`` ``[last()]``
+  ``[position() OP N]``; explicit axes ``following-sibling::``
+  ``preceding-sibling::`` ``parent::`` (positional predicates count in
+  axis order per context node, reverse-axis aware); top-level union
+  ``a | b`` (document-order merged node-set); trailing ``text()`` steps.
 
 Anything outside the subset raises at parse time and is SKIPPED by the
 extraction layer — the reference's invalid-selector semantics. Composition
@@ -177,7 +184,8 @@ def parse_dom(html: str) -> Node:
 # ---------------------------------------------------------------------------
 
 _ATTR_PART = r"\[[\w-]+(?:[~^$*|]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
-_PSEUDO_PART = r":[\w-]+(?:\([^)]*\))?"
+# one nesting level of parens so :not(:nth-child(2n+1)) tokenizes whole
+_PSEUDO_PART = r":[\w-]+(?:\((?:[^()]|\([^()]*\))*\))?"
 _COMPOUND_RX = re.compile(
     rf"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
     rf"(?P<rest>(?:[.#][\w-]+|{_ATTR_PART}|{_PSEUDO_PART})*)$"
@@ -243,11 +251,27 @@ class _Compound:
             else:  # pseudo-class
                 name, _, arg = part[1:].partition("(")
                 name = name.lower()
-                if name in ("first-child", "last-child", "only-child"):
+                if name in ("first-child", "last-child", "only-child",
+                            "first-of-type", "last-of-type", "only-of-type"):
                     self.pseudos.append((name,))
-                elif name in ("nth-child", "nth-last-child") and arg:
+                elif name in ("nth-child", "nth-last-child",
+                              "nth-of-type", "nth-last-of-type") and arg:
                     a, b = _parse_nth(arg.rstrip(")"))
                     self.pseudos.append((name, a, b))
+                elif name == "not" and arg:
+                    # CSS4 :not(selector list) — compounds only (no
+                    # combinators inside the argument, like CSS3/soupsieve's
+                    # common subset); a failed inner parse propagates and the
+                    # whole selector is skipped as invalid
+                    body = arg[:-1] if arg.endswith(")") else arg  # ONE paren:
+                    # rstrip would eat the closer of a nested :nth-child(2)
+                    inner = [
+                        _Compound(s.strip())
+                        for s in _split_top_level(body, ",") if s.strip()
+                    ]
+                    if not inner:
+                        raise ValueError(f"empty :not() argument: {part!r}")
+                    self.pseudos.append(("not", inner))
                 else:
                     raise ValueError(f"unsupported pseudo-class: :{part[1:]}")
 
@@ -286,22 +310,29 @@ class _Compound:
             if not self._attr_match(op, node.attrs.get(name), value):
                 return False
         for pseudo in self.pseudos:
-            sibs = _element_siblings(node)
-            idx = next(i for i, s in enumerate(sibs) if s is node)
             kind = pseudo[0]
-            if kind == "first-child":
+            if kind == "not":
+                if any(c.matches(node) for c in pseudo[1]):
+                    return False
+                continue
+            sibs = _element_siblings(node)
+            if kind.endswith("of-type"):
+                # of-type variants index within same-tag siblings only
+                sibs = [s for s in sibs if s.tag == node.tag]
+            idx = next(i for i, s in enumerate(sibs) if s is node)
+            if kind in ("first-child", "first-of-type"):
                 if idx != 0:
                     return False
-            elif kind == "last-child":
+            elif kind in ("last-child", "last-of-type"):
                 if idx != len(sibs) - 1:
                     return False
-            elif kind == "only-child":
+            elif kind in ("only-child", "only-of-type"):
                 if len(sibs) != 1:
                     return False
-            elif kind == "nth-child":
+            elif kind in ("nth-child", "nth-of-type"):
                 if not _nth_matches(pseudo[1], pseudo[2], idx + 1):
                     return False
-            elif kind == "nth-last-child":
+            elif kind in ("nth-last-child", "nth-last-of-type"):
                 if not _nth_matches(pseudo[1], pseudo[2], len(sibs) - idx):
                     return False
         return True
@@ -405,10 +436,41 @@ class CssSelector:
         return False
 
 
+def _split_top_level(s: str, sep: str) -> List[str]:
+    """Split on ``sep`` outside brackets/parens/quotes (so a comma inside
+    ``:not(a, b)`` or a ``|`` inside ``[attr|=v]`` never splits)."""
+    parts: List[str] = []
+    buf: List[str] = []
+    depth = 0
+    quote: Optional[str] = None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch in "[(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch == sep:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def css_select(scope: Node, selector: str) -> List[Node]:
     """All descendants of ``scope`` matching ``selector`` (comma groups OK),
     in document order — bs4 ``Tag.select`` semantics for the subset."""
-    groups = [CssSelector(part.strip()) for part in selector.split(",") if part.strip()]
+    groups = [CssSelector(part.strip())
+              for part in _split_top_level(selector, ",") if part.strip()]
     if not groups:
         raise ValueError("empty selector")
     return [node for node in scope.iter_nodes() if any(g.matches(node) for g in groups)]
@@ -426,6 +488,8 @@ _PRED_ATTR_EQ = re.compile(r"^@([\w-]+)\s*=\s*([\"'])(.*?)\2$")
 _PRED_ATTR = re.compile(r"^@([\w-]+)$")
 _PRED_CONTAINS_ATTR = re.compile(r"^contains\(\s*@([\w-]+)\s*,\s*([\"'])(.*?)\2\s*\)$")
 _PRED_CONTAINS_TEXT = re.compile(r"^contains\(\s*text\(\)\s*,\s*([\"'])(.*?)\1\s*\)$")
+_PRED_STARTS_ATTR = re.compile(r"^starts-with\(\s*@([\w-]+)\s*,\s*([\"'])(.*?)\2\s*\)$")
+_PRED_STARTS_TEXT = re.compile(r"^starts-with\(\s*text\(\)\s*,\s*([\"'])(.*?)\1\s*\)$")
 _PRED_TEXT_EQ = re.compile(r"^text\(\)\s*=\s*([\"'])(.*?)\1$")
 _PRED_POS_N = re.compile(r"^(\d+)$")
 _PRED_POS_LAST = re.compile(r"^last\(\)$")
@@ -433,14 +497,26 @@ _PRED_POS_CMP = re.compile(r"^position\(\)\s*(<=|>=|<|>|=)\s*(\d+)$")
 _STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 
+_X_AXES = ("following-sibling", "preceding-sibling", "parent")
+
+
 class _XStep:
-    __slots__ = ("axis", "name", "preds")
+    __slots__ = ("axis", "xaxis", "name", "preds")
 
     def __init__(self, axis: str, text: str):
         self.axis = axis  # "desc" (//) or "child" (/)
+        self.xaxis: Optional[str] = None  # explicit axis (axis::name), or None
+        if "::" in text:
+            ax, _, text = text.partition("::")
+            ax = ax.strip()
+            if ax not in _X_AXES:
+                raise ValueError(f"unsupported XPath axis: {ax}::")
+            self.xaxis = ax
         m = _STEP_RX.match(text)
         if not m:
             raise ValueError(f"unsupported XPath step: {text!r}")
+        if self.xaxis and m.group(1) == "text()":
+            raise ValueError("text() with an explicit axis is unsupported")
         self.name = m.group(1).lower() if m.group(1) != "text()" else "text()"
         self.preds: List[Tuple] = []
         for pm in re.finditer(r"\[([^\]]*)\]", m.group(2) or ""):
@@ -453,6 +529,10 @@ class _XStep:
                 self.preds.append(("attr~", mm.group(1), mm.group(3)))
             elif (mm := _PRED_CONTAINS_TEXT.match(body)):
                 self.preds.append(("text~", mm.group(2)))
+            elif (mm := _PRED_STARTS_ATTR.match(body)):
+                self.preds.append(("attr^", mm.group(1), mm.group(3)))
+            elif (mm := _PRED_STARTS_TEXT.match(body)):
+                self.preds.append(("text^", mm.group(2)))
             elif (mm := _PRED_TEXT_EQ.match(body)):
                 self.preds.append(("text=", mm.group(2)))
             elif (mm := _PRED_POS_N.match(body)):
@@ -514,8 +594,13 @@ def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
         return pred[1] in node.attrs
     if kind == "attr~":
         return pred[2] in (node.attrs.get(pred[1]) or "")
+    if kind == "attr^":
+        actual = node.attrs.get(pred[1])
+        return actual is not None and actual.startswith(pred[2])
     if kind == "text~":
         return pred[1] in _node_own_text(node)
+    if kind == "text^":
+        return _node_own_text(node).startswith(pred[1])
     if kind == "text=":
         # XPath text()='v' is true when ANY text node equals v
         return any(isinstance(c, str) and c == pred[1] for c in node.children)
@@ -547,9 +632,67 @@ def _apply_positional(nodes: List[Node], op: str, val: int) -> List[Node]:
     return [n for n in nodes if id(n) in keep]
 
 
+def _axis_candidates(base: Node, axis: str) -> List[Node]:
+    """Candidates along an explicit axis, in AXIS order (preceding-sibling
+    is a reverse axis: nearest first, so positional predicates count from
+    the context node, per XPath)."""
+    if axis == "parent":
+        p = base.parent
+        return [p] if p is not None and p.tag != "[document]" else []
+    sibs = _element_siblings(base)
+    idx = next(i for i, s in enumerate(sibs) if s is base)
+    if axis == "following-sibling":
+        return sibs[idx + 1:]
+    return list(reversed(sibs[:idx]))  # preceding-sibling, nearest first
+
+
+def _apply_axis_positional(nodes: List[Node], op: str, val: int) -> List[Node]:
+    """Positional predicate along an explicit axis: position is 1-based in
+    AXIS order per context node (the caller applies this per base)."""
+    size = len(nodes)
+    out = []
+    for pos0, n in enumerate(nodes):
+        pos = pos0 + 1
+        ok = (
+            pos == size if op == "last"
+            else pos == val if op == "="
+            else pos < val if op == "<"
+            else pos <= val if op == "<="
+            else pos > val if op == ">"
+            else pos >= val
+        )
+        if ok:
+            out.append(n)
+    return out
+
+
 def xpath_select(scope: Node, expr: str) -> List:
     """Evaluate the XPath subset. Returns Nodes (and raw strings for a final
-    ``text()`` step) in document order, deduplicated like lxml node-sets."""
+    ``text()`` step) in document order, deduplicated like lxml node-sets.
+    Top-level ``|`` unions evaluate each path and merge (nodes re-sorted to
+    document order; text()-step strings appended in encounter order)."""
+    paths = [p.strip() for p in _split_top_level(expr, "|") if p.strip()]
+    if not paths:
+        raise ValueError(f"empty XPath: {expr!r}")
+    if len(paths) > 1:
+        merged: List = []
+        seen_ids = set()
+        strings: List[str] = []
+        for p in paths:
+            for item in xpath_select(scope, p):
+                if isinstance(item, Node):
+                    if id(item) not in seen_ids:
+                        seen_ids.add(id(item))
+                        merged.append(item)
+                else:
+                    strings.append(item)
+        order = {id(n): i for i, n in enumerate(scope.iter_nodes())}
+        merged.sort(key=lambda n: order.get(id(n), -1))
+        return merged + strings
+    return _xpath_select_path(scope, paths[0])
+
+
+def _xpath_select_path(scope: Node, expr: str) -> List:
     steps = _parse_xpath(expr)
     contexts: List[Node] = [scope]
     for step in steps:
@@ -561,6 +704,28 @@ def xpath_select(scope: Node, expr: str) -> List:
                     out.extend(c for c in ctx.children if isinstance(c, str))
                 else:
                     out.extend(ctx.iter_text())
+                continue
+            if step.xaxis is not None:
+                # //axis::x ≡ descendant-or-self::node()/axis::x — the axis
+                # applies from ctx AND every descendant; predicates
+                # (positional ones in axis order) apply PER base node
+                bases = [ctx] + (list(ctx.iter_nodes())
+                                 if step.axis == "desc" else [])
+                for base in bases:
+                    cand = _axis_candidates(base, step.xaxis)
+                    if step.name != "*":
+                        cand = [n for n in cand if n.tag == step.name]
+                    for pred in step.preds:
+                        if pred[0] == "pos":
+                            cand = _apply_axis_positional(cand, pred[1], pred[2])
+                        else:
+                            cand = [n for n in cand if _scalar_pred_ok(n, pred)]
+                    if step.xaxis == "preceding-sibling":
+                        cand.reverse()  # node-set output is document order
+                    for n in cand:
+                        if id(n) not in seen:
+                            seen.add(id(n))
+                            out.append(n)
                 continue
             if step.axis == "child":
                 cand = [c for c in ctx.children if isinstance(c, Node)]

@@ -223,6 +223,18 @@ def apply_merges_arrow(ws: DataFrame, merges: List[Tuple[str, ...]]) -> DataFram
     return ws.select("word", "freq").mapInPandas(seg, schema)
 
 
+def _word_freq_table(df: DataFrame, text_col: str, min_word_freq: int) -> DataFrame:
+    """The distinct-word frequency table (map-side-combined groupBy) both
+    the local trainer and the truncation certificate build on."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_word_freq)
+    )
+
+
 def bpe_train_local(
     df: DataFrame,
     text_col: str,
@@ -230,6 +242,7 @@ def bpe_train_local(
     min_freq: int = 1,
     max_words: int = 5_000_000,
     min_word_freq: int = 1,
+    diagnostics: Optional[dict] = None,
 ) -> List[Tuple[str, str, int]]:
     """Learn BPE merges with the distributed-count / local-merge split that
     production tokenizer trainers use: the 100-TB work is ONE corpus scan
@@ -253,17 +266,25 @@ def bpe_train_local(
     applied left-to-right non-overlapping), so both trainers produce the
     same merge list on the same input (asserted in tests). Pair counts are
     maintained incrementally — each merge touches only the words that
-    contain its pair."""
+    contain its pair.
+
+    ``diagnostics`` (optional dict) is filled with the inputs the truncation
+    certificate (``bpe_truncation_certificate``) needs: ``boundary`` — the
+    (freq, word) of the LAST collected word when the table was actually
+    truncated (None otherwise), ``n_words``, and ``margins`` — per merge,
+    the counted-count gap between the chosen pair and the runner-up."""
     wf_df = (
-        df.select(F.explode(words(F.col(text_col))).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= min_word_freq)
+        _word_freq_table(df, text_col, min_word_freq)
         .orderBy(F.col("freq").desc(), F.col("word"))
         .limit(max_words)
     )
     wf = [(r.word, r.freq) for r in wf_df.collect()]
+    if diagnostics is not None:
+        diagnostics["n_words"] = len(wf)
+        diagnostics["boundary"] = (
+            (int(wf[-1][1]), wf[-1][0]) if len(wf) == max_words else None
+        )
+        diagnostics["margins"] = []
 
     syms = {w: list(w) for w, _ in wf}
     freq = dict(wf)
@@ -284,22 +305,79 @@ def bpe_train_local(
 
     merges: List[Tuple[str, str, int]] = []
     for _ in range(n_merges):
-        best, best_key = None, None
+        best, best_key, runner_cnt = None, None, 0
         for p, c in pair_cnt.items():
             if c < min_freq:
                 continue
             key = (-c, p)
             if best_key is None or key < best_key:
+                if best is not None and best[1] > runner_cnt:
+                    runner_cnt = best[1]
                 best, best_key = (p, c), key
+            elif c > runner_cnt:
+                runner_cnt = c
         if best is None:
             break
         (a, b), cnt = best
         merges.append((a, b, int(cnt)))
+        if diagnostics is not None:
+            diagnostics["margins"].append(int(cnt) - int(runner_cnt))
         for w in list(pair_words.get((a, b), ())):
             _count_word(w, -1)
             syms[w] = _merge_syms(syms[w], a, b)
             _count_word(w, +1)
     return merges
+
+
+def bpe_truncation_certificate(
+    df: DataFrame,
+    text_col: str,
+    diagnostics: dict,
+    min_word_freq: int = 1,
+) -> Tuple[int, int]:
+    """Quantify the ``max_words`` truncation's effect on a
+    ``bpe_train_local`` run (VERDICT r2 #7): returns ``(tail_mass,
+    certified_prefix)``.
+
+    ``tail_mass`` = Σ freq·(len(word)−1) over the DROPPED word tail — an
+    upper bound on how much the tail can add to ANY pair's count at any
+    step (a word of L symbols contributes at most L−1 adjacent pairs per
+    occurrence, and merging only ever shrinks that). One extra aggregation
+    over the word-frequency table; no extra corpus scan beyond it.
+
+    ``certified_prefix`` = the longest prefix of the learned merge list
+    that is PROVABLY identical to the untruncated trainer's: while every
+    merge so far was chosen with a counted margin (chosen count − runner-up
+    count, recorded in ``diagnostics['margins']``) strictly greater than
+    ``tail_mass``, no tail re-weighting can change the argmax, so the
+    symbol state — and therefore every subsequent count — still agrees with
+    the untruncated run. The first merge whose margin ≤ tail_mass ends the
+    certificate (later merges may still agree, but it is no longer provable
+    from counts alone). An untruncated run (``boundary is None``) certifies
+    the whole list with tail_mass 0.
+
+    Asserted in tests/test_bpe.py: the untruncated case is exact, and on an
+    adversarially-truncated corpus the certified prefix always agrees with
+    the untruncated merge list."""
+    margins = diagnostics.get("margins", [])
+    boundary = diagnostics.get("boundary")
+    if boundary is None:
+        return 0, len(margins)
+    f0, w0 = boundary
+    tail = _word_freq_table(df, text_col, min_word_freq).filter(
+        (F.col("freq") < f0) | ((F.col("freq") == f0) & (F.col("word") > w0))
+    )
+    row = tail.agg(
+        F.sum(F.col("freq") * (F.length("word") - 1)).alias("m")
+    ).collect()[0]
+    tail_mass = int(row["m"] or 0)
+    certified = 0
+    for m in margins:
+        if m > tail_mass:
+            certified += 1
+        else:
+            break
+    return tail_mass, certified
 
 
 def bpe_segment(

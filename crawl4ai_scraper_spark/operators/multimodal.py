@@ -39,29 +39,56 @@ def _fake_decode(blob: bytes) -> dict:
     }
 
 
-def _real_decode(blob: bytes) -> dict:  # pragma: no cover - env has no PIL
-    """STUB: real decode path. Raises until an image library is installed."""
-    raise NotImplementedError(
-        "image decode requires PIL/pillow, which is not installed in this "
-        "environment; _fake_decode carries the pipeline plumbing"
-    )
+def _real_decode(blob: bytes) -> dict:
+    """Real image decode via PIL (not installed in this environment — the
+    import raises NotImplementedError until it is; a skip-gated pytest
+    exercises this path the day the env gains pillow). Same output contract
+    as ``_fake_decode``: n_bytes / content sha / width / height."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL/pillow, which is not installed in "
+            "this environment; _fake_decode carries the pipeline plumbing"
+        ) from exc
+    import io
 
-
-try:  # decode backend selection, import-gated
-    import PIL  # noqa: F401
-
-    _DECODE = _real_decode
-except ImportError:
-    _DECODE = _fake_decode
+    with Image.open(io.BytesIO(blob)) as im:
+        width, height = im.size
+    return {
+        "n_bytes": len(blob),
+        "sha": hashlib.md5(blob).hexdigest(),
+        "width": int(width),
+        "height": int(height),
+    }
 
 
 def decode_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas transformer: (media_id, blob binary, kind) → metadata."""
+    """mapInPandas transformer: (media_id, blob binary, kind) → metadata.
+
+    Uses ``_fake_decode`` UNCONDITIONALLY: the synthetic pipeline's blobs are
+    utf-8 text standing in for media bytes, and the DuckDB contract oracles
+    replicate the fake's md5-derived dimensions — auto-switching on PIL
+    availability would break both. Real image bytes go through
+    ``decode_media_real`` instead."""
     for pdf in it:
         rows = []
         for media_id, blob, kind in zip(pdf["media_id"], pdf["blob"], pdf["kind"]):
             blob = bytes(blob) if blob is not None else b""
-            meta = _DECODE(blob)
+            meta = _fake_decode(blob)
+            rows.append({"media_id": int(media_id), "kind": kind, **meta})
+        yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "sha", "width", "height", "kind"])
+
+
+def decode_media_real(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas transformer over REAL image bytes → metadata via PIL.
+    Identical batch shape/schema to ``decode_media``; raises
+    NotImplementedError per batch until pillow is installed."""
+    for pdf in it:
+        rows = []
+        for media_id, blob, kind in zip(pdf["media_id"], pdf["blob"], pdf["kind"]):
+            blob = bytes(blob) if blob is not None else b""
+            meta = _real_decode(blob)
             rows.append({"media_id": int(media_id), "kind": kind, **meta})
         yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "sha", "width", "height", "kind"])
 

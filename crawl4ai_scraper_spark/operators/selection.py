@@ -106,12 +106,20 @@ def dsir_log_weights(
     the two scalar recounts when the caller already has them.
     """
     if totals is None:
-        # each profile is consumed twice (scalar total + scoring join);
-        # persisting the B-row frame means the corpus behind it is scanned
-        # once, not twice — B rows of cache, never corpus volume
-        target_profile = target_profile.persist()
-        raw_profile = raw_profile.persist()
-        t_tot, r_tot = _profile_total(target_profile), _profile_total(raw_profile)
+        # each profile is consumed twice (scalar total + scoring join). A
+        # profile is ≤ B rows (model-sized, like k-means centroids), so
+        # collect it ONCE, total it driver-side, and rebuild a local frame
+        # for the broadcast join — one job per profile, nothing left cached
+        # for the session (the r2 ADVICE persist-leak).
+        spark = raw.sparkSession
+        t_rows = [(int(r["bucket"]), int(r["cnt"]))
+                  for r in target_profile.select("bucket", "cnt").collect()]
+        r_rows = [(int(r["bucket"]), int(r["cnt"]))
+                  for r in raw_profile.select("bucket", "cnt").collect()]
+        t_tot, r_tot = sum(c for _, c in t_rows), sum(c for _, c in r_rows)
+        schema = "bucket long, cnt long"
+        target_profile = spark.createDataFrame(t_rows, schema)
+        raw_profile = spark.createDataFrame(r_rows, schema)
     else:
         t_tot, r_tot = totals
 
@@ -145,14 +153,16 @@ def dsir_log_weights(
 
 def dsir_gumbel_key(log_weight: Column, id_col: Column, salt: str = "g1") -> Column:
     """Gumbel perturbation key: log_weight + G where G = -ln(-ln(u)) and
-    u = (48-bit md5(salt:id) + 1) / 2^48 — engine/run/partitioning stable
-    (same digest scheme as textops.weighted_sample)."""
+    u = (48-bit md5(salt:id) + 0.5) / 2^48 — engine/run/partitioning stable
+    (same digest scheme as textops.weighted_sample). The +0.5 keeps u in the
+    OPEN interval (0, 1): with +1, the digest 2^48−1 gives u=1 and ln(ln(1))
+    diverges — NULL in Spark vs an error/±inf in DuckDB (r2 ADVICE)."""
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 12),
             16, 10,
         ).cast("double")
-        + F.lit(1.0)
+        + F.lit(0.5)
     ) / F.lit(_MD5_48)
     return log_weight + (-F.log(-F.log(u)))
 

@@ -110,7 +110,15 @@ def ngrams_from_tokens(toks: Column, n: int) -> Column:
     per-gram slice in the lambda is evaluated interpreted and re-walks the
     array per gram — measured 8.7× slower at sf0.1 (identical output
     multiset). Callers that explode the grams should still materialize the
-    tokens in a prior select so the split isn't re-run per consumer."""
+    tokens in a prior select so the split isn't re-run per consumer.
+
+    Null-token convention: a NULL array element nulls the WHOLE gram it
+    appears in (``concat`` semantics; the pre-rewrite ``concat_ws`` silently
+    skipped nulls instead). Every in-repo caller passes ``split()`` output,
+    which never contains null elements; callers with nullable elements must
+    coalesce them first. The negative-length ``slice`` in the short-doc case
+    is reached only under the ``when(cnt < n)`` guard — do not hoist ``arr``
+    out of the conditional."""
     cnt = F.size(toks)
     m = cnt - (n - 1)  # gram count when cnt >= n
     arr = F.slice(toks, 1, m)
@@ -975,8 +983,13 @@ def nb_score(
     # the exact sum). Narrow the sum first — |score| < 10^24 is guaranteed by
     # |weight| < 100 and < 10^22 tokens/doc — so the add stays exact.
     score = (F.col("_s").cast("decimal(36,12)") + prior_c).cast("decimal(38,12)")
+    # keep is decided on the exact DECIMAL score; the OUTPUT score column is
+    # cast to DOUBLE (the 12dp value converts identically in Spark and DuckDB)
+    # so downstream pandas canonicalization renders both engines the same —
+    # trailing-zero DECIMALs do not (VERDICT r2 fix #1).
     return agg.select(
-        "id", "n_tokens", score.alias("score"), (score > 0).alias("keep")
+        "id", "n_tokens",
+        score.cast("double").alias("score"), (score > 0).alias("keep"),
     )
 
 

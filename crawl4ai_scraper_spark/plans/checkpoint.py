@@ -34,9 +34,11 @@ snapshot metadata is mechanical):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-from typing import Dict, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,13 +88,28 @@ def commit_round(
     deltas: Dict[str, DataFrame],
     meta: Dict,
     sizes: Optional[Dict[str, int]] = None,
+    meta_late: Optional[Callable[[], Dict]] = None,
 ) -> None:
     """Write this round's deltas + next frontier, then the manifest marker.
-    ``sizes`` (rows per table name, plus "frontier") drives file coalescing."""
+    ``sizes`` (rows per table name, plus "frontier") drives file coalescing.
+
+    The data writes run CONCURRENTLY (one Spark job per table from a small
+    thread pool): the three writes are independent, each is dominated by a
+    fixed per-job cost at small round sizes, and overlapping them cuts the
+    per-round serial share that caps N→4N scaling efficiency (VERDICT r2
+    fix #3). Shared upstream caches are materialized once — Spark's block
+    manager serializes per-partition computes across the jobs.
+
+    ``meta_late`` (optional) is called AFTER the data writes and its dict is
+    merged into the manifest — the hook that lets the driver derive scalars
+    (frontier size, max sched_ts) from the freshly-written parquet footers
+    instead of running extra Spark jobs, while keeping the manifest complete."""
     spark = frontier_next.sparkSession
     sizes = sizes or {}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    for name, df in deltas.items():
+    base = round_dir(chk_dir, rnd)
+
+    def _write_delta(name: str, df: DataFrame) -> None:
         (
             _coalesced(df, sizes.get(name))
             .withColumn("round", F.lit(rnd))
@@ -100,15 +117,24 @@ def commit_round(
             .partitionBy("round")
             .parquet(_state_dir(chk_dir, name))
         )
-    base = round_dir(chk_dir, rnd)
-    (
-        _coalesced(frontier_next, sizes.get("frontier"))
-        .withColumn("round", F.lit(rnd))
-        .write.mode("overwrite")
-        .parquet(os.path.join(base, "frontier"))
-    )
+
+    def _write_frontier() -> None:
+        (
+            _coalesced(frontier_next, sizes.get("frontier"))
+            .withColumn("round", F.lit(rnd))
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "frontier"))
+        )
+
+    with ThreadPoolExecutor(max_workers=len(deltas) + 1) as pool:
+        futs = [pool.submit(_write_delta, n, df) for n, df in deltas.items()]
+        futs.append(pool.submit(_write_frontier))
+        for f in futs:
+            f.result()  # surface the first failure; manifest is never written
 
     manifest = dict(meta)
+    if meta_late is not None:
+        manifest.update(meta_late())
     manifest["round"] = rnd
     manifest["format"] = CHECKPOINT_FORMAT
     tmp = os.path.join(base, ".manifest.tmp")
@@ -116,6 +142,47 @@ def commit_round(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(base, "manifest.json"))  # atomic commit
+
+
+def _parquet_dir_stats(path: str, max_cols: Tuple[str, ...] = ()) -> Tuple[int, Dict[str, object]]:
+    """Driver-side footer scan of a written parquet dir: (total rows,
+    {col: max over all row groups}). Costs O(files) metadata reads and ZERO
+    Spark jobs — the point is deriving post-commit scalars (frontier size,
+    max sched_ts) without re-running the round's plan. Parquet writers emit
+    row-group min/max statistics for primitive columns by default; a column
+    with no stats anywhere maps to None (caller falls back)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    maxes: Dict[str, object] = {c: None for c in max_cols}
+    for fpath in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(fpath).metadata
+        total += md.num_rows
+        if not max_cols:
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in max_cols:
+            if c not in idx:
+                continue
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if maxes[c] is None or st.max > maxes[c]:
+                    maxes[c] = st.max
+    return total, maxes
+
+
+def round_write_stats(chk_dir: str, rnd: int) -> Tuple[int, Optional[float]]:
+    """Post-commit scalars for round ``rnd`` from parquet footers (no Spark
+    job): (frontier_out rows, max visited sched_ts). ``sched_ts`` max is None
+    when the round visited nothing (caller keeps the previous virtual time)."""
+    f_n, _ = _parquet_dir_stats(os.path.join(round_dir(chk_dir, rnd), "frontier"))
+    _, vmax = _parquet_dir_stats(
+        os.path.join(_state_dir(chk_dir, "visited"), f"round={rnd}"), ("sched_ts",)
+    )
+    v = vmax.get("sched_ts")
+    return f_n, (float(v) if v is not None else None)
 
 
 def read_state(spark: SparkSession, chk_dir: str, name: str, upto_round: int) -> DataFrame:

@@ -44,6 +44,7 @@ from crawl4ai_scraper_spark.plans.checkpoint import (
     read_frontier,
     read_state,
     reset_checkpoint,
+    round_write_stats,
 )
 from crawl4ai_scraper_spark.plans.frontier import run_round
 from crawl4ai_scraper_spark.plans.politeness import template_trap_stats, virtual_schedule
@@ -249,24 +250,22 @@ def run_crawl(
             extraction=extraction, blocked_hosts=blocked_hosts,
             blocked_templates=blocked_templates,
         )
-        timer.lap("run_round (actions: matched count, visit agg, rank+count)")
-        # persisted: BOTH the max-agg action and the commit write consume the
-        # scheduled frame — without the cache the schedule's shuffles (host
-        # offsets + join) would execute twice per round, the second time at
-        # the write's coalesced (reduced) parallelism
+        timer.lap("run_round (one action: combined count agg)")
         visits = virtual_schedule(
             rr.visits, host_rules, cfg.delay_between_requests, round_vt
-        ).persist()
-        rr.caches.append(visits)
-        vt_step = visits.agg(F.max("sched_ts")).collect()[0][0]
-        timer.lap("virtual_schedule max agg")
-        round_vt = (vt_step if vt_step is not None else round_vt) + cfg.delay_between_requests
+        )
+        if cfg.trap_screen and fused:
+            # two consumers (trap-stats action + snapshot write) — cache so
+            # the schedule's shuffles (host offsets + join) run once
+            visits = visits.persist()
+            rr.caches.append(visits)
+        # round_vt / frontier_out are NOT computed with Spark jobs any more:
+        # the commit's meta_late hook reads them from the freshly-written
+        # parquet footers (round_write_stats) — two whole jobs removed from
+        # the per-round serial share (VERDICT r2 fix #3).
 
         seq_base += rr.counts["visited"]
         discovered_n += rr.counts["matched_new"]
-        frontier_n = rr.counts["frontier_out"]
-        enqueued_n += frontier_n
-        done = rr.truncated or frontier_n == 0
 
         if cfg.trap_screen and fused:
             stats = template_trap_stats(
@@ -290,6 +289,20 @@ def run_crawl(
                 )
             timer.lap("trap screen")
 
+        late_box: Dict = {}
+
+        def _late_meta(rnd=rnd, rr=rr, enq=enqueued_n, vt_in=round_vt) -> Dict:
+            f_n, vt_max = round_write_stats(chk_dir, rnd)
+            counts = dict(rr.counts)
+            counts["frontier_out"] = f_n
+            late_box["frontier_n"] = f_n
+            late_box["round_vt"] = (
+                vt_max if vt_max is not None else vt_in
+            ) + cfg.delay_between_requests
+            late_box["done"] = rr.truncated or f_n == 0
+            return {"counts": counts, "frontier_n": f_n, "enqueued_n": enq + f_n,
+                    "round_vt": late_box["round_vt"], "done": late_box["done"]}
+
         commit_round(
             chk_dir, rnd, rr.new_frontier,
             {
@@ -297,19 +310,25 @@ def run_crawl(
                                          "matched", "sched_ts", "arrival_rank", *doc_cols),
                 "lineage": rr.lineage,
             },
-            {"seq_base": seq_base, "discovered": discovered_n, "round_vt": round_vt,
-             "done": done, "counts": rr.counts,
-             "frontier_n": frontier_n, "enqueued_n": enqueued_n, "fused": fused,
+            {"seq_base": seq_base, "discovered": discovered_n, "fused": fused,
              "trap_templates": sorted(trap_templates)},
             # fused visited rows carry ~1 KB of markdown each: weight them
             # 16x so the snapshot writer's rows//250k file heuristic lands
             # near one write task per core for the heavy text-encode rounds
-            # (a 500k-row fused round was 9 files = 9 busy cores of 32)
-            sizes={"frontier": frontier_n,
+            # (a 500k-row fused round was 9 files = 9 busy cores of 32).
+            # frontier size is unknown pre-write now — links emitted this
+            # round (pre-dedup) is its upper bound, close enough for the
+            # rows//250k file-count heuristic.
+            sizes={"frontier": rr.counts.get("links_total", 0),
                    "visited": rr.counts["visited"] * (16 if fused else 1),
                    "lineage": 0},
+            meta_late=_late_meta,
         )
-        timer.lap("commit_round (3 parquet writes)")
+        frontier_n = late_box["frontier_n"]
+        enqueued_n += frontier_n
+        round_vt = late_box["round_vt"]
+        done = late_box["done"]
+        timer.lap("commit_round (3 overlapped parquet writes + footer stats)")
         for cached in rr.caches:  # round state is on disk now — free the memory
             cached.unpersist()
         last = rnd

@@ -280,6 +280,7 @@ def run_round(
             "fetched_ok": n_ok,
             "matched_new": min(matched_count, remaining),
             "frontier_out": 0,
+            "links_total": 0,
         }
         lineage = (
             _partition_counts(frontier, "frontier_in")
@@ -442,16 +443,21 @@ def run_round(
 
     # Counts come only from persisted/cached frames — recounting ``candidates``
     # would re-run the whole Arrow expansion pass, so dedup attrition is
-    # reported per-partition in lineage instead of as a scalar here. The
-    # visited/fetched pair is ONE aggregation job over the persisted fetch.
+    # reported per-partition in lineage instead of as a scalar here.
+    # frontier_out is NOT counted with a job any more: the driver reads it
+    # from the committed frontier snapshot's parquet footers post-write
+    # (checkpoint.round_write_stats) — the count job used to be a full
+    # materialization pass whose only output was one scalar. links_total
+    # (pre-dedup links, from the combined stats agg) rides along as the
+    # coalescing upper bound for the frontier write.
     counts = {
         "frontier_in": n_frontier,
         "visited": n_visited,
         "fetched_ok": n_ok,
         "matched_new": min(matched_count, remaining),
-        "frontier_out": new_frontier.count(),  # materializes the rank cache for the commits
+        "frontier_out": None,  # patched by the driver from footer stats
+        "links_total": n_links,
     }
-    t0 = _lap(t0, "frontier_out count (expand+dedup+anti-join+rank materialize)")
 
     lineage = (
         _partition_counts(frontier, "frontier_in")

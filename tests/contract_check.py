@@ -5,16 +5,30 @@ same sf dir, then compare (row count, sorted column names, order-insensitive
 value hash). Usable as a library (pytest) or a CLI:
 
     python tests/contract_check.py [sf_dir] [query ...]
+
+Canonicalization is DRIVER-FAITHFUL (VERDICT r2 fix #2): both engines'
+results are pulled through pandas (Spark ``.toPandas()``, DuckDB
+``.fetchdf()``) and cells are rendered dtype-faithfully — a Spark
+``Decimal('49746.0000')`` and a DuckDB float64 ``49746.0`` hash DIFFERENTLY,
+exactly as the driver's canonicalizer sees them. The previous normalizer
+(`str()` on raw ``collect()``/``fetchall()`` values + ``%.6g`` floats) masked
+that divergence twice (r1 HUGEINT, r2 trailing-zero DECIMAL); floats now
+render at full shortest-round-trip precision (``repr``), so 7th-digit drift
+is no longer forgiven either.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal
 import hashlib
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
@@ -31,56 +45,71 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Dtype-faithful cell rendering over pandas-materialized values.
+
+    Floats use ``repr`` (shortest round-trip — no %.6g forgiveness);
+    Decimals use ``str`` (keeps trailing zeros, so Decimal vs float64
+    mismatches are VISIBLE, like the driver); containers recurse."""
     if v is None:
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(v).lower()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "nan" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def frame_fingerprint(cols, rows):
-    """Order-insensitive value hash: sort columns by name, normalize cells,
-    hash the sorted multiset of row strings."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
-    digest = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return digest
+def frame_lines(df: pd.DataFrame) -> list[str]:
+    """Order-insensitive canonical row strings: columns sorted by name,
+    cells rendered dtype-faithfully, rows sorted."""
+    cols = sorted(df.columns)
+    sub = df[cols]
+    lines = [
+        "\x1f".join(_norm_cell(v) for v in row)
+        for row in sub.itertuples(index=False, name=None)
+    ]
+    return sorted(lines)
+
+
+def frame_fingerprint(df: pd.DataFrame) -> str:
+    return hashlib.md5("\n".join(frame_lines(df)).encode()).hexdigest()
 
 
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> dict:
-    sdf = fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = [tuple(r) for r in res.fetchall()]
+    spdf = fn(spark, sf_dir).toPandas()
+    ddf = con.execute(sql).fetchdf()
     out = {
         "name": name,
-        "rows": (len(srows), len(drows)),
-        "cols": (sorted(scols), sorted(dcols)),
-        "rows_match": len(srows) == len(drows),
-        "cols_match": sorted(scols) == sorted(dcols),
+        "rows": (len(spdf), len(ddf)),
+        "cols": (sorted(spdf.columns), sorted(ddf.columns)),
+        "rows_match": len(spdf) == len(ddf),
+        "cols_match": sorted(spdf.columns) == sorted(ddf.columns),
     }
     out["hash_match"] = (
         out["rows_match"]
         and out["cols_match"]
-        and frame_fingerprint(scols, srows) == frame_fingerprint(dcols, drows)
+        and frame_fingerprint(spdf) == frame_fingerprint(ddf)
     )
     if not out["hash_match"] and out["cols_match"]:
-        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-        order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        ss = sorted("\x1f".join(_norm_cell(r[i]) for i in order_s) for r in srows)
-        dd = sorted("\x1f".join(_norm_cell(r[i]) for i in order_d) for r in drows)
+        ss, dd = frame_lines(spdf), frame_lines(ddf)
         diffs = [(a, b) for a, b in zip(ss, dd) if a != b]
-        only_s = sorted(set(ss) - set(dd))[:3]
-        only_d = sorted(set(dd) - set(ss))[:3]
         out["first_diffs"] = diffs[:3]
-        out["only_spark"] = only_s
-        out["only_duck"] = only_d
+        out["only_spark"] = sorted(set(ss) - set(dd))[:3]
+        out["only_duck"] = sorted(set(dd) - set(ss))[:3]
     return out
 
 
@@ -109,7 +138,7 @@ def main():
             failures.append(name)
             continue
         status = "OK " if r["hash_match"] else "FAIL"
-        print(f"{name:28s} {status} rows={r['rows']} cols_match={r['cols_match']}")
+        print(f"{name:28s} {status} rows={r['rows']} cols_match={r['cols_match']}", flush=True)
         if not r["hash_match"]:
             failures.append(name)
             for key in ("first_diffs", "only_spark", "only_duck"):

@@ -273,3 +273,90 @@ class TestXPathExtensions:
             assert validate_xpath(ok)[0], ok
         for bad in ("//article[", "//main//"):
             assert not validate_xpath(bad)[0], bad
+
+
+class TestCssRound3Extensions:
+    """Round-3 additions (VERDICT r2 #5): :not(), the of-type family."""
+
+    def test_not_simple(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(css_select(root, ".wrap p:not(#p2)")) == ["p1", "p3", "p4"]
+        assert _ids(css_select(root, ".wrap :not(p)")) == ["s1"]
+        # CSS4 selector list argument
+        assert _ids(css_select(root, ".wrap p:not(#p2, #p4)")) == ["p1", "p3"]
+        # nested functional pseudo inside :not
+        assert _ids(css_select(root, ".wrap p:not(:nth-child(2))")) == ["p1", "p3", "p4"]
+
+    def test_not_invalid_argument_is_invalid_selector(self):
+        # combinators inside :not() stay outside the subset → invalid-skip
+        ok, _ = validate_css_selector("p:not(div > p)")
+        assert not ok
+        ok, _ = validate_css_selector("p:not()")
+        assert not ok
+        # and the extraction layer skips it silently (reference semantics)
+        assert extract_by_css(EXT_DOC, ["p:not(div > p)"]) == ""
+
+    def test_of_type_family(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(css_select(root, ".wrap p:first-of-type")) == ["p1"]
+        assert _ids(css_select(root, ".wrap p:last-of-type")) == ["p4"]
+        assert _ids(css_select(root, ".wrap span:only-of-type")) == ["s1"]
+        assert _ids(css_select(root, ".wrap p:nth-of-type(3)")) == ["p3"]
+        # p3 is the 4th CHILD but the 3rd p — of-type indexes same-tag only
+        assert _ids(css_select(root, ".wrap p:nth-child(3)")) == []
+        assert _ids(css_select(root, ".wrap p:nth-last-of-type(1)")) == ["p4"]
+        assert _ids(css_select(root, ".wrap p:nth-of-type(odd)")) == ["p1", "p3"]
+
+    def test_comma_inside_not_does_not_split_groups(self):
+        root = parse_dom(EXT_DOC)
+        # one :not(a, b) group plus a separate #s1 group
+        got = _ids(css_select(root, ".wrap p:not(#p1, #p2), #s1"))
+        assert got == ["s1", "p3", "p4"]
+
+
+class TestXPathRound3Extensions:
+    """Round-3 additions (VERDICT r2 #5): starts-with(), union |, axes."""
+
+    def test_starts_with_attr_and_text(self):
+        root = parse_dom(EXT_DOC)
+        hrefs = [n.attrs.get("href")
+                 for n in xpath_select(root, "//a[starts-with(@href, '/docs')]")]
+        assert hrefs == ["/docs/intro"]
+        assert _ids(xpath_select(root, "//p[starts-with(text(), 'gam')]")) == ["p3"]
+
+    def test_union_document_order_dedup(self):
+        root = parse_dom(EXT_DOC)
+        got = xpath_select(root, "//span | //div/p[1] | //span")
+        assert _ids(got) == ["p1", "s1"]  # doc order, dedup'd
+        tags = [n.tag for n in xpath_select(root, "//article | //ul")]
+        assert tags == ["ul", "article"]
+
+    def test_following_sibling_axis(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(xpath_select(root, "//span/following-sibling::p")) == ["p3", "p4"]
+        assert _ids(xpath_select(root, "//span/following-sibling::p[1]")) == ["p3"]
+        assert _ids(xpath_select(root, "//p[@id='p1']/following-sibling::*[last()]")) == ["p4"]
+
+    def test_preceding_sibling_axis_reverse_positions(self):
+        root = parse_dom(EXT_DOC)
+        # position 1 on a reverse axis = NEAREST preceding
+        assert _ids(xpath_select(root, "//span/preceding-sibling::p[1]")) == ["p2"]
+        # node-set output is still document order
+        assert _ids(xpath_select(root, "//span/preceding-sibling::p")) == ["p1", "p2"]
+
+    def test_parent_axis(self):
+        root = parse_dom(EXT_DOC)
+        assert [n.tag for n in xpath_select(root, "//p[@id='p1']/parent::div")] == ["div"]
+        assert xpath_select(root, "//p[@id='p1']/parent::ul") == []
+        # dedup: all four p's share one parent div
+        assert len(xpath_select(root, "//div/p/parent::div")) == 1
+
+    def test_unsupported_axes_invalid_skip(self):
+        for bad in ("//a/ancestor::div", "//a/self::a", "//a/descendant::b"):
+            assert not validate_xpath(bad)[0], bad
+        assert extract_by_xpath(EXT_DOC, ["//a/ancestor::div"]) == ""
+
+    def test_axis_after_double_slash_applies_from_descendants(self):
+        # //following-sibling::x ≡ descendant-or-self::node()/following-sibling::x
+        root = parse_dom("<div><a id='a1'>x</a><b id='b1'>y</b></div>")
+        assert _ids(xpath_select(root, "//following-sibling::b")) == ["b1"]
