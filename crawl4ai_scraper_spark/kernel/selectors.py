@@ -8,7 +8,8 @@ forms a user would pass through ``soup.select()`` / lxml:
 
 * CSS compounds: tag, ``*``, ``.class``, ``#id``, ``[attr]``,
   ``[attr=v]`` ``[attr^=v]`` ``[attr$=v]`` ``[attr*=v]`` ``[attr~=v]``
-  ``[attr|=v]``, pseudo-classes ``:first-child`` ``:last-child``
+  ``[attr|=v]``, CSS4 case flags ``[attr=v i]`` / ``[attr=v s]``,
+  pseudo-classes ``:first-child`` ``:last-child``
   ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
   of-type variants ``:first-of-type`` ``:last-of-type`` ``:only-of-type``
   ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, and ``:not(compound[, …])``
@@ -183,7 +184,7 @@ def parse_dom(html: str) -> Node:
 # combinators: descendant, >, +, ~
 # ---------------------------------------------------------------------------
 
-_ATTR_PART = r"\[[\w-]+(?:[~^$*|]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
+_ATTR_PART = r"\[[\w-]+(?:[~^$*|]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?(?:\s+[iIsS])?\]"
 # one nesting level of parens so :not(:nth-child(2n+1)) tokenizes whole
 _PSEUDO_PART = r":[\w-]+(?:\((?:[^()]|\([^()]*\))*\))?"
 _COMPOUND_RX = re.compile(
@@ -233,7 +234,8 @@ class _Compound:
         self.tag = (m.group("tag") or "").lower()
         self.classes: List[str] = []
         self.id: Optional[str] = None
-        self.attrs: List[Tuple[str, str, Optional[str]]] = []  # (name, op, value)
+        # (name, op, value, ci) — ci True for the CSS4 case-insensitive flag
+        self.attrs: List[Tuple[str, str, Optional[str], bool]] = []
         self.pseudos: List[Tuple] = []
         for part in _PART_RX.findall(m.group("rest") or ""):
             if part.startswith("."):
@@ -243,11 +245,21 @@ class _Compound:
             elif part.startswith("["):
                 body = part[1:-1]
                 am = re.match(r"^([\w-]+)(?:([~^$*|]?=)(.*))?$", body)
+                if am is None:
+                    raise ValueError(f"unsupported attribute selector: {part!r}")
                 name, op, value = am.group(1), am.group(2), am.group(3)
                 if op is None:
-                    self.attrs.append((name, "", None))  # bare presence
+                    self.attrs.append((name, "", None, False))  # bare presence
                 else:
-                    self.attrs.append((name, op, (value or "").strip("\"'")))
+                    # CSS4 case flag: [attr=v i] (insensitive) / [attr=v s]
+                    # (explicit sensitive, the default) after the value
+                    ci = False
+                    fm = re.match(
+                        r"^(\"[^\"]*\"|'[^']*'|\S*?)\s+([iIsS])$", value or ""
+                    )
+                    if fm:
+                        value, ci = fm.group(1), fm.group(2) in ("i", "I")
+                    self.attrs.append((name, op, (value or "").strip("\"'"), ci))
             else:  # pseudo-class
                 name, _, arg = part[1:].partition("(")
                 name = name.lower()
@@ -276,11 +288,16 @@ class _Compound:
                     raise ValueError(f"unsupported pseudo-class: :{part[1:]}")
 
     @staticmethod
-    def _attr_match(op: str, actual: Optional[str], value: Optional[str]) -> bool:
+    def _attr_match(
+        op: str, actual: Optional[str], value: Optional[str], ci: bool = False
+    ) -> bool:
         if op == "":
             return actual is not None
         if actual is None:
             return False
+        if ci:
+            actual = actual.lower()
+            value = value.lower() if value is not None else value
         if op == "=":
             return actual == value
         if not value:  # per spec ^= $= *= with empty value match nothing
@@ -306,8 +323,8 @@ class _Compound:
         for cls in self.classes:
             if cls not in classes:
                 return False
-        for name, op, value in self.attrs:
-            if not self._attr_match(op, node.attrs.get(name), value):
+        for name, op, value, ci in self.attrs:
+            if not self._attr_match(op, node.attrs.get(name), value, ci):
                 return False
         for pseudo in self.pseudos:
             kind = pseudo[0]

@@ -360,3 +360,31 @@ class TestXPathRound3Extensions:
         # //following-sibling::x ≡ descendant-or-self::node()/following-sibling::x
         root = parse_dom("<div><a id='a1'>x</a><b id='b1'>y</b></div>")
         assert _ids(xpath_select(root, "//following-sibling::b")) == ["b1"]
+
+
+class TestAttrCaseFlags:
+    """CSS4 attribute case flags [attr=v i] / [attr=v s] (the last selector
+    surface VERDICT r2 named)."""
+
+    DOC = ("<div><a id='a1' href='/Docs/INTRO' rel='Nofollow'>x</a>"
+           "<a id='a2' href='/docs/intro' rel='nofollow'>y</a></div>")
+
+    def test_i_flag_all_operators(self):
+        root = parse_dom(self.DOC)
+        assert _ids(css_select(root, "a[rel=NOFOLLOW i]")) == ["a1", "a2"]
+        assert _ids(css_select(root, "a[href^='/DOCS' i]")) == ["a1", "a2"]
+        assert _ids(css_select(root, "a[href$='intro' i]")) == ["a1", "a2"]
+        assert _ids(css_select(root, "a[href*='CS/IN' i]")) == ["a1", "a2"]
+        assert _ids(css_select(root, "a[rel~='NoFollow' i]")) == ["a1", "a2"]
+        # quoted value + flag
+        assert _ids(css_select(root, 'a[rel="NOFOLLOW" i]')) == ["a1", "a2"]
+
+    def test_s_flag_and_default_stay_sensitive(self):
+        root = parse_dom(self.DOC)
+        assert _ids(css_select(root, "a[rel=nofollow]")) == ["a2"]
+        assert _ids(css_select(root, "a[rel=nofollow s]")) == ["a2"]
+        assert _ids(css_select(root, "a[rel=Nofollow s]")) == ["a1"]
+
+    def test_flag_without_value_is_invalid(self):
+        ok, _ = validate_css_selector("a[rel i]")
+        assert not ok
