@@ -20,7 +20,8 @@ forms a user would pass through ``soup.select()`` / lxml:
   ``[contains(text(),'v')]`` ``[starts-with(@attr,'v')]``
   ``[starts-with(text(),'v')]`` ``[text()='v']`` ``[N]`` ``[last()]``
   ``[position() OP N]``; explicit axes ``following-sibling::``
-  ``preceding-sibling::`` ``parent::`` (positional predicates count in
+  ``preceding-sibling::`` ``parent::`` ``ancestor(-or-self)::``
+  ``self::`` ``descendant(-or-self)::`` (positional predicates count in
   axis order per context node, reverse-axis aware); top-level union
   ``a | b`` (document-order merged node-set); trailing ``text()`` steps.
 
@@ -514,7 +515,12 @@ _PRED_POS_CMP = re.compile(r"^position\(\)\s*(<=|>=|<|>|=)\s*(\d+)$")
 _STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 
-_X_AXES = ("following-sibling", "preceding-sibling", "parent")
+_X_AXES = ("following-sibling", "preceding-sibling", "parent",
+           "ancestor", "ancestor-or-self", "self",
+           "descendant", "descendant-or-self")
+# reverse axes: axis order is nearest-context-first (positional predicates
+# count backwards from the context node); output still document order
+_REVERSE_AXES = ("preceding-sibling", "ancestor", "ancestor-or-self")
 
 
 class _XStep:
@@ -656,6 +662,19 @@ def _axis_candidates(base: Node, axis: str) -> List[Node]:
     if axis == "parent":
         p = base.parent
         return [p] if p is not None and p.tag != "[document]" else []
+    if axis == "self":
+        return [base]
+    if axis in ("ancestor", "ancestor-or-self"):
+        out = [base] if axis == "ancestor-or-self" else []
+        p = base.parent
+        while p is not None and p.tag != "[document]":
+            out.append(p)  # nearest first (reverse axis order)
+            p = p.parent
+        return out
+    if axis in ("descendant", "descendant-or-self"):
+        out = [base] if axis == "descendant-or-self" else []
+        out.extend(base.iter_nodes())
+        return out
     sibs = _element_siblings(base)
     idx = next(i for i, s in enumerate(sibs) if s is base)
     if axis == "following-sibling":
@@ -737,7 +756,7 @@ def _xpath_select_path(scope: Node, expr: str) -> List:
                             cand = _apply_axis_positional(cand, pred[1], pred[2])
                         else:
                             cand = [n for n in cand if _scalar_pred_ok(n, pred)]
-                    if step.xaxis == "preceding-sibling":
+                    if step.xaxis in _REVERSE_AXES:
                         cand.reverse()  # node-set output is document order
                     for n in cand:
                         if id(n) not in seen:

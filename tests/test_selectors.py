@@ -351,10 +351,28 @@ class TestXPathRound3Extensions:
         # dedup: all four p's share one parent div
         assert len(xpath_select(root, "//div/p/parent::div")) == 1
 
+    def test_ancestor_axis(self):
+        root = parse_dom("<div id='d1'><ul id='u1'><li id='l1'><a id='a1'>x</a></li></ul></div>")
+        assert _ids(xpath_select(root, "//a/ancestor::*")) == ["d1", "u1", "l1"]
+        assert _ids(xpath_select(root, "//a/ancestor::ul")) == ["u1"]
+        # reverse axis: position 1 = NEAREST ancestor
+        assert _ids(xpath_select(root, "//a/ancestor::*[1]")) == ["l1"]
+        assert _ids(xpath_select(root, "//a/ancestor-or-self::*[1]")) == ["a1"]
+
+    def test_self_and_descendant_axes(self):
+        root = parse_dom(EXT_DOC)
+        assert _ids(xpath_select(root, "//p[@id='p1']/self::p")) == ["p1"]
+        assert xpath_select(root, "//p[@id='p1']/self::div") == []
+        d = parse_dom("<div id='d'><ul><li id='l1'>a</li><li id='l2'>b</li></ul></div>")
+        assert _ids(xpath_select(d, "//div/descendant::li")) == ["l1", "l2"]
+        assert [n.tag for n in xpath_select(d, "//div/descendant-or-self::*")] == \
+            ["div", "ul", "li", "li"]
+
     def test_unsupported_axes_invalid_skip(self):
-        for bad in ("//a/ancestor::div", "//a/self::a", "//a/descendant::b"):
+        for bad in ("//a/following::b", "//a/preceding::b",
+                    "//a/attribute::href", "//a/namespace::x"):
             assert not validate_xpath(bad)[0], bad
-        assert extract_by_xpath(EXT_DOC, ["//a/ancestor::div"]) == ""
+        assert extract_by_xpath(EXT_DOC, ["//a/following::b"]) == ""
 
     def test_axis_after_double_slash_applies_from_descendants(self):
         # //following-sibling::x ≡ descendant-or-self::node()/following-sibling::x
