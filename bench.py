@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "template_trap_stats",
     "dsir_log_weights",
     "dsir_select_topk",
+    "semdedup_survivors",
 ]
 
 

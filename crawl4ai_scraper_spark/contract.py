@@ -1086,6 +1086,46 @@ def lsh_recall_q(spark, sf):
     return D.lsh_recall(corpus, "vec_id", "e", threshold=0.98)
 
 
+@_q(
+    "semdedup_survivors",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 30),
+    c AS (SELECT vec_id, e FROM v
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(e, x -> x * 1.02 + 0.003) FROM v),
+    s AS (SELECT vec_id, e, dots,
+                 CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+          FROM (SELECT vec_id, e, {{dots_sql}} AS dots FROM c)),
+    p AS (SELECT vec_id, e, cell,
+                 dots[cell] / sqrt(list_dot_product(e, e)) AS cs FROM s),
+    losers AS (
+      SELECT DISTINCT x.vec_id
+      FROM p x JOIN p y ON x.cell = y.cell AND y.vec_id <> x.vec_id
+      WHERE (y.cs < x.cs OR (y.cs = x.cs AND y.vec_id < x.vec_id))
+        AND list_dot_product(x.e, y.e)
+            / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+            >= 0.96)
+    SELECT p.vec_id, p.cell, l.vec_id IS NULL AS keep
+    FROM p LEFT JOIN losers l ON p.vec_id = l.vec_id""".replace(
+        "{dots_sql}", _centroid_dots_sql(vec_expr="e")
+    ),
+)
+def semdedup_survivors(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cell-bounded semantic dedup — within
+    each coarse cell, a vector loses to any ≥0.96-cosine neighbor that is
+    LESS centroid-similar (keep-most-atypical, id tiebreak). Planted-twin
+    corpus (the LSH recall fixture); operators.similarity.semdedup."""
+    base = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 30).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    variants = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * F.lit(1.02) + F.lit(0.003)).alias("e"),
+    )
+    corpus = base.unionByName(variants)
+    return S.semdedup(corpus, "vec_id", "e", threshold=0.96)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

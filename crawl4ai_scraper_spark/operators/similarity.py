@@ -400,3 +400,72 @@ def cluster_balance(
     return joined.filter((F.col("keep_steps") >= 4096) | (digest < thr)).select(
         id_col, cell_col, "n_docs", "keep_steps"
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.96,
+    n_cells: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    cluster-bounded cosine — partition the corpus into k-means-style cells,
+    find within-cell pairs above ``threshold``, and from each duplicate
+    relation keep the vector LEAST similar to its cell centroid (the
+    paper's keep-most-atypical rule), ascending id as the tiebreak.
+
+    The keep rule here is the greedy dominance form: a vector is dropped
+    iff SOME same-cell neighbor with (cent_sim, id) priority below its own
+    is ≥-threshold similar. On a duplicate chain this drops everything
+    dominated by a better neighbor (the paper's connected-component variant
+    needs iterative propagation — ``clustering.dup_clusters`` is that op;
+    this is the one-pass shape used in production sweeps).
+
+    Scale shape: cell assignment is a narrow map over literal centroids
+    (swap in trained ones via ``ivf_build`` the same way); candidates come
+    from a self equi-join on the cell key — bounded cell populations, never
+    all-pairs; the loser set is one DISTINCT and rejoins as a broadcast-able
+    anti side. Two shuffles total at corpus volume (cell join, loser
+    distinct). Priority comparisons use identical expression trees in both
+    engines (dot/norm folds), so the decision is engine-reproducible.
+
+    Returns (vec_id, cell, keep) for EVERY input vector.
+    """
+    cents = hyperplanes(n_cells, dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[dot(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+    assigned = (
+        embeddings.select(F.col(id_col).alias("vec_id"), vec.alias("e"), dots.alias("_dots"))
+        .withColumn("cell", F.expr("CAST(array_position(_dots, array_max(_dots)) AS INT)"))
+        # centroid-similarity priority: dot(v, c_cell)/|v| — dividing by the
+        # (per-cell constant) |c| cannot change within-cell order, so it is
+        # omitted and the comparison stays one division per row
+        .withColumn("cs", F.element_at("_dots", F.col("cell")) / norm(F.col("e")))
+        .drop("_dots")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"),
+        "cell", F.col("cs").alias("cs_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"),
+        "cell", F.col("cs").alias("cs_b"),
+    )
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") != F.col("id_a"))
+        .filter(
+            (F.col("cs_b") < F.col("cs_a"))
+            | ((F.col("cs_b") == F.col("cs_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .filter(cosine(F.col("e_a"), F.col("e_b")) >= F.lit(threshold))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(losers.withColumn("_lost", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cell", F.coalesce(~F.col("_lost"), F.lit(True)).alias("keep"))
+    )

@@ -2524,3 +2524,43 @@ def test_contract_decode_stays_fake_even_with_pil(spark):
     assert (row.width, row.height, row.sha, row.n_bytes) == (
         expect["width"], expect["height"], expect["sha"], expect["n_bytes"],
     )
+
+
+def test_semdedup_drops_planted_twins_keeps_singletons(spark):
+    """SemDeDup: planted near-identical twins lose exactly one member (the
+    more centroid-typical one); vectors without a ≥τ neighbor all survive."""
+    import math
+    import random
+
+    from crawl4ai_scraper_spark.operators.similarity import semdedup
+
+    rng = random.Random(11)
+    base = [[round(rng.uniform(-1, 1), 3) for _ in range(64)] for _ in range(12)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, [x * 1.02 + 0.003 for x in v]) for i, v in enumerate(base[:5])]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+    out = {r.vec_id: r for r in semdedup(df, "vec_id", "e", threshold=0.96).collect()}
+    assert len(out) == 17  # every input vector gets a row
+    # each twin pair loses exactly one member
+    for i in range(5):
+        assert out[i].keep != out[100 + i].keep, i
+        # the survivor is the one LESS similar to its cell centroid
+    # random 64-dim singletons are far from everything: all kept
+    for i in range(5, 12):
+        assert out[i].keep, i
+    # survivor rule check: recompute priorities for one twin pair
+    from crawl4ai_scraper_spark.operators.similarity import hyperplanes
+
+    cents = hyperplanes(8, 64, 7)
+    for i in range(5):
+        for vid, vec in ((i, base[i]), (100 + i, [x * 1.02 + 0.003 for x in base[i]])):
+            dots = [sum(a * b for a, b in zip(vec, c)) for c in cents]
+            cell = max(range(8), key=lambda j: (dots[j], -j))
+            cs = dots[cell] / math.sqrt(sum(x * x for x in vec))
+            assert out[vid].cell == cell + 1
+            out[vid] = (out[vid], cs)
+    for i in range(5):
+        (ra, csa), (rb, csb) = out[i], out[100 + i]
+        if csa != csb:
+            assert (csa < csb) == (ra.keep and not rb.keep)

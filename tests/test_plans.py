@@ -403,3 +403,69 @@ def test_dsir_select_takeordered(spark):
     plan = _plan(SEL.dsir_select(w, "doc_id", k=20))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_commit_round_footer_stats_and_late_meta(spark, tmp_path):
+    """round_write_stats derives the post-commit scalars (frontier rows, max
+    sched_ts) from parquet footers — no Spark job — and meta_late lands in
+    the manifest AFTER the overlapped data writes."""
+    import json
+    import os
+
+    from crawl4ai_scraper_spark.plans.checkpoint import (
+        commit_round,
+        round_dir,
+        round_write_stats,
+    )
+
+    chk = str(tmp_path / "chk")
+    frontier = spark.createDataFrame(
+        [(f"https://h/{i}", 1) for i in range(17)], "url string, depth int"
+    )
+    visits = spark.createDataFrame(
+        [(f"https://h/{i}", 1, 100.0 + i) for i in range(5)],
+        "url string, depth int, sched_ts double",
+    )
+    lineage = spark.createDataFrame([(0, 1)], "pid int, n int")
+
+    called = {}
+
+    def late():
+        f_n, vt = round_write_stats(chk, 0)
+        called["stats"] = (f_n, vt)
+        return {"frontier_n": f_n, "round_vt": vt}
+
+    commit_round(chk, 0, frontier,
+                 {"visited": visits, "lineage": lineage},
+                 {"seq_base": 0}, sizes={"frontier": 17}, meta_late=late)
+
+    assert called["stats"] == (17, 104.0)
+    man = json.load(open(os.path.join(round_dir(chk, 0), "manifest.json")))
+    assert man["frontier_n"] == 17 and man["round_vt"] == 104.0
+    assert man["seq_base"] == 0 and man["round"] == 0
+
+    # empty round: no visited rows -> vt None, frontier 0
+    empty_f = frontier.limit(0)
+    empty_v = visits.limit(0)
+    commit_round(chk, 1, empty_f, {"visited": empty_v, "lineage": lineage},
+                 {"seq_base": 5})
+    f_n, vt = round_write_stats(chk, 1)
+    assert f_n == 0 and vt is None
+
+
+def test_semdedup_plan_no_cartesian_cell_key_join(spark):
+    """semdedup's candidate generation must be an equi-join on the cell key
+    (hash shuffle bounded by cell population) — never a cartesian/broadcast
+    nested loop — and the assignment must be a scan-side projection (no join
+    before the cell join)."""
+    from crawl4ai_scraper_spark.operators.similarity import semdedup
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97).cast("double") for i in range(8)]).alias("e"),
+    )
+    plan = _plan(semdedup(df, "vec_id", "e", dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join keys on cell
+    assert "cell" in plan
