@@ -30,6 +30,9 @@ iterative cluster step):
   4b. quality-weighted subsetting   (--weighted-sample-k: deterministic
      Efraimidis-Spirakis K-doc sample, quality-proportional, after dedup
      so duplicates can't buy extra tickets)
+  4b2. SemDeDup semantic dedup     (--semdedup EMB.parquet: cell-bounded
+     embedding cosine, keep-most-atypical survivor per duplicate
+     relation — catches paraphrases the shingle passes miss)
   4c. DSIR importance resampling    (--dsir-k K --dsir-target-lang XX:
      hashed-ngram profiles of the target slice vs the surviving corpus →
      per-doc log importance weights → Gumbel-top-k without replacement —
@@ -154,6 +157,16 @@ def parse_args(argv=None):
     p.add_argument("--dsir-buckets", type=int, default=4096,
                    help="hashed-ngram feature buckets (default 4096)")
     p.add_argument("--dsir-salt", default="g1")
+    p.add_argument("--semdedup", metavar="EMB.parquet",
+                   help="SemDeDup semantic dedup (Abbas et al. 2023): drop "
+                        "docs whose embedding loses the cell-bounded "
+                        "keep-most-atypical rule; the parquet must carry "
+                        "(--semdedup-id-col, --semdedup-vec-col)")
+    p.add_argument("--semdedup-threshold", type=float, default=0.96)
+    p.add_argument("--semdedup-cells", type=int, default=64)
+    p.add_argument("--semdedup-id-col", default="vec_id")
+    p.add_argument("--semdedup-vec-col", default="embedding")
+    p.add_argument("--semdedup-dim", type=int, default=64)
     p.add_argument("--split", action="store_true",
                    help="append a deterministic train/validation/test column")
     p.add_argument("--val-rate", type=float, default=0.01)
@@ -262,6 +275,24 @@ def run_pipeline(spark, args):
             .withColumnRenamed("text_stripped", tc)
         )
         summary["after_strip_spans"] = docs.count()
+
+    if args.semdedup:
+        # semantic dedup after the lexical passes: MinHash catches copies,
+        # SemDeDup catches paraphrases/translations the shingles miss
+        from crawl4ai_scraper_spark.operators.similarity import semdedup
+
+        emb = spark.read.parquet(args.semdedup)
+        marks = semdedup(
+            emb, args.semdedup_id_col, args.semdedup_vec_col,
+            threshold=args.semdedup_threshold, n_cells=args.semdedup_cells,
+            dim=args.semdedup_dim,
+        )
+        # docs without an embedding row survive (left join, keep-null)
+        losers = marks.filter(~F.col("keep")).select(
+            F.col("vec_id").alias(ic)
+        )
+        docs = docs.join(losers, ic, "left_anti")
+        summary["after_semdedup"] = docs.count()
 
     if args.decontaminate:
         eval_df = spark.read.parquet(args.decontaminate)

@@ -2564,3 +2564,37 @@ def test_semdedup_drops_planted_twins_keeps_singletons(spark):
         (ra, csa), (rb, csb) = out[i], out[100 + i]
         if csa != csb:
             assert (csa < csb) == (ra.keep and not rb.keep)
+
+
+def test_submit_pipeline_semdedup_stage(spark, tmp_path):
+    """--semdedup drops exactly one member of each planted embedding-twin
+    pair; docs without an embedding row survive untouched."""
+    import random
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    docs = [(i, f"document body number {i} with enough text to keep") for i in range(12)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+
+    rng = random.Random(3)
+    base = [[round(rng.uniform(-1, 1), 3) for _ in range(16)] for _ in range(10)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # twins for ids 0-3 mapped onto ids 6-9 (same doc table)
+    rows = rows[:6] + [(6 + i, [x * 1.02 + 0.003 for x in base[i]]) for i in range(4)]
+    # ids 10, 11 have NO embedding row
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(embp)
+
+    out = str(tmp_path / "sdd")
+    summary = run_pipeline(spark, parse_args([
+        "--input", inp, "--output", out, "--skip-filter", "--skip-near-dup",
+        "--skip-exact-dedup", "--semdedup", embp,
+        "--semdedup-cells", "4", "--semdedup-dim", "16",
+    ]))
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert summary["after_semdedup"] == len(kept) == 8  # 12 - 4 dropped twins
+    assert {10, 11} <= kept  # no embedding -> survives
+    for i in range(4):
+        assert (i in kept) != (6 + i in kept)  # one survivor per twin pair
