@@ -182,6 +182,49 @@ def main():
         plan_of(contract.queries()["weighted_sample"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "DSIR importance weights — profiles broadcast, gram stream unshuffled",
+        "dsir_log_weights (operators/selection.py): the unigram+bigram gram "
+        "stream is Project→Generate straight off the pruned (doc_id, text) scan "
+        "— no shuffle, no UDF; both B-row hashed-ngram profiles enter as "
+        "BroadcastHashJoins (each profile is collected ONCE driver-side — "
+        "model-sized, like k-means centroids — totaled locally, and rebuilt as "
+        "a LocalTableScan for the broadcast, so nothing stays cached for the "
+        "session); the per-gram 12dp log-ratio is cast DECIMAL(28,12) and the "
+        "gram volume crosses exactly ONE exchange — the map-side-combined "
+        "groupBy(doc_id). Selection (second plan) is TakeOrderedAndProject over "
+        "the weights with the Gumbel key computed in the scan-side projection. "
+        "The n-gram arrays themselves are built with an (n-1)-fold zip_with of "
+        "shifted slices (textops.ngrams_from_tokens — 8.7× faster than the "
+        "transform(sequence, …) form, identical multiset); every n-gram "
+        "consumer (decontamination, repetition signals, top-ngram stats, DSIR) "
+        "shares the fixed form. Asserted in tests/test_plans.py.",
+        plan_of(contract.queries()["dsir_log_weights"](spark, "/root/testdata/sf0.001"))
+        + "\n\n"
+        + plan_of(contract.queries()["dsir_select_topk"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "SemDeDup — cell-bounded pairs, loser set rejoins broadcast-able",
+        "semdedup (operators/similarity.py): the cell assignment and the "
+        "centroid-similarity priority are pure projections over the embeddings "
+        "scan (the literal-centroid dot products fold into one Project — no "
+        "join, no shuffle, same shape as ann_ivf_assign). Candidate pairs come "
+        "from a self equi-join ON THE CELL KEY — a plain hash shuffle whose "
+        "per-task volume is bounded by cell population (with trained centroids "
+        "the cells are size-controlled; never an all-pairs product). The ≥τ "
+        "cosine and the (cs, id) dominance predicate run inside the join's "
+        "post-condition, the loser ids collapse through a DISTINCT (map-side "
+        "combined), and the final keep flag is a left join of the assignment "
+        "stream against that loser set — at production selectivity the loser "
+        "side is the small side and AQE picks a broadcast. Two shuffles total "
+        "at corpus volume: the cell join and the loser DISTINCT. Skewed cells "
+        "are the known failure mode — the SemDeDup paper's answer (more cells) "
+        "is ours too: n_cells is a parameter and the trained-quantizer path "
+        "(ivf_build) feeds balanced cells the same way.",
+        plan_of(contract.queries()["semdedup_survivors"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
