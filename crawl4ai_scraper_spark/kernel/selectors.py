@@ -21,9 +21,10 @@ forms a user would pass through ``soup.select()`` / lxml:
   ``[starts-with(text(),'v')]`` ``[text()='v']`` ``[N]`` ``[last()]``
   ``[position() OP N]``; explicit axes ``following-sibling::``
   ``preceding-sibling::`` ``parent::`` ``ancestor(-or-self)::``
-  ``self::`` ``descendant(-or-self)::`` (positional predicates count in
-  axis order per context node, reverse-axis aware); top-level union
-  ``a | b`` (document-order merged node-set); trailing ``text()`` steps.
+  ``self::`` ``descendant(-or-self)::`` ``following::`` ``preceding::``
+  (positional predicates count in axis order per context node,
+  reverse-axis aware); top-level union ``a | b`` (document-order merged
+  node-set); trailing ``text()`` steps.
 
 Anything outside the subset raises at parse time and is SKIPPED by the
 extraction layer — the reference's invalid-selector semantics. Composition
@@ -517,10 +518,12 @@ _STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 _X_AXES = ("following-sibling", "preceding-sibling", "parent",
            "ancestor", "ancestor-or-self", "self",
-           "descendant", "descendant-or-self")
+           "descendant", "descendant-or-self",
+           "following", "preceding")
 # reverse axes: axis order is nearest-context-first (positional predicates
 # count backwards from the context node); output still document order
-_REVERSE_AXES = ("preceding-sibling", "ancestor", "ancestor-or-self")
+_REVERSE_AXES = ("preceding-sibling", "ancestor", "ancestor-or-self",
+                 "preceding")
 
 
 class _XStep:
@@ -675,6 +678,28 @@ def _axis_candidates(base: Node, axis: str) -> List[Node]:
         out = [base] if axis == "descendant-or-self" else []
         out.extend(base.iter_nodes())
         return out
+    if axis in ("following", "preceding"):
+        # document-order axes: following = everything after the context node
+        # minus its own descendants; preceding = everything before it minus
+        # its ancestors (XPath 1.0 §2.2). From the document node both are
+        # empty (every element is its descendant).
+        root = base
+        while root.parent is not None:
+            root = root.parent
+        all_nodes = list(root.iter_nodes())
+        try:
+            pos = next(i for i, n in enumerate(all_nodes) if n is base)
+        except StopIteration:  # base IS the document node
+            return []
+        if axis == "following":
+            desc = {id(d) for d in base.iter_nodes()}
+            return [n for n in all_nodes[pos + 1:] if id(n) not in desc]
+        anc, p = set(), base.parent
+        while p is not None:
+            anc.add(id(p))
+            p = p.parent
+        # reverse axis: nearest (last-in-document-order) first
+        return [n for n in reversed(all_nodes[:pos]) if id(n) not in anc]
     sibs = _element_siblings(base)
     idx = next(i for i, s in enumerate(sibs) if s is base)
     if axis == "following-sibling":

@@ -368,11 +368,39 @@ class TestXPathRound3Extensions:
         assert [n.tag for n in xpath_select(d, "//div/descendant-or-self::*")] == \
             ["div", "ul", "li", "li"]
 
+    def test_following_axis_document_order(self):
+        root = parse_dom(EXT_DOC)
+        # everything after the span in document order, minus its descendants
+        got = xpath_select(root, "//span/following::p")
+        assert [n.attrs.get("id") for n in got] == ["p3", "p4", None]
+        hrefs = [n.attrs.get("href")
+                 for n in xpath_select(root, "//span/following::a")]
+        assert hrefs == ["/docs/intro", "/blog/x.html", "https://ext.example/page"]
+        # following excludes the context node's own descendants
+        assert [n.tag for n in xpath_select(root, "//ul/following::*")] == \
+            ["section", "article", "p"]
+        # forward axis: [1] = first following in document order
+        assert _ids(xpath_select(root, "//span/following::p[1]")) == ["p3"]
+        assert extract_by_xpath(EXT_DOC, ["//span/following::p"]) == \
+            "gamma\n\ndelta\n\nonly"
+
+    def test_preceding_axis_reverse_positions(self):
+        root = parse_dom(EXT_DOC)
+        # node-set output is document order ...
+        assert _ids(xpath_select(root, "//span/preceding::p")) == ["p1", "p2"]
+        # ... but positions count nearest-first (reverse axis)
+        assert _ids(xpath_select(root, "//span/preceding::p[1]")) == ["p2"]
+        # preceding excludes ancestors (html, body, ul, li here)
+        got = xpath_select(root, "//a[@href='/blog/x.html']/preceding::*")
+        assert [n.tag for n in got] == \
+            ["div", "p", "p", "span", "p", "p", "li", "a"]
+        # from the document node both axes are empty
+        assert xpath_select(root, "/html/preceding::*") == []
+
     def test_unsupported_axes_invalid_skip(self):
-        for bad in ("//a/following::b", "//a/preceding::b",
-                    "//a/attribute::href", "//a/namespace::x"):
+        for bad in ("//a/attribute::href", "//a/namespace::x"):
             assert not validate_xpath(bad)[0], bad
-        assert extract_by_xpath(EXT_DOC, ["//a/following::b"]) == ""
+        assert extract_by_xpath(EXT_DOC, ["//a/attribute::href"]) == ""
 
     def test_axis_after_double_slash_applies_from_descendants(self):
         # //following-sibling::x ≡ descendant-or-self::node()/following-sibling::x
