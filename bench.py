@@ -94,8 +94,27 @@ QUERY_NAMES = [
     "normalize_text",
     "json_props_agg",
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_value",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
     "rollup_order_totals",
     "window_funcs_orders",
     "bm25_scores",

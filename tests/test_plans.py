@@ -197,6 +197,44 @@ def test_tpch_q5_broadcasts_dims_and_q3_takeordered(spark):
     assert "TakeOrderedAndProject" in p3
 
 
+def test_tpch_suite_plan_shapes(spark):
+    """The 19 round-3 TPC-H shapes produce the plans you'd want at 100 TB:
+    no CartesianProduct anywhere (scalar thresholds are 1-row broadcast
+    nested-loop joins, never cartesian shuffles), semi/anti joins stay
+    semi/anti at the physical level, and the deterministic top-k queries
+    run as TakeOrderedAndProject instead of a global sort."""
+    from crawl4ai_scraper_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    qs = contract.queries()
+    tpch = [n for n in qs if n.startswith("tpch_q")]
+    assert len(tpch) == 22
+    for name in tpch:
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: {plan[:1500]}"
+
+    def plan_of(name):
+        return qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    # EXISTS/NOT-IN shapes keep semi/anti joins physical
+    assert "LeftSemi" in plan_of("tpch_q4_order_priority")
+    p21 = plan_of("tpch_q21_suppliers_kept_waiting")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "LeftAnti" in plan_of("tpch_q16_supplier_part_count")
+    assert "LeftAnti" in plan_of("tpch_q22_global_sales_opportunity")
+    # deterministic top-k is TakeOrdered, not global sort
+    assert "TakeOrderedAndProject" in plan_of("tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan_of("tpch_q18_large_volume_customer")
+    # scalar-threshold joins broadcast the 1-row side (q15's equality filter
+    # over the crossJoin is rewritten by Catalyst into a broadcast EQUI-join)
+    assert "BroadcastNestedLoopJoin" in plan_of("tpch_q11_important_value")
+    p15 = plan_of("tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in p15 or "BroadcastNestedLoopJoin" in p15
+    # the two-role nation dims broadcast
+    assert plan_of("tpch_q7_volume_shipping").count("BroadcastHashJoin") >= 3
+    assert plan_of("tpch_q8_market_share").count("BroadcastHashJoin") >= 4
+
+
 def test_anchor_text_agg_two_exchanges_no_html(spark):
     """page_anchor_texts: html must never enter an Exchange (only the short
     (target, anchor) pairs shuffle), and the whole aggregation costs exactly
