@@ -110,6 +110,33 @@ def main():
     ))
 
     sections.append((
+        "TPC-H Q21 — correlated EXISTS / NOT EXISTS as physical semi + anti joins",
+        "The round-3 TPC-H suite (q2, q4, q6-q22 adapted to the testdata "
+        "schema) keeps every classic plan shape; Q21 is the hardest: the "
+        "EXISTS ('another supplier touched this order') and NOT EXISTS ('no "
+        "OTHER supplier was late') subqueries reach the physical plan as a "
+        "LeftSemi and a LeftAnti hash join, each with the non-equi "
+        "s2 <> l_suppkey residue in the join condition — never a "
+        "CartesianProduct, never a re-scan per outer row. The suite-wide "
+        "properties (no cartesian anywhere, TakeOrderedAndProject for the "
+        "deterministic top-k queries, broadcast scalar thresholds) are "
+        "asserted in tests/test_plans.py::test_tpch_suite_plan_shapes.",
+        plan_of(contract.queries()["tpch_q21_suppliers_kept_waiting"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "TPC-H Q11 — grouped value vs a global-scalar HAVING, 1-row broadcast",
+        "The 'total stock value' scalar enters as a BroadcastNestedLoopJoin "
+        "over a ONE-ROW aggregate (never a cartesian shuffle); the per-part "
+        "and total aggregations share the same DECIMAL-exact sum so the "
+        "value > total*0.001 comparison is reproducible cross-engine. Q15's "
+        "scalar-max filter goes one better: Catalyst rewrites the "
+        "crossJoin + equality filter into a broadcast EQUI-join on the max "
+        "revenue itself.",
+        plan_of(contract.queries()["tpch_q11_important_value"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
         "Anchor-text aggregation — html never shuffles, two bounded exchanges",
         "page_anchor_texts extracts (target, anchor) in a narrow Arrow pass "
         "(MapInPandas directly over the scan — the html binary never enters an "
