@@ -164,6 +164,8 @@ QUERY_NAMES = [
     "dsir_log_weights",
     "dsir_select_topk",
     "semdedup_survivors",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
 ]
 
 

@@ -4480,6 +4480,71 @@ def dsir_select_topk_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Cardinality sketches (operators/sketches.py) — the 100-TB distinct-count
+# tools, deterministic via the shared md5 digest so a SQL oracle can
+# replicate them bit-for-bit (integer bin-length ranks, order-free dyadic
+# harmonic sum; see the module docstring).
+# ---------------------------------------------------------------------------
+
+_HLL_AM2 = (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+_HLL_HARM = "present_harm + CAST(4096 - n_present AS DOUBLE)"
+
+
+@_q(
+    "sketch_kmv_distinct",
+    """WITH u AS (
+      SELECT DISTINCT (CAST('0x' || substr(md5('kmv1:' || text), 1, 12) AS BIGINT) + 0.5)
+                      / 281474976710656.0 AS u
+      FROM documents
+    ), t AS (SELECT u FROM u ORDER BY u LIMIT 256)
+    SELECT CAST(256 AS INT) AS k, COUNT(*) AS n_min,
+           ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE 255.0 / MAX(u) END, 6) AS estimate
+    FROM t""",
+)
+def sketch_kmv_distinct_q(spark, sf):
+    """K-minimum-values distinct-text estimate (k=256): map-side-combined
+    DISTINCT over the 48-bit digests, TakeOrdered k smallest, (k-1)/u_(k).
+    The synopsis the driver sees is k rows no matter the corpus size."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "documents"), "text", k=256, salt="kmv1")
+
+
+@_q(
+    "sketch_hll_distinct",
+    f"""WITH h AS (
+      SELECT CAST('0x' || substr(md5('hll1:' || text), 1, 12) AS BIGINT) AS h
+      FROM documents
+    ), pb AS (
+      SELECT h % 4096 AS bucket,
+             MAX(CASE WHEN h // 4096 = 0 THEN 37
+                      ELSE 36 - length(bin(h // 4096)) + 1 END) AS max_rank
+      FROM h GROUP BY h % 4096
+    ), agg AS (
+      SELECT SUM(POWER(2.0, -max_rank)) AS present_harm,
+             COUNT(*) AS n_present
+      FROM pb
+    )
+    SELECT CAST(4096 AS INT) AS m,
+           (4096 - n_present) AS n_zero_buckets,
+           ROUND(CASE WHEN ({_HLL_AM2!r} / ({_HLL_HARM}) <= 10240.0)
+                       AND (4096 - n_present > 0)
+                      THEN 4096.0 * ln(4096.0 / CAST(4096 - n_present AS DOUBLE))
+                      ELSE {_HLL_AM2!r} / ({_HLL_HARM}) END, 6) AS estimate
+    FROM agg""",
+)
+def sketch_hll_distinct_q(spark, sf):
+    """HyperLogLog distinct-text estimate (b=12, m=4096 buckets): one
+    bounded-key groupBy builds the bucket synopsis; the harmonic sum is
+    order-free (exact dyadic doubles), linear counting kicks in at small
+    range — both branches reproduced verbatim by the oracle."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf, "documents"), "text", b=12, salt="hll1")
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

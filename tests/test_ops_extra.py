@@ -2598,3 +2598,63 @@ def test_submit_pipeline_semdedup_stage(spark, tmp_path):
     assert {10, 11} <= kept  # no embedding -> survives
     for i in range(4):
         assert (i in kept) != (6 + i in kept)  # one survivor per twin pair
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    """With fewer distinct keys than k, KMV reports the exact distinct-hash
+    count (sf0.001 documents: 500 distinct texts < k=1024)."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_distinct
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = kmv_distinct(docs, "text", k=1024).collect()[0]
+    assert row.n_min == 500 and row.estimate == 500.0
+
+
+def test_kmv_estimator_accuracy(spark):
+    """k=256 over 20k distinct keys: (k-1)/u_(k) lands within the
+    ~n/sqrt(k) band (20% tolerance ≈ 3 sigma)."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    row = kmv_distinct(df, "k", k=256).collect()[0]
+    assert row.n_min == 256
+    assert abs(row.estimate - 20_000) / 20_000 < 0.20, row.estimate
+
+
+def test_kmv_duplicates_dont_inflate(spark):
+    """Duplicate keys collapse in the DISTINCT: 10x-duplicated input gives
+    the same estimate as the unique set."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_distinct
+
+    uniq = spark.range(5_000).select(F.col("id").cast("string").alias("k"))
+    dup = spark.range(50_000).select(
+        (F.col("id") % 5_000).cast("string").alias("k")
+    )
+    assert (kmv_distinct(uniq, "k", k=256).collect()[0].estimate
+            == kmv_distinct(dup, "k", k=256).collect()[0].estimate)
+
+
+def test_hll_linear_counting_small_range(spark):
+    """n=500 << m=4096 exercises the linear-counting branch; it should be
+    within a few percent of truth."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_distinct
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = hll_distinct(docs, "text", b=12).collect()[0]
+    assert row.m == 4096 and row.n_zero_buckets > 3000
+    assert abs(row.estimate - 500) / 500 < 0.10, row.estimate
+
+
+def test_hll_raw_branch_accuracy(spark):
+    """20k distinct keys pushes E_raw past 2.5m (10240) into the raw
+    harmonic-mean branch; standard error is ~1.04/sqrt(m) ≈ 1.6%, assert
+    within 8%."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_distinct
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    row = hll_distinct(df, "k", b=12).collect()[0]
+    assert abs(row.estimate - 20_000) / 20_000 < 0.08, row.estimate
