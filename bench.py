@@ -166,6 +166,7 @@ QUERY_NAMES = [
     "semdedup_survivors",
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
+    "dedup_containment",
 ]
 
 

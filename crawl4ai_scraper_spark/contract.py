@@ -4544,6 +4544,75 @@ def sketch_hll_distinct_q(spark, sf):
     return hll_distinct(_t(spark, sf, "documents"), "text", b=12, salt="hll1")
 
 
+_W_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@_q(
+    "dedup_containment",
+    f"""WITH base AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 40
+    ), wsrc AS (
+      SELECT doc, string_split_regex(trim(text), '\\s+') AS w FROM base
+    ), corpus AS (
+      SELECT doc, text FROM base
+      UNION ALL
+      SELECT doc + 200000,
+             array_to_string(w[1:greatest(len(w)//2, 5)], ' ')
+      FROM wsrc
+    ), sh AS (
+      SELECT doc,
+             list_distinct(list_transform(range(1, greatest(len({_W_SQL}) - 1, 1)),
+               i -> {_W_SQL}[i] || ' ' || {_W_SQL}[i+1] || ' ' || {_W_SQL}[i+2])) AS sh
+      FROM corpus
+    ), g AS (
+      SELECT doc, UNNEST(sh) AS gram FROM sh
+    ), sizes AS (
+      SELECT doc, len(sh) AS n FROM sh
+    ), freq AS (
+      SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+    ), ranked AS (
+      SELECT g.doc, g.gram, s.n,
+             ROW_NUMBER() OVER (PARTITION BY g.doc ORDER BY f.df, g.gram) AS rnk
+      FROM g JOIN freq f ON g.gram = f.gram JOIN sizes s ON s.doc = g.doc
+    ), prefix AS (
+      SELECT doc, gram FROM ranked WHERE rnk <= n - ((4*n + 4)//5) + 1
+    ), cand AS (
+      SELECT DISTINCT least(p.doc, o.doc) AS id_a, greatest(p.doc, o.doc) AS id_b
+      FROM prefix p JOIN g o ON p.gram = o.gram AND p.doc <> o.doc
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c JOIN g a ON a.doc = c.id_a
+                  JOIN g b ON b.doc = c.id_b AND a.gram = b.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc = i.id_a
+                 JOIN sizes sb ON sb.doc = i.id_b
+    WHERE 5 * n_inter >= 4 * least(sa.n, sb.n)""",
+)
+def dedup_containment_q(spark, sf):
+    """One-sided near-dup (containment ≥ 0.8) via prefix filtering, over the
+    corpus + planted excerpts (the first half of each doc's words, ≥5):
+    excerpt⊂doc pairs have containment 1.0 but Jaccard ≈ 0.5 — invisible to
+    the symmetric MinHash path, found here with zero false negatives
+    (operators/dedup.py containment_pairs; prefix-filter guarantee in the
+    docstring)."""
+    from crawl4ai_scraper_spark.operators.dedup import containment_pairs
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    m = F.greatest(F.floor(F.size(toks) / F.lit(2)), F.lit(5))
+    excerpts = base.select(
+        (F.col("doc") + 200000).alias("doc"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), m)).alias("text"),
+    )
+    corpus = base.unionByName(excerpts)
+    return containment_pairs(corpus, "text", "doc", k=3, num=4, den=5)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -638,3 +638,93 @@ def dedup_cross_corpus(
     )
     ref_keys = ref_df.select(text_key(F.col(text_col)).alias("text_md5")).distinct()
     return new_keys.join(ref_keys, "text_md5", "left_anti").select("id", "text_md5")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """One-sided near-dup pairs: containment C(A,B) = |A∩B| / min(|A|,|B|)
+    over distinct word k-shingle sets, threshold num/den (default 4/5).
+
+    This catches what symmetric Jaccard dedup structurally misses: an
+    excerpt fully contained in a longer document has C = 1 but Jaccard ≈
+    |excerpt|/|document| — below every LSH band threshold. (The RealNews /
+    Common-Crawl overlap class; quoted-copy and page-plus-boilerplate
+    duplicates look the same.)
+
+    Scale shape — prefix filtering (the SSJoin/PPJoin family): order each
+    doc's shingles by GLOBAL document frequency (rarest first; ties by gram
+    — a deterministic total order), keep only the first
+    n − ceil(t·n) + 1 as the doc's probe prefix. If C(A,B) ≥ t then
+    |A∩B| ≥ ceil(t·n_min), so the SMALLER doc must have an intersection
+    gram inside its prefix — probing every doc's prefix against the FULL
+    gram table (asymmetric, the classic overlap-join fix) finds every
+    qualifying pair with zero false negatives; the candidate join keys are
+    by construction the corpus's RAREST grams, so the fan-out is
+    skew-controlled where a naive shared-gram self-join explodes on hot
+    boilerplate. Threshold math is integer-exact cross-engine:
+    ceil(t·n) = (num·n + den − 1) // den and the final filter is the
+    cross-multiplied den·|A∩B| ≥ num·min(|A|,|B|), never a float compare.
+
+    Returns (id_a, id_b, containment) with id_a < id_b, containment
+    rounded to 4dp.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("gram"),
+    )
+    sizes = g.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        g.join(freq, "gram")
+        .join(sizes, "doc")
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "gram")),
+        )
+    )
+    # prefix length n - ceil(t*n) + 1, integer-exact
+    ceil_tn = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+    prefix = ranked.filter(F.col("rnk") <= F.col("n") - ceil_tn + 1).select(
+        "doc", "gram"
+    )
+    other = g.select(F.col("doc").alias("odoc"), "gram")
+    cand = (
+        prefix.join(other, "gram")
+        .filter(F.col("doc") != F.col("odoc"))
+        .select(
+            F.least("doc", "odoc").alias("id_a"),
+            F.greatest("doc", "odoc").alias("id_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc").alias("id_a"), "gram")
+    gb = g.select(F.col("doc").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.lit(den) * F.col("inter") >= F.lit(num) * F.least("n_a", "n_b")
+        )
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter").cast("double") / F.least("n_a", "n_b"), 4
+            ).alias("containment"),
+        )
+    )

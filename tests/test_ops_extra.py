@@ -2658,3 +2658,57 @@ def test_hll_raw_branch_accuracy(spark):
     df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
     row = hll_distinct(df, "k", b=12).collect()[0]
     assert abs(row.estimate - 20_000) / 20_000 < 0.08, row.estimate
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (prefix-filtering overlap join)
+# ---------------------------------------------------------------------------
+
+def test_containment_prefix_filter_no_false_negatives(spark):
+    """The prefix-filtered candidate generation must find EVERY pair a
+    brute-force all-pairs containment finds (and agree on the values)."""
+    from crawl4ai_scraper_spark.operators.dedup import containment_pairs, shingles
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 25)
+        .select(F.col("doc_id").alias("doc"), "text")
+    )
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    m = F.greatest(F.floor(F.size(toks) / F.lit(2)), F.lit(5))
+    corpus = docs.unionByName(docs.select(
+        (F.col("doc") + 1000).alias("doc"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), m)).alias("text"),
+    ))
+
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(corpus, "text", "doc").collect()
+    }
+
+    # brute force: all pairs, exact shingle-set containment
+    sh = corpus.select(
+        F.col("doc"), F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ninter"),
+            F.least(F.size("sh_a"), F.size("sh_b")).alias("nmin"),
+        )
+        .filter(F.lit(5) * F.col("ninter") >= F.lit(4) * F.col("nmin"))
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("ninter").cast("double") / F.col("nmin"), 4)
+            .alias("containment"),
+        )
+    )
+    want = {(r.id_a, r.id_b): r.containment for r in brute.collect()}
+    assert got == want
+    # every planted excerpt pair is fully contained
+    for i in range(25):
+        assert got[(i, i + 1000)] == 1.0
