@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "dedup_containment",
+    "classifier_pr_table",
 ]
 
 

@@ -3842,9 +3842,9 @@ def bpe_piece_vocab_q(spark, sf):
     return B.piece_vocab(word_pieces, vocab_size=64)
 
 
-@_q(
-    "nb_classifier_score",
-    r"""WITH t AS (SELECT doc_id, (lang = 'en') AS y,
+# shared by nb_classifier_score and classifier_pr_table: the trained-NB
+# per-doc score stream (t/c/tot/v/s CTE bodies)
+_NB_SCORE_CTES = r"""t AS (SELECT doc_id, (lang = 'en') AS y,
         UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
 c AS (SELECT tok, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos_cnt,
              SUM(CASE WHEN y THEN 0 ELSE 1 END) AS neg_cnt FROM t GROUP BY tok),
@@ -3853,7 +3853,12 @@ v AS (SELECT tok, CAST(ROUND(ln((pos_cnt+1.0)/(pt+200.0))
                            - ln((neg_cnt+1.0)/(nt+200.0)), 12) AS DECIMAL(28,12)) AS w
       FROM c CROSS JOIN tot ORDER BY pos_cnt+neg_cnt DESC, tok LIMIT 200),
 s AS (SELECT t.doc_id, COALESCE(v.w, CAST(0 AS DECIMAL(28,12))) AS w
-      FROM t LEFT JOIN v USING (tok))
+      FROM t LEFT JOIN v USING (tok))"""
+
+
+@_q(
+    "nb_classifier_score",
+    f"""WITH {_NB_SCORE_CTES}
 SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(CAST(SUM(w) AS DECIMAL(38,12)) AS DOUBLE) AS score, (SUM(w) > 0) AS keep
 FROM s GROUP BY doc_id""",
@@ -4611,6 +4616,52 @@ def dedup_containment_q(spark, sf):
     )
     corpus = base.unionByName(excerpts)
     return containment_pairs(corpus, "text", "doc", k=3, num=4, den=5)
+
+
+_PR_THRESHOLDS = [-5.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 5.0]
+
+
+@_q(
+    "classifier_pr_table",
+    f"""WITH {_NB_SCORE_CTES},
+    scores AS (SELECT doc_id, CAST(CAST(SUM(w) AS DECIMAL(38,12)) AS DOUBLE) AS score
+               FROM s GROUP BY doc_id),
+    lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+    e AS (SELECT y, score,
+                 UNNEST(CAST({_PR_THRESHOLDS} AS DOUBLE[])) AS threshold
+          FROM scores JOIN lab USING (doc_id)),
+    a AS (SELECT threshold,
+            COUNT(CASE WHEN y AND score >= threshold THEN 1 END) AS tp,
+            COUNT(CASE WHEN NOT y AND score >= threshold THEN 1 END) AS fp,
+            COUNT(CASE WHEN y AND score < threshold THEN 1 END) AS fn
+          FROM e GROUP BY threshold)
+    SELECT threshold, tp, fp, fn,
+      CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)/(tp+fp), 6) END AS prec,
+      CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)/(tp+fn), 6) END AS rec,
+      CASE WHEN 2*tp + fp + fn > 0
+           THEN ROUND(2.0*CAST(tp AS DOUBLE)/(2*tp+fp+fn), 6) END AS f1
+    FROM a""",
+)
+def classifier_pr_table_q(spark, sf):
+    """Filter-calibration table (textops.classifier_pr_table): precision /
+    recall / F1 of the trained NB quality score against the language labels
+    at 9 thresholds — ONE corpus pass (row stream fanned onto the literal
+    threshold list, map-side-combined conditional counts), exact-integer
+    ratios. This is how a pipeline picks the score cut before committing a
+    corpus-wide filter."""
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn("_y", F.col("lang") == "en")
+    w = T.nb_token_weights(labeled, "text", "_y", vocab_size=200)
+    scored = T.nb_score(docs, "text", "doc_id", w, prior=0.0).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    joined = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return T.classifier_pr_table(joined, "y", "score", _PR_THRESHOLDS).select(
+        "threshold", "tp", "fp", "fn",
+        F.col("precision").alias("prec"), F.col("recall").alias("rec"), "f1",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1254,3 +1254,55 @@ def kn_lm_perplexity(
         )
         .withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("xent_bits")), 4))
     )
+
+
+def classifier_pr_table(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: List[float],
+) -> DataFrame:
+    """Precision/recall/F1 of a score column against boolean labels at each
+    threshold — the calibration table every model-based filter needs before
+    it is trusted with a corpus cut (where do I set the fastText/NB score
+    cut for 95% precision?).
+
+    ONE pass at corpus volume: each row fans out onto the literal threshold
+    list (a constant ≤|thresholds| factor, no second scan per threshold),
+    then a map-side-combined groupBy(threshold) with conditional COUNTs.
+    Ratios divide exact integers in DOUBLE (numerator cast first, both
+    engines), NULL when undefined. Returns
+    (threshold, tp, fp, fn, precision, recall, f1).
+    """
+    thr = F.explode(
+        F.array([F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    e = df.select(
+        F.col(label_col).alias("_y"), F.col(score_col).alias("_s")
+    ).select("_y", "_s", thr)
+    agg = e.groupBy("threshold").agg(
+        F.count(F.when(F.col("_y") & (F.col("_s") >= F.col("threshold")), 1)).alias("tp"),
+        F.count(F.when(~F.col("_y") & (F.col("_s") >= F.col("threshold")), 1)).alias("fp"),
+        F.count(F.when(F.col("_y") & (F.col("_s") < F.col("threshold")), 1)).alias("fn"),
+    )
+    tp_d = F.col("tp").cast("double")
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(tp_d / (F.col("tp") + F.col("fp")), 6),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(tp_d / (F.col("tp") + F.col("fn")), 6),
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.round(
+            F.lit(2.0) * tp_d
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        precision.alias("precision"), recall.alias("recall"), f1.alias("f1"),
+    )
