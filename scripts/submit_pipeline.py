@@ -30,6 +30,9 @@ iterative cluster step):
   4b. quality-weighted subsetting   (--weighted-sample-k: deterministic
      Efraimidis-Spirakis K-doc sample, quality-proportional, after dedup
      so duplicates can't buy extra tickets)
+  4b1. containment dedup           (--containment: one-sided near-dup via
+     the prefix-filtered overlap join — drops the SHORTER side of every
+     excerpt⊂document pair symmetric Jaccard cannot see)
   4b2. SemDeDup semantic dedup     (--semdedup EMB.parquet: cell-bounded
      embedding cosine, keep-most-atypical survivor per duplicate
      relation — catches paraphrases the shingle passes miss)
@@ -157,6 +160,13 @@ def parse_args(argv=None):
     p.add_argument("--dsir-buckets", type=int, default=4096,
                    help="hashed-ngram feature buckets (default 4096)")
     p.add_argument("--dsir-salt", default="g1")
+    p.add_argument("--containment", action="store_true",
+                   help="one-sided near-dup pass (containment >= "
+                        "--containment-threshold over word shingles): drop "
+                        "the shorter doc of each excerpt-in-document pair")
+    p.add_argument("--containment-threshold", type=float, default=0.8,
+                   help="containment cut (converted to an exact fraction "
+                        "for the integer-exact threshold math)")
     p.add_argument("--semdedup", metavar="EMB.parquet",
                    help="SemDeDup semantic dedup (Abbas et al. 2023): drop "
                         "docs whose embedding loses the cell-bounded "
@@ -275,6 +285,40 @@ def run_pipeline(spark, args):
             .withColumnRenamed("text_stripped", tc)
         )
         summary["after_strip_spans"] = docs.count()
+
+    if args.containment:
+        # one-sided pass AFTER symmetric near-dup: the cluster stage already
+        # collapsed high-Jaccard copies, so what remains here is exactly the
+        # excerpt⊂document class; drop the shorter side (ties: larger id)
+        from fractions import Fraction
+
+        from crawl4ai_scraper_spark.operators.dedup import containment_pairs
+
+        frac = Fraction(args.containment_threshold).limit_denominator(1000)
+        pairs = containment_pairs(
+            docs, tc, ic, k=3, num=frac.numerator, den=frac.denominator
+        )
+        nw = docs.select(
+            F.col(ic).alias("_cid"),
+            F.size(F.split(F.trim(F.col(tc)), "\\s+")).alias("_nw"),
+        )
+        sized = (
+            pairs.join(
+                nw.select(F.col("_cid").alias("id_a"), F.col("_nw").alias("_na")),
+                "id_a",
+            ).join(
+                nw.select(F.col("_cid").alias("id_b"), F.col("_nw").alias("_nb")),
+                "id_b",
+            )
+        )
+        losers = sized.select(
+            F.when(F.col("_na") < F.col("_nb"), F.col("id_a"))
+            .when(F.col("_nb") < F.col("_na"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias(ic)
+        ).distinct()
+        docs = docs.join(losers, ic, "left_anti")
+        summary["after_containment"] = docs.count()
 
     if args.semdedup:
         # semantic dedup after the lexical passes: MinHash catches copies,

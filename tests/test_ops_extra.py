@@ -2712,3 +2712,32 @@ def test_containment_prefix_filter_no_false_negatives(spark):
     # every planted excerpt pair is fully contained
     for i in range(25):
         assert got[(i, i + 1000)] == 1.0
+
+
+def test_pipeline_containment_stage(spark, tmp_path):
+    """--containment drops the SHORTER side of each excerpt-in-document
+    pair and leaves unrelated docs alone."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(6):
+        words = rng.sample(vocab, 40)
+        docs.append((i, " ".join(words)))
+        if i < 3:  # excerpts of docs 0-2: first 20 words
+            docs.append((100 + i, " ".join(words[:20])))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "kept")
+
+    summary = run_pipeline(spark, parse_args([
+        "--input", inp, "--output", out, "--skip-filter",
+        "--skip-exact-dedup", "--skip-near-dup", "--containment",
+    ]))
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 1, 2, 3, 4, 5}  # excerpts 100-102 dropped
+    assert summary["after_containment"] == 6
