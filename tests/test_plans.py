@@ -507,3 +507,31 @@ def test_semdedup_plan_no_cartesian_cell_key_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the pair join keys on cell
     assert "cell" in plan
+
+
+def test_sketch_and_containment_plan_shapes(spark):
+    """New round-3 ops keep their claimed scale shapes: KMV's k-smallest is
+    a TakeOrderedAndProject over the deduplicated hash stream (the driver
+    sees k rows); HLL is bounded-key aggregation with no join at all;
+    containment's candidate generation is equi-joins only (no cartesian) and
+    its per-doc prefix rank is a window partitioned by doc."""
+    from crawl4ai_scraper_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    qs = contract.queries()
+
+    kmv = qs["sketch_kmv_distinct"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in kmv
+
+    hll = qs["sketch_hll_distinct"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in hll and "CartesianProduct" not in hll
+
+    cont = qs["dedup_containment"](spark, sf)
+    p = cont._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    opt = cont._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in opt and "partitionBy=[doc" in opt.replace(" ", "") \
+        or "Window" in p  # prefix rank stays a per-doc window
+
+    pr = qs["classifier_pr_table"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pr
