@@ -168,6 +168,8 @@ QUERY_NAMES = [
     "sketch_hll_distinct",
     "dedup_containment",
     "classifier_pr_table",
+    "events_hopping_window",
+    "events_pivot_type_counts",
 ]
 
 

@@ -4664,6 +4664,73 @@ def classifier_pr_table_q(spark, sf):
     )
 
 
+@_q(
+    "events_hopping_window",
+    """WITH e AS (
+      SELECT ts, event_type, CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+      FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    ), h AS (
+      SELECT event_type, v,
+             UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+      FROM e
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+    FROM h GROUP BY ws, event_type""",
+)
+def events_hopping_window_q(spark, sf):
+    """Hopping (sliding) 1h/30m window aggregation over the events table —
+    the BATCH twin of the streaming windowed aggs (streaming/ingest.py):
+    F.window(ts, '1 hour', '30 minutes') fans each event onto its two
+    containing windows (both engines epoch-aligned for 30-minute slides),
+    then one map-side-combined groupBy per (window, type)."""
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    val = F.round(F.col("value"), 2).cast("decimal(18,2)")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(val).cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "events_pivot_type_counts",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')""",
+)
+def events_pivot_type_counts_q(spark, sf):
+    """PIVOT: per-day event counts widened into one column per event type
+    (explicit value list → deterministic schema; Spark compiles it to a
+    single Expand + aggregate, never N scans). Missing cells fill as 0."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
