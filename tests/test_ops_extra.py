@@ -2741,3 +2741,66 @@ def test_pipeline_containment_stage(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {0, 1, 2, 3, 4, 5}  # excerpts 100-102 dropped
     assert summary["after_containment"] == 6
+
+
+class TestContainmentAndSketchProperties:
+    """Property tests for the two mathematical claims the round-3 operators
+    rest on — pure Python, mirroring the exact arithmetic the Spark/DuckDB
+    plans execute."""
+
+    def test_prefix_filter_guarantee_property(self):
+        """For ANY family of gram sets: every pair with containment ≥ 4/5
+        must be surfaced by probing one side's df-ordered prefix against the
+        other side's FULL set (the asymmetric candidate rule
+        containment_pairs implements). This is the no-false-negative
+        guarantee the operator's correctness rests on."""
+        from collections import Counter
+
+        from hypothesis import given, settings, strategies as st
+
+        num, den = 4, 5
+        doc_st = st.sets(st.integers(0, 30), min_size=1, max_size=15)
+
+        @given(docs=st.lists(doc_st, min_size=2, max_size=8))
+        @settings(max_examples=300, deadline=None)
+        def check(docs):
+            dfc = Counter(g for d in docs for g in d)
+
+            def prefix(d):
+                n = len(d)
+                plen = n - ((num * n + den - 1) // den) + 1
+                return set(sorted(d, key=lambda g: (dfc[g], g))[:plen])
+
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    a, b = docs[i], docs[j]
+                    inter = len(a & b)
+                    if den * inter >= num * min(len(a), len(b)):
+                        assert (prefix(a) & b) or (prefix(b) & a), (a, b)
+
+        check()
+
+    def test_hll_harmonic_sum_is_order_free(self):
+        """Every 2^-rank term (rank ≤ 37) is a dyadic rational with
+        denominator ≤ 2^37 and the bucket count ≤ 4096, so all partial sums
+        fit a double mantissa exactly — IEEE addition commutes bit-for-bit
+        (the cross-engine determinism claim of sketches.hll_distinct)."""
+        import math
+
+        from hypothesis import given, settings, strategies as st
+
+        @given(
+            ranks=st.lists(st.integers(1, 37), min_size=0, max_size=512),
+            seed=st.integers(0, 2**32 - 1),
+        )
+        @settings(max_examples=300, deadline=None)
+        def check(ranks, seed):
+            import random as _r
+
+            terms = [2.0 ** -r for r in ranks]
+            shuffled = terms[:]
+            _r.Random(seed).shuffle(shuffled)
+            s1, s2, s3 = sum(terms), sum(reversed(terms)), sum(shuffled)
+            assert s1 == s2 == s3 == math.fsum(terms)
+
+        check()
