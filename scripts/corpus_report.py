@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--ppl", action="store_true",
                    help="add bigram-LM naturalness quantiles (one extra "
                         "training + scoring pass)")
+    p.add_argument("--sketch-distinct", action="store_true",
+                   help="add KMV + HLL distinct-text estimates (the 100-TB "
+                        "path — tiny synopses instead of the exact "
+                        "countDistinct shuffle; operators/sketches.py)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--out", help="also write the JSON here")
     return p.parse_args(argv)
@@ -68,6 +72,16 @@ def build_report(spark, args) -> dict:
     report["total_chars"] = tot["total_chars"]
     report["exact_dup_rate"] = round(
         1.0 - tot["n_distinct_texts"] / max(tot["n_docs"], 1), 6)
+
+    if args.sketch_distinct:
+        from crawl4ai_scraper_spark.operators.sketches import (
+            hll_distinct, kmv_distinct,
+        )
+
+        kr = kmv_distinct(docs, tc, k=1024).collect()[0]
+        hr = hll_distinct(docs, tc).collect()[0]
+        report["distinct_texts_kmv"] = kr["estimate"]
+        report["distinct_texts_hll"] = hr["estimate"]
 
     # language mix (doc + token share), top-N by docs
     mix = (

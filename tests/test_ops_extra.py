@@ -2278,6 +2278,13 @@ def test_corpus_report_data_card(spark, tmp_path):
     assert rep["total_tokens"] == 9 * 20 + 4 * 16  # 4-word phrases x5 / x4
     assert set(rep["tokens_per_doc"]) == {"p10", "p25", "p50", "p75", "p90", "p99"}
 
+    # --sketch-distinct: 2 distinct texts < k=1024 → KMV exact path; HLL
+    # linear counting lands on the same tiny truth
+    rep2 = build_report(spark, parse_args(
+        ["--input", inp, "--lang-col", "lang", "--sketch-distinct"]))
+    assert rep2["distinct_texts_kmv"] == 2.0
+    assert abs(rep2["distinct_texts_hll"] - 2.0) < 0.01
+
 
 def test_trap_screen_flags_survive_resume(spark, tmp_path):
     from crawl4ai_scraper_spark.config import CrawlJobConfig
