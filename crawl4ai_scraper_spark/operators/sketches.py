@@ -70,44 +70,39 @@ def kmv_distinct(
     )
 
 
-def hll_distinct(
-    df: DataFrame, key_col: str, b: int = 12, salt: str = "hll1"
-) -> DataFrame:
-    """HyperLogLog distinct-count estimate → one row
-    (m, n_zero_buckets, estimate).
-
-    bucket = h mod 2^b (low bits); rank = leading zeros of the remaining
-    48-b high bits + 1, via integer bin-length (rank = rest_bits -
-    length(bin(rest)) + 1, empty rest → rest_bits + 1). Small-range
-    correction: when E_raw <= 2.5m and empty buckets exist, linear counting
-    m * ln(m / zeros) replaces the raw estimate (Flajolet et al. §4).
-    """
+def hll_bucket_rank(col: Column, b: int = 12, salt: str = "hll1"):
+    """(bucket, rank) columns for one key: bucket = h mod 2^b (low bits);
+    rank = leading zeros of the remaining 48-b high bits + 1, via integer
+    bin-length (never floating log2) — empty rest → rest_bits + 1."""
     m = 1 << b
     rest_bits = 48 - b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    am2 = alpha * m * m  # folded driver-side; the oracle inlines repr(am2)
-    h = digest48(F.col(key_col), salt)
-    bucket = (h % F.lit(m)).alias("bucket")
+    h = digest48(col, salt)
     rest = (h / F.lit(m)).cast("long")
     rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
         F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1)
     )
-    per_bucket = (
-        df.select(bucket, rank.alias("rank"))
-        .groupBy("bucket")
-        .agg(F.max("rank").alias("max_rank"))
-    )
-    agg = per_bucket.agg(
+    return (h % F.lit(m)).alias("bucket"), rank.alias("rank")
+
+
+def hll_finish(per_bucket: DataFrame, b: int = 12, group_cols=()) -> DataFrame:
+    """Estimate from a (…group_cols, bucket, max_rank) synopsis: harmonic
+    mean with the standard small-range linear-counting correction
+    (Flajolet et al. §4). One row per group (or one total row)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    am2 = alpha * m * m  # folded driver-side; the oracle inlines repr(am2)
+    aggs = [
         F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("present_harm"),
         F.count(F.lit(1)).alias("n_present"),
-    )
+    ]
+    agg = (per_bucket.groupBy(*group_cols).agg(*aggs)
+           if group_cols else per_bucket.agg(*aggs))
     zeros = (F.lit(m) - F.col("n_present")).cast("long")
     harm = F.col("present_harm") + zeros.cast("double")
     e_raw = F.lit(am2) / harm
-    linear = F.lit(float(m)) * F.log(
-        F.lit(float(m)) / zeros.cast("double")
-    )
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     return agg.select(
+        *group_cols,
         F.lit(m).cast("int").alias("m"),
         zeros.alias("n_zero_buckets"),
         F.round(
@@ -116,3 +111,15 @@ def hll_distinct(
             6,
         ).alias("estimate"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, b: int = 12, salt: str = "hll1"
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate → one row
+    (m, n_zero_buckets, estimate). See hll_bucket_rank / hll_finish."""
+    bucket, rank = hll_bucket_rank(F.col(key_col), b, salt)
+    per_bucket = (
+        df.select(bucket, rank).groupBy("bucket").agg(F.max("rank").alias("max_rank"))
+    )
+    return hll_finish(per_bucket, b)
