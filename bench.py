@@ -170,6 +170,10 @@ QUERY_NAMES = [
     "classifier_pr_table",
     "events_hopping_window",
     "events_pivot_type_counts",
+    "sketch_hll_by_lang",
+    "sketch_cms_freq",
+    "token_len_quantiles",
+    "mixture_temperature_weights",
 ]
 
 

@@ -4732,6 +4732,177 @@ def events_pivot_type_counts_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Sketch family round-out: per-group HLL, Count-Min frequency, exact
+# histogram quantiles, and temperature data-mixing (operators/sketches.py,
+# operators/selection.py) — the per-source corpus dashboard at 100 TB.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sketch_hll_by_lang",
+    f"""WITH h AS (
+      SELECT lang, CAST('0x' || substr(md5('hll1:' || text), 1, 12) AS BIGINT) AS h
+      FROM documents
+    ), pb AS (
+      SELECT lang, h % 4096 AS bucket,
+             MAX(CASE WHEN h // 4096 = 0 THEN 37
+                      ELSE 36 - length(bin(h // 4096)) + 1 END) AS max_rank
+      FROM h GROUP BY lang, h % 4096
+    ), agg AS (
+      SELECT lang, SUM(POWER(2.0, -max_rank)) AS present_harm,
+             COUNT(*) AS n_present
+      FROM pb GROUP BY lang
+    )
+    SELECT lang, CAST(4096 AS INT) AS m,
+           (4096 - n_present) AS n_zero_buckets,
+           ROUND(CASE WHEN ({_HLL_AM2!r} / ({_HLL_HARM}) <= 10240.0)
+                       AND (4096 - n_present > 0)
+                      THEN 4096.0 * ln(4096.0 / CAST(4096 - n_present AS DOUBLE))
+                      ELSE {_HLL_AM2!r} / ({_HLL_HARM}) END, 6) AS estimate
+    FROM agg""",
+)
+def sketch_hll_by_lang_q(spark, sf):
+    """Per-language HLL distinct-text panel: same digest/rank math as
+    sketch_hll_distinct restricted per group, ONE groupBy over
+    ≤ |langs|·4096 keys. The per-source dedup-health dashboard a crawl
+    pipeline watches — at 100 TB each group's synopsis is still 4096
+    rows."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_distinct_by
+
+    return hll_distinct_by(
+        _t(spark, sf, "documents"), "text", "lang", b=12, salt="hll1"
+    )
+
+
+_CMS_PROBES = ["scan", "join", "window", "shuffle", "quantile", "zzzmissing"]
+_CMS_PROBES_SQL = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+_CMS_CELL_SQL = (
+    "CAST('0x' || substr(md5('cms' || CAST(rw AS VARCHAR) || ':' || {key}), 1, 12)"
+    " AS BIGINT) % 1024"
+)
+
+
+@_q(
+    "sketch_cms_freq",
+    f"""WITH toks AS (
+      SELECT t.tok FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ), rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) r(rw)),
+    syn AS (
+      SELECT rw, {_CMS_CELL_SQL.format(key='tok')} AS bucket, COUNT(*) AS cnt
+      FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+    ), probes AS (SELECT * FROM (VALUES {_CMS_PROBES_SQL}) p(token)),
+    pc AS (
+      SELECT token, rw, {_CMS_CELL_SQL.format(key='token')} AS bucket
+      FROM probes CROSS JOIN rows_
+    ), est AS (
+      SELECT token, MIN(COALESCE(cnt, 0)) AS cms_est
+      FROM pc LEFT JOIN syn USING (rw, bucket) GROUP BY token
+    ), tru AS (
+      SELECT tok AS token, COUNT(*) AS true_cnt FROM toks
+      WHERE tok IN (SELECT token FROM probes) GROUP BY 1
+    )
+    SELECT token, COALESCE(true_cnt, 0) AS true_cnt, cms_est,
+           cms_est - COALESCE(true_cnt, 0) AS overcount
+    FROM est LEFT JOIN tru USING (token)""",
+)
+def sketch_cms_freq_q(spark, sf):
+    """Count-Min token-frequency estimates (d=4 rows × w=1024 buckets) for
+    a fixed probe set, with the true counts and the (always ≥ 0)
+    overcounts alongside. The build is one groupBy over ≤ 4096 cells —
+    the heavy-hitter monitor that replaces a full token count at corpus
+    scale. 'zzzmissing' shows the collision-only floor for an absent
+    key."""
+    from crawl4ai_scraper_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    syn = cms_build(toks, F.col("tok"), d=4, w=1024, salt="cms")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "token string")
+    est = cms_estimate(syn, F.broadcast(probes), "token", d=4, w=1024, salt="cms")
+    true_cnt = (
+        toks.filter(F.col("tok").isin(_CMS_PROBES))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(F.broadcast(true_cnt), "token", "left").select(
+        "token",
+        F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.coalesce("true_cnt", F.lit(0))).alias("overcount"),
+    )
+
+
+@_q(
+    "token_len_quantiles",
+    """WITH vals AS (
+      SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS v
+      FROM documents
+    ), hist AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY v),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ), qs AS (
+      SELECT CAST(q AS DOUBLE) AS q, num, den
+      FROM (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.95, 19, 20))
+           t(q, num, den)
+    )
+    SELECT q, MIN(v) AS value
+    FROM cum CROSS JOIN qs WHERE cum * den >= num * n GROUP BY q""",
+)
+def token_len_quantiles_q(spark, sf):
+    """EXACT p25/p50/p75/p95 of whitespace-token counts per document via
+    the histogram two-phase plan (sketches.exact_quantiles): the only
+    corpus shuffle is groupBy(length); the cumulative window runs on the
+    bounded histogram, never the raw rows, and the rank test is the pure
+    integer predicate cum·den ≥ num·N. The length-distribution panel every
+    training-data pipeline reports."""
+    from crawl4ai_scraper_spark.operators.sketches import exact_quantiles
+
+    docs = _t(spark, sf, "documents")
+    lens = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok")
+    )
+    return exact_quantiles(lens, "n_tok")
+
+
+@_q(
+    "mixture_temperature_weights",
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p_raw
+      FROM c
+    ), s AS (
+      SELECT lang, n_docs, p_raw,
+             CAST(ROUND(sqrt(p_raw), 12) AS DECIMAL(28,12)) AS s
+      FROM t
+    ), f AS (
+      SELECT lang, n_docs, p_raw,
+             CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE) AS w_raw
+      FROM s
+    )
+    SELECT lang, n_docs, ROUND(p_raw, 6) AS p, ROUND(w_raw, 6) AS mix_weight,
+           ROUND(LEAST(1.0, w_raw * 100.0 / CAST(n_docs AS DOUBLE)), 6)
+             AS sample_rate
+    FROM f""",
+)
+def mixture_temperature_weights_q(spark, sf):
+    """τ=1/2 temperature mixing over languages (selection.mixture_weights,
+    target 100 docs): sqrt is correctly rounded (bit-identical across
+    engines, unlike pow), the normalizer is the DSIR-style 12dp-DECIMAL
+    exact sum, and the output sample_rate feeds the scan-speed
+    md5-threshold sampler. One corpus groupBy; the rest runs on the
+    |langs|-row synopsis."""
+    from crawl4ai_scraper_spark.operators.selection import mixture_weights
+
+    return mixture_weights(_t(spark, sf, "documents"), "lang", target_total=100)
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

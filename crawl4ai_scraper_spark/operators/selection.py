@@ -185,3 +185,48 @@ def dsir_select(
         .orderBy(F.desc("gumbel_key"), id_col)
         .limit(k)
     )
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, target_total: int
+) -> DataFrame:
+    """Temperature-based data-mixing weights per group (the multilingual /
+    multi-source mixing rule of mC4 / XLM-R / Llama: q_g ∝ p_g^τ with
+    τ = 1/2, which up-weights tail groups and damps the head) →
+    (group, n_docs, p, mix_weight, sample_rate).
+
+    τ is FIXED at 1/2 so the reweighting is sqrt(p) — IEEE-754 sqrt is
+    correctly rounded, hence bit-identical across engines, unlike pow().
+    The normalizer Σ sqrt(p_g) follows the house DSIR convention: each
+    term 12dp-rounded into DECIMAL(28,12), summed exactly (order-free),
+    cast to DOUBLE only for the final ratios. sample_rate is the per-group
+    keep probability that hits ``target_total`` docs in expectation,
+    capped at 1 (a group smaller than its quota is taken whole).
+
+    Scale shape: ONE map-side-combined groupBy(group) over the corpus;
+    everything after runs on the |groups|-row synopsis (the empty-frame
+    windows are single-partition BY DESIGN there). The rates then drive a
+    scan-speed md5-threshold filter (textops.weighted_sample) — no second
+    shuffle of the data.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    everything = Window.partitionBy()
+    p_raw = F.col("n_docs").cast("double") / F.sum("n_docs").over(everything).cast(
+        "double"
+    )
+    s = F.round(F.sqrt(p_raw), 12).cast("decimal(28,12)")
+    syn = counts.select(group_col, "n_docs", p_raw.alias("p_raw"), s.alias("s"))
+    w_raw = F.col("s").cast("double") / F.sum("s").over(everything).cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        w_raw * F.lit(float(target_total)) / F.col("n_docs").cast("double"),
+    )
+    return syn.select(
+        group_col,
+        "n_docs",
+        F.round("p_raw", 6).alias("p"),
+        F.round(w_raw, 6).alias("mix_weight"),
+        F.round(rate, 6).alias("sample_rate"),
+    )

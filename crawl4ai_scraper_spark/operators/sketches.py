@@ -1,8 +1,10 @@
-"""Deterministic cardinality sketches — KMV and HyperLogLog over md5.
+"""Deterministic distribution synopses — KMV / HyperLogLog cardinality,
+Count-Min frequency, and exact histogram quantiles, all over md5.
 
 The 100-TB question "how many distinct URLs / pages / texts do we have?"
 cannot afford COUNT(DISTINCT x) (a full shuffle of every distinct value).
-Both sketches here answer it from tiny synopses:
+The sketches here answer it (and "how often does token t occur?" /
+"what is the p95 document length?") from tiny synopses:
 
 * kmv_distinct — K-minimum-values (Bar-Yossef et al. 2002): keep the k
   smallest distinct hash values; estimate = (k-1)/u_(k). The candidate
@@ -14,7 +16,18 @@ Both sketches here answer it from tiny synopses:
   low b bits of the hash, per-bucket max leading-zero rank from the high
   bits, harmonic-mean estimate with the standard small-range linear
   counting correction. One map-side-combined groupBy over ≤2^b keys; the
-  synopsis is 2^b rows regardless of corpus size.
+  synopsis is 2^b rows regardless of corpus size. ``hll_distinct_by``
+  is the grouped form (≤ groups×2^b synopsis rows, one shuffle).
+* cms_build / cms_estimate — Count-Min (Cormode & Muthukrishnan 2005):
+  d independent md5-salted hash rows × w buckets; a point query is the
+  min of its d cells, guaranteed ≥ the true count. The build is ONE
+  map-side-combined groupBy over ≤ d·w keys — the token stream itself
+  never shuffles at more than synopsis width.
+* exact_quantiles — not a sketch but the same scale shape: exact
+  order statistics from a value HISTOGRAM (groupBy value → counts,
+  cumulative sum over the bounded synopsis), never a global sort of
+  the raw rows. Rank targets use pure integer math (cum·den ≥ num·N),
+  so the answer is reproducible to the bit in any engine.
 
 Determinism (the contract requirement): "randomness" is the repo's shared
 48-bit md5 digest (selection.py:_MD5_48 convention, u=(h+0.5)/2^48 open
@@ -123,3 +136,120 @@ def hll_distinct(
         df.select(bucket, rank).groupBy("bucket").agg(F.max("rank").alias("max_rank"))
     )
     return hll_finish(per_bucket, b)
+
+
+def hll_distinct_by(
+    df: DataFrame, key_col: str, group_col: str, b: int = 12, salt: str = "hll1"
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimates → one row per group
+    (group_col, m, n_zero_buckets, estimate).
+
+    Identical math to hll_distinct restricted to each group's rows (same
+    digest, so the per-group estimate equals hll_distinct of the filtered
+    slice). ONE map-side-combined groupBy over ≤ |groups|·2^b keys — the
+    per-group distinct-URL / distinct-text panel at corpus scale."""
+    bucket, rank = hll_bucket_rank(F.col(key_col), b, salt)
+    per_bucket = (
+        df.select(F.col(group_col), bucket, rank)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    return hll_finish(per_bucket, b, group_cols=(group_col,))
+
+
+def cms_cells(col: Column, d: int, w: int, salt: str) -> Column:
+    """array<struct<row,bucket>> of the d Count-Min cells for one key:
+    row i uses the shared digest under salt ``f"{salt}{i}"``, bucket =
+    digest mod w. Shared by the build and the point-query sides so they
+    hash identically by construction."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (digest48(col, f"{salt}{i}") % F.lit(w)).alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, col: Column, d: int = 4, w: int = 1024, salt: str = "cms"
+) -> DataFrame:
+    """Count-Min synopsis (row, bucket, cnt) from a key stream.
+
+    The stream fans onto its d cells (a projection, no shuffle), then ONE
+    groupBy over ≤ d·w keys with map-side combine — at 100 TB the exchange
+    carries at most d·w rows per input partition no matter the corpus size.
+    Estimates are biased UP only (every cell ≥ its true mass): with
+    ε = e/w and δ = e^-d, est ≤ true + ε·N with probability ≥ 1-δ.
+    """
+    return (
+        df.select(F.explode(cms_cells(col, d, w, salt)).alias("c"))
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    synopsis: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the synopsis: per probe key, min over its d cells
+    (absent cell = 0). The probe frame is tiny → broadcast join against
+    the ≤ d·w-row synopsis; output is (key_col, cms_est)."""
+    cells = probes.select(
+        key_col, F.explode(cms_cells(F.col(key_col), d, w, salt)).alias("c")
+    ).select(key_col, "c.row", "c.bucket")
+    return (
+        cells.join(synopsis, ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple = ((1, 4), (1, 2), (3, 4), (19, 20)),
+) -> DataFrame:
+    """EXACT discrete quantiles via the histogram two-phase plan →
+    (q double, value) per requested quantile.
+
+    Phase 1: groupBy(value) → counts — the only corpus-wide shuffle, and
+    it carries one row per DISTINCT value (bounded synopsis: token counts,
+    lengths, scores). Phase 2: cumulative sum ordered by value over the
+    synopsis (single-partition window is correct here BECAUSE it runs on
+    the histogram, never the raw rows — the classic exact-quantile-at-scale
+    shape; a global sort of the input is the anti-pattern this replaces).
+    The q-quantile is the smallest v whose cumulative count reaches
+    ceil(q·N), tested as the pure-integer predicate cum·den ≥ num·N so
+    there is no float rank anywhere.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "v",
+        F.sum("cnt").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    spark = df.sparkSession
+    qframe = spark.createDataFrame(
+        [(float(num) / den, num, den) for num, den in qs], "q double, num long, den long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qframe))
+        .filter(F.col("cum") * F.col("den") >= F.col("num") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("v").alias("value"))
+    )

@@ -2811,3 +2811,90 @@ class TestContainmentAndSketchProperties:
             assert s1 == s2 == s3 == math.fsum(terms)
 
         check()
+
+
+# ---------------------------------------------------------------------------
+# sketch family round-out: grouped HLL, Count-Min, exact quantiles,
+# temperature mixing
+# ---------------------------------------------------------------------------
+
+def test_hll_by_lang_matches_per_slice(spark):
+    """The grouped HLL must equal hll_distinct run on each filtered slice —
+    same digest, same buckets, just one shuffle instead of |langs|."""
+    from crawl4ai_scraper_spark.operators.sketches import (
+        hll_distinct, hll_distinct_by,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grouped = {
+        r.lang: (r.n_zero_buckets, r.estimate)
+        for r in hll_distinct_by(docs, "text", "lang", b=12).collect()
+    }
+    assert set(grouped) == {"de", "en", "es", "fr", "zh"}
+    for lang, got in grouped.items():
+        row = hll_distinct(docs.filter(F.col("lang") == lang), "text", b=12).collect()[0]
+        assert got == (row.n_zero_buckets, row.estimate), lang
+
+
+def test_cms_overestimate_guarantee(spark):
+    """Count-Min never underestimates: for EVERY distinct token in the
+    corpus, min-of-cells ≥ the true count, and the worst overcount stays
+    under the e/w·N Markov bound's practical envelope."""
+    from crawl4ai_scraper_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    syn = cms_build(toks, F.col("tok"), d=4, w=1024, salt="cms")
+    probes = toks.groupBy(F.col("tok").alias("token")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    est = cms_estimate(syn, probes.select("token"), "token", d=4, w=1024, salt="cms")
+    joined = est.join(probes, "token").select("token", "cms_est", "true_cnt")
+    rows = joined.collect()
+    n_total = toks.count()
+    assert rows and all(r.cms_est >= r.true_cnt for r in rows)
+    import math
+    bound = math.e / 1024 * n_total
+    # 1-δ = 1-e^-4 ≈ 98.2% per key; allow a handful of tail keys
+    n_over = sum(1 for r in rows if r.cms_est - r.true_cnt > bound)
+    assert n_over <= max(3, int(0.02 * len(rows))), n_over
+
+
+def test_cms_synopsis_is_bounded(spark):
+    """The synopsis never exceeds d·w rows no matter the input size."""
+    from crawl4ai_scraper_spark.operators.sketches import cms_build
+
+    df = spark.range(100_000).select((F.col("id") % 50_000).cast("string").alias("k"))
+    assert cms_build(df, F.col("k"), d=4, w=256).count() <= 4 * 256
+
+
+def test_exact_quantiles_match_sorted(spark):
+    """exact_quantiles must equal the ceil(q·N)-rank element of the fully
+    sorted value list (quantile_disc semantics), including duplicate-heavy
+    and tiny inputs."""
+    from crawl4ai_scraper_spark.operators.sketches import exact_quantiles
+
+    for vals in ([5], [3, 1, 4, 1, 5, 9, 2, 6], [7] * 100, list(range(1000))):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {r.q: r.value for r in exact_quantiles(df, "x").collect()}
+        srt, n = sorted(vals), len(vals)
+        for (num, den) in ((1, 4), (1, 2), (3, 4), (19, 20)):
+            want = srt[-(-num * n // den) - 1]  # ceil(q*n)-th, 1-indexed
+            assert got[num / den] == want, (vals, num, den)
+
+
+def test_mixture_weights_invariants(spark):
+    """Mixing weights sum to 1 (6dp), every rate ∈ (0, 1], and a group
+    smaller than its quota is taken whole (rate capped at exactly 1.0)."""
+    from crawl4ai_scraper_spark.operators.selection import mixture_weights
+
+    rows = [("big", i) for i in range(900)] + [("tiny", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = {r.g: r for r in mixture_weights(df, "g", target_total=200).collect()}
+    assert abs(out["big"].mix_weight + out["tiny"].mix_weight - 1.0) < 2e-6
+    assert out["tiny"].sample_rate == 1.0  # sqrt damping gives tiny > its share
+    assert 0.0 < out["big"].sample_rate < 1.0
+    # tau=1/2 up-weights the tail: tiny's mix share far exceeds its p
+    assert out["tiny"].mix_weight > 10 * out["tiny"].p

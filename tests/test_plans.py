@@ -535,3 +535,30 @@ def test_sketch_and_containment_plan_shapes(spark):
 
     pr = qs["classifier_pr_table"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pr
+
+
+def test_sketch_roundout_plan_shapes(spark):
+    """Grouped HLL stays join-free bounded-key aggregation; the CMS
+    estimate joins the tiny probe frame BROADCAST against the ≤d·w synopsis
+    (no shuffle join, no cartesian); exact_quantiles' only corpus exchange
+    is the histogram groupBy — the cumulative window and the quantile
+    cross join run on the synopsis, and the q-frame join is broadcast."""
+    from crawl4ai_scraper_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    qs = contract.queries()
+
+    hll = qs["sketch_hll_by_lang"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in hll and "CartesianProduct" not in hll
+
+    cms = qs["sketch_cms_freq"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cms
+    assert "BroadcastHashJoin" in cms
+    assert "SortMergeJoin" not in cms
+
+    quant = qs["token_len_quantiles"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in quant
+    assert "BroadcastNestedLoopJoin" in quant or "BroadcastHashJoin" in quant
+
+    mix = qs["mixture_temperature_weights"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in mix and "CartesianProduct" not in mix
