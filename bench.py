@@ -174,6 +174,8 @@ QUERY_NAMES = [
     "sketch_cms_freq",
     "token_len_quantiles",
     "mixture_temperature_weights",
+    "sketch_kmv_overlap",
+    "sketch_hll_setops",
 ]
 
 

@@ -4903,6 +4903,118 @@ def mixture_temperature_weights_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Sketch set algebra (operators/sketches.py kmv_overlap / hll_setops): the
+# cross-snapshot overlap questions answered from synopses — "how much of
+# crawl B did crawl A already have?" without joining the two corpora.
+# Slices: A = doc_id%10 < 6, B = doc_id%10 >= 4 (20% designed overlap).
+# ---------------------------------------------------------------------------
+
+_HLL_RANK_SQL = (
+    "CASE WHEN h // 4096 = 0 THEN 37 ELSE 36 - length(bin(h // 4096)) + 1 END"
+)
+
+
+@_q(
+    "sketch_kmv_overlap",
+    """WITH lab AS (
+      SELECT (CAST('0x' || substr(md5('kmv1:' || text), 1, 12) AS BIGINT) + 0.5)
+             / 281474976710656.0 AS u,
+             MAX(CASE WHEN doc_id % 10 < 6 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN doc_id % 10 >= 4 THEN 1 ELSE 0 END) AS in_b
+      FROM documents GROUP BY 1
+    ), t AS (SELECT * FROM lab ORDER BY u LIMIT 256),
+    a AS (
+      SELECT COUNT(*) AS n_min, MAX(u) AS u_k,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM t
+    )
+    SELECT CAST(256 AS INT) AS k, n_min, n_both,
+           ROUND(CASE WHEN n_min < 256 THEN CAST(n_min AS DOUBLE)
+                      ELSE 255.0 / u_k END, 6) AS union_est,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(n_min AS DOUBLE), 6)
+             AS jaccard_est,
+           ROUND((CAST(n_both AS DOUBLE) / CAST(n_min AS DOUBLE))
+                 * (CASE WHEN n_min < 256 THEN CAST(n_min AS DOUBLE)
+                         ELSE 255.0 / u_k END), 6) AS inter_est
+    FROM a""",
+)
+def sketch_kmv_overlap_q(spark, sf):
+    """KMV union sketch with membership flags between two crawl slices
+    (Broder/theta-sketch estimator, k=256): neither slice ever joins the
+    other — tagged streams OR their flags in ONE bounded groupBy, the k
+    smallest hashes survive via TakeOrdered, Jaccard is the flagged-both
+    fraction, |A∪B| = (k-1)/u_(k), |A∩B| their product. Below k distinct
+    union values the answer is collision-exact."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_overlap
+
+    docs = _t(spark, sf, "documents")
+    return kmv_overlap(
+        docs.filter(F.col("doc_id") % 10 < 6),
+        docs.filter(F.col("doc_id") % 10 >= 4),
+        "text",
+        k=256,
+        salt="kmv1",
+    )
+
+
+@_q(
+    "sketch_hll_setops",
+    f"""WITH h AS (
+      SELECT 'a' AS side,
+             CAST('0x' || substr(md5('hll1:' || text), 1, 12) AS BIGINT) AS h
+      FROM documents WHERE doc_id % 10 < 6
+      UNION ALL
+      SELECT 'b' AS side,
+             CAST('0x' || substr(md5('hll1:' || text), 1, 12) AS BIGINT) AS h
+      FROM documents WHERE doc_id % 10 >= 4
+    ), pb AS (
+      SELECT side, h % 4096 AS bucket, MAX({_HLL_RANK_SQL}) AS max_rank
+      FROM h GROUP BY side, h % 4096
+    ), pbu AS (
+      SELECT side, bucket, max_rank FROM pb
+      UNION ALL
+      SELECT 'union' AS side, bucket, MAX(max_rank) AS max_rank
+      FROM pb GROUP BY bucket
+    ), agg AS (
+      SELECT side, SUM(POWER(2.0, -max_rank)) AS present_harm,
+             COUNT(*) AS n_present
+      FROM pbu GROUP BY side
+    ), est AS (
+      SELECT side,
+             ROUND(CASE WHEN ({_HLL_AM2!r} / ({_HLL_HARM}) <= 10240.0)
+                         AND (4096 - n_present > 0)
+                        THEN 4096.0 * ln(4096.0 / CAST(4096 - n_present AS DOUBLE))
+                        ELSE {_HLL_AM2!r} / ({_HLL_HARM}) END, 6) AS estimate
+      FROM agg
+    ), piv AS (
+      SELECT MAX(CASE WHEN side = 'a' THEN estimate END) AS est_a,
+             MAX(CASE WHEN side = 'b' THEN estimate END) AS est_b,
+             MAX(CASE WHEN side = 'union' THEN estimate END) AS est_union
+      FROM est
+    )
+    SELECT est_a, est_b, est_union,
+           ROUND(GREATEST(0.0, est_a + est_b - est_union), 6) AS inter_est
+    FROM piv""",
+)
+def sketch_hll_setops_q(spark, sf):
+    """HLL set algebra between two crawl slices: per-side bucket synopses
+    from ONE bounded groupBy, union synopsis = per-bucket max (HLL merge
+    is lossless — exactly the sketch of the concatenated stream),
+    intersection by inclusion-exclusion clamped at 0. The incremental-
+    crawl coverage dashboard at 100 TB: three estimates, zero joins."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_setops
+
+    docs = _t(spark, sf, "documents")
+    return hll_setops(
+        docs.filter(F.col("doc_id") % 10 < 6),
+        docs.filter(F.col("doc_id") % 10 >= 4),
+        "text",
+        b=12,
+        salt="hll1",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

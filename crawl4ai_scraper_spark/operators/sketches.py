@@ -23,6 +23,13 @@ The sketches here answer it (and "how often does token t occur?" /
   min of its d cells, guaranteed ≥ the true count. The build is ONE
   map-side-combined groupBy over ≤ d·w keys — the token stream itself
   never shuffles at more than synopsis width.
+* kmv_overlap / hll_setops — sketch SET ALGEBRA: the cross-snapshot
+  questions ("how much of crawl B did crawl A already have?") answered
+  without ever joining the two corpora. KMV keeps membership flags on
+  the k smallest union hashes (Jaccard = flagged-both fraction — the
+  Broder/theta-sketch estimator); HLL merges per-bucket maxima (the
+  union sketch is EXACTLY the sketch of the unioned stream) and gets
+  the intersection by inclusion-exclusion.
 * exact_quantiles — not a sketch but the same scale shape: exact
   order statistics from a value HISTOGRAM (groupBy value → counts,
   cumulative sum over the bounded synopsis), never a global sort of
@@ -155,6 +162,100 @@ def hll_distinct_by(
         .agg(F.max("rank").alias("max_rank"))
     )
     return hll_finish(per_bucket, b, group_cols=(group_col,))
+
+
+def kmv_overlap(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, k: int = 256, salt: str = "kmv1"
+) -> DataFrame:
+    """KMV union sketch with membership flags → one row
+    (k, n_min, n_both, union_est, jaccard_est, inter_est).
+
+    The two key streams are tagged and unioned (a projection — neither
+    corpus joins the other, ever); ONE map-side-combined groupBy over the
+    hash space ORs the flags per distinct hash, and the k smallest survive
+    via TakeOrdered. On that k-row synopsis, Jaccard is the flagged-both
+    fraction (Broder 1997 / the theta-sketch estimator), the union size is
+    (k-1)/u_(k), and the intersection is their product. Below k distinct
+    union values, n_min and the flags are collision-exact, so jaccard_est
+    IS the true Jaccard.
+
+    At 100 TB this replaces the cross-crawl distinct-join ("how much of
+    snapshot B is new?") with two scans and a k-row synopsis.
+    """
+    u = (digest48(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(_MD5_48))
+
+    def tag(df: DataFrame, a: int, b: int) -> DataFrame:
+        return df.select(
+            u.alias("u"), F.lit(a).alias("in_a"), F.lit(b).alias("in_b")
+        )
+
+    lab = (
+        tag(df_a, 1, 0)
+        .unionByName(tag(df_b, 0, 1))
+        .groupBy("u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    topk = lab.orderBy("u").limit(k)
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("n_min"),
+        F.max("u").alias("u_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_est = F.when(F.col("n_min") < k, F.col("n_min").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("u_k")
+    )
+    jacc = F.col("n_both").cast("double") / F.col("n_min").cast("double")
+    return agg.select(
+        F.lit(k).cast("int").alias("k"),
+        "n_min",
+        "n_both",
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(jacc * union_est, 6).alias("inter_est"),
+    )
+
+
+def hll_setops(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, b: int = 12, salt: str = "hll1"
+) -> DataFrame:
+    """HLL set algebra → one row (est_a, est_b, est_union, inter_est).
+
+    Both streams fan into tagged (side, bucket, rank) rows; ONE
+    map-side-combined groupBy over ≤ 2·2^b keys builds each side's
+    synopsis, and the union synopsis is the per-bucket max of the two —
+    by construction EXACTLY the sketch of the concatenated stream (HLL
+    merge is lossless, the property that makes the sketch distributable).
+    The intersection falls out by inclusion-exclusion on the three 6dp
+    estimates, clamped at 0 (IE can go slightly negative at sketch
+    error); identical float ops in both engines keep it bit-equal.
+    """
+    bucket, rank = hll_bucket_rank(F.col(key_col), b, salt)
+    both = df_a.select(F.lit("a").alias("side"), bucket, rank).unionByName(
+        df_b.select(F.lit("b").alias("side"), bucket, rank)
+    )
+    per = both.groupBy("side", "bucket").agg(F.max("rank").alias("max_rank"))
+    union_pb = (
+        per.groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(F.lit("union").alias("side"), "bucket", "max_rank")
+    )
+    est = hll_finish(per.unionByName(union_pb), b, group_cols=("side",))
+    pivot = est.agg(
+        F.max(F.when(F.col("side") == "a", F.col("estimate"))).alias("est_a"),
+        F.max(F.when(F.col("side") == "b", F.col("estimate"))).alias("est_b"),
+        F.max(F.when(F.col("side") == "union", F.col("estimate"))).alias("est_union"),
+    )
+    return pivot.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ),
+            6,
+        ).alias("inter_est"),
+    )
 
 
 def cms_cells(col: Column, d: int, w: int, salt: str) -> Column:

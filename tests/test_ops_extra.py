@@ -2885,6 +2885,55 @@ def test_exact_quantiles_match_sorted(spark):
             assert got[num / den] == want, (vals, num, den)
 
 
+def test_kmv_overlap_exact_below_k(spark):
+    """With fewer than k distinct union values the KMV overlap row is
+    collision-exact: n_min = |A∪B|, n_both = |A∩B|, jaccard exact."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(0, 60)], "x string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(40, 100)], "x string")
+    row = kmv_overlap(a, b, "x", k=256).collect()[0]
+    assert (row.n_min, row.n_both) == (100, 20)
+    assert row.union_est == 100.0
+    assert row.jaccard_est == 0.2
+    assert row.inter_est == 20.0
+
+
+def test_kmv_overlap_estimates_large(spark):
+    """Above k the estimator tracks the true Jaccard/union within the
+    ~1/sqrt(k) envelope on a 20k-key universe with 25% overlap."""
+    from crawl4ai_scraper_spark.operators.sketches import kmv_overlap
+
+    a = spark.range(0, 12_000).select(F.concat(F.lit("u"), F.col("id")).alias("x"))
+    b = spark.range(9_000, 20_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("x")
+    )
+    row = kmv_overlap(a, b, "x", k=512).collect()[0]
+    true_j = 3_000 / 20_000
+    assert abs(row.union_est - 20_000) / 20_000 < 0.15
+    assert abs(row.jaccard_est - true_j) < 3 / (512 ** 0.5)  # ~3σ
+
+
+def test_hll_setops_union_is_lossless_merge(spark):
+    """The merged union estimate must EQUAL hll_distinct run over the
+    concatenated stream — per-bucket max merge loses nothing."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_distinct, hll_setops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 10 < 6)
+    b = docs.filter(F.col("doc_id") % 10 >= 4)
+    row = hll_setops(a, b, "text", b=12).collect()[0]
+    direct = hll_distinct(
+        a.select("text").unionAll(b.select("text")), "text", b=12
+    ).collect()[0]
+    assert row.est_union == direct.estimate
+    assert row.inter_est >= 0.0
+    # sides estimate their own slices
+    ea = hll_distinct(a, "text", b=12).collect()[0].estimate
+    eb = hll_distinct(b, "text", b=12).collect()[0].estimate
+    assert (row.est_a, row.est_b) == (ea, eb)
+
+
 def test_mixture_weights_invariants(spark):
     """Mixing weights sum to 1 (6dp), every rate ∈ (0, 1], and a group
     smaller than its quota is taken whole (rate capped at exactly 1.0)."""

@@ -562,3 +562,21 @@ def test_sketch_roundout_plan_shapes(spark):
 
     mix = qs["mixture_temperature_weights"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in mix and "CartesianProduct" not in mix
+
+
+def test_sketch_setops_plan_shapes(spark):
+    """Sketch set algebra must never join the two corpora: both the KMV
+    overlap (tagged union → bounded groupBy → TakeOrdered k) and the HLL
+    merge (tagged union → ≤2·2^b-key groupBy → per-bucket max) stay
+    join-free end to end."""
+    from crawl4ai_scraper_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    qs = contract.queries()
+
+    kmv = qs["sketch_kmv_overlap"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in kmv and "CartesianProduct" not in kmv
+    assert "TakeOrderedAndProject" in kmv
+
+    hll = qs["sketch_hll_setops"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in hll and "CartesianProduct" not in hll
