@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "mixture_temperature_weights",
     "sketch_kmv_overlap",
     "sketch_hll_setops",
+    "heavy_hitter_bigrams",
 ]
 
 

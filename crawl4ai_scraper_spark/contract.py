@@ -5014,6 +5014,43 @@ def sketch_hll_setops_q(spark, sf):
     )
 
 
+@_q(
+    "heavy_hitter_bigrams",
+    """WITH w AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT UNNEST(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             END) AS k
+      FROM w
+    ), n AS (SELECT COUNT(*) AS n FROM g)
+    SELECT k, COUNT(*) AS cnt FROM g
+    GROUP BY k HAVING COUNT(*) * 1000 >= (SELECT n FROM n)""",
+)
+def heavy_hitter_bigrams_q(spark, sf):
+    """EXACT φ=1/1000 heavy-hitter bigrams via the Count-Min two-pass
+    (sketches.cms_heavy_hitters, d=4 w=4096): pass 1 is the bounded
+    synopsis groupBy (collected driver-side — a d·w model artifact, like
+    k-means centroids); pass 2 screens every occurrence with a literal-
+    array lookup PROJECTION — no join — and the exact verification
+    groupBy runs over ≤1/φ' surviving keys with map-side combine. CMS
+    never underestimates, so no true heavy hitter can be screened out:
+    the output is exactly the naive GROUP BY ... HAVING, at synopsis cost
+    instead of a corpus-distinct shuffle. The oracle IS the naive form."""
+    from crawl4ai_scraper_spark.operators.sketches import cms_heavy_hitters
+    from crawl4ai_scraper_spark.operators.textops import ngrams_from_tokens
+
+    docs = _t(spark, sf, "documents")
+    grams = docs.select(
+        F.explode(
+            ngrams_from_tokens(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 2)
+        ).alias("k")
+    )
+    return cms_heavy_hitters(
+        grams, F.col("k"), phi_num=1, phi_den=1000, d=4, w=4096, salt="cms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -314,6 +314,55 @@ def cms_estimate(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: Column,
+    phi_num: int,
+    phi_den: int,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """EXACT φ-heavy hitters (keys with count ≥ φ·N, φ = phi_num/phi_den)
+    via the classic two-pass sketch screen → (key, cnt), cnt exact.
+
+    Pass 1 builds the Count-Min synopsis (ONE bounded ≤d·w-key groupBy)
+    and collects it driver-side — d·w cells, a model-sized artifact like
+    k-means centroids — into a flat literal lookup array. Pass 2 screens
+    every occurrence with a pure PROJECTION (min over d literal-array
+    lookups — no join, no shuffle, evaluated inside the scan stage):
+    because CMS never underestimates, every true heavy hitter survives
+    the screen (NO false negatives, unconditionally), and at most ~1/φ'
+    distinct keys pass, so the exact verification groupBy runs over a
+    BOUNDED key space with map-side combine. The final integer predicate
+    cnt·phi_den ≥ phi_num·N removes the screen's false positives — the
+    output is therefore EXACTLY the naive `GROUP BY key HAVING count ≥
+    φ·N`, at synopsis cost instead of a corpus-distinct shuffle.
+
+    N is read off the synopsis itself (each of the d rows sums to N), so
+    the screen needs no second pass over the data.
+    """
+    toks = df.select(col.alias("k"))
+    syn_rows = cms_build(toks, F.col("k"), d, w, salt).collect()
+    n_total = sum(r.cnt for r in syn_rows if r.row == 0)
+    cells = [0] * (d * w)
+    for r in syn_rows:
+        cells[r.row * w + r.bucket] = r.cnt
+    lut = F.lit(cells)  # ONE array literal (not d·w expressions)
+    est = F.least(
+        *[
+            F.element_at(lut, (F.lit(i * w) + digest48(F.col("k"), f"{salt}{i}") % F.lit(w) + F.lit(1)).cast("int"))
+            for i in range(d)
+        ]
+    )
+    return (
+        toks.filter(est * F.lit(phi_den) >= F.lit(phi_num * n_total))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(phi_den) >= F.lit(phi_num * n_total))
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,

@@ -1,5 +1,6 @@
 from crawl4ai_scraper_spark.streaming.ingest import (
     content_dedup_stream,
+    distinct_estimate_stream,
     host_rate_stream,
     read_pages_stream,
     stream_dedup_extract,
@@ -8,5 +9,6 @@ from crawl4ai_scraper_spark.streaming.ingest import (
 )
 from crawl4ai_scraper_spark.streaming.sessions import host_sessions_stream
 
-__all__ = ["content_dedup_stream", "host_rate_stream", "host_sessions_stream", "read_pages_stream",
-           "stream_dedup_extract", "stream_extract", "url_dedup_stream"]
+__all__ = ["content_dedup_stream", "distinct_estimate_stream", "host_rate_stream",
+           "host_sessions_stream", "read_pages_stream", "stream_dedup_extract",
+           "stream_extract", "url_dedup_stream"]

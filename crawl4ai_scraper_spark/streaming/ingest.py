@@ -159,6 +159,31 @@ def stream_dedup_extract(
     return query
 
 
+def distinct_estimate_stream(
+    pages_stream: DataFrame, key: str = "url", b: int = 12, salt: str = "hll1"
+) -> DataFrame:
+    """Streaming HyperLogLog synopsis: the per-bucket max-rank aggregation
+    maintained incrementally by the state store → (bucket, max_rank).
+
+    The crawl-monitoring question "how many distinct URLs have we ever
+    ingested?" kept live without ever storing the URL set: state is AT
+    MOST 2^b rows no matter how many pages flow through (HLL merge is a
+    per-bucket max, which is exactly what an incremental aggregation
+    state update is), and the synopsis survives restarts through the
+    checkpoint like any streaming aggregate. Finish a materialized
+    synopsis with operators.sketches.hll_finish(df, b) — the estimate
+    equals the batch hll_distinct over everything the stream has seen
+    (tested in tests/test_streaming.py)."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_bucket_rank
+
+    bucket, rank = hll_bucket_rank(F.col(key), b, salt)
+    return (
+        pages_stream.select(bucket, rank)
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
 def host_rate_stream(
     pages_stream: DataFrame,
     window_duration: str = "10 minutes",

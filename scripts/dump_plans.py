@@ -252,6 +252,29 @@ def main():
         plan_of(contract.queries()["semdedup_survivors"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Sketch family — bounded-key synopses, the corpus never re-shuffles",
+        "operators/sketches.py: every sketch shares one plan law — the only "
+        "corpus-volume exchange is a map-side-combined groupBy over a key "
+        "space FIXED by the sketch parameters, never by the data. Shown "
+        "here: (1) hll_setops — two tagged scans union into ONE ≤2·2^b-key "
+        "aggregate, the union synopsis is a per-bucket max, and the whole "
+        "cross-snapshot overlap dashboard (|A|, |B|, |A∪B|, |A∩B|) contains "
+        "NO Join operator at all — the two corpora are never joined; "
+        "(2) sketch_cms_freq — the Count-Min build is a ≤d·w-key aggregate "
+        "and the probe side enters as a BroadcastHashJoin (probe frame and "
+        "synopsis are both tiny); (3) token_len_quantiles — exact order "
+        "statistics where the sort/window runs on the bounded value "
+        "HISTOGRAM, never the raw rows, and the quantile targets arrive as "
+        "a broadcast 4-row frame. Asserted in tests/test_plans.py "
+        "(test_sketch_roundout_plan_shapes, test_sketch_setops_plan_shapes).",
+        plan_of(contract.queries()["sketch_hll_setops"](spark, "/root/testdata/sf0.001"))
+        + "\n\n"
+        + plan_of(contract.queries()["sketch_cms_freq"](spark, "/root/testdata/sf0.001"))
+        + "\n\n"
+        + plan_of(contract.queries()["token_len_quantiles"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",

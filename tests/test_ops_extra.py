@@ -2934,6 +2934,43 @@ def test_hll_setops_union_is_lossless_merge(spark):
     assert (row.est_a, row.est_b) == (ea, eb)
 
 
+def test_cms_heavy_hitters_exact(spark):
+    """The two-pass CMS heavy hitter must equal the naive GROUP BY ...
+    HAVING exactly — the screen can never drop a true heavy hitter
+    (CMS only overestimates) and the verify pass removes every false
+    positive. Zipf-ish synthetic stream, several φ values."""
+    from crawl4ai_scraper_spark.operators.sketches import cms_heavy_hitters
+
+    # key i appears ~ 3000/i times: true Zipf head
+    rows = [(f"k{i}",) for i in range(1, 80) for _ in range(3000 // i)]
+    df = spark.createDataFrame(rows, "x string")
+    n = len(rows)
+    from collections import Counter
+
+    true_counts = Counter(r[0] for r in rows)
+    for num, den in ((1, 20), (1, 100), (1, 1000)):
+        got = {
+            (r.k, r.cnt)
+            for r in cms_heavy_hitters(
+                df, F.col("x"), num, den, d=4, w=512
+            ).collect()
+        }
+        want = {(k, c) for k, c in true_counts.items() if c * den >= num * n}
+        assert got == want, (num, den)
+
+
+def test_cms_heavy_hitters_small_w_still_exact(spark):
+    """Even a deliberately undersized synopsis (w=16 — massive collisions,
+    the screen passes almost everything) yields the exact answer: the
+    guarantee is correctness-by-construction, width only tunes cost."""
+    from crawl4ai_scraper_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("hot",)] * 500 + [(f"c{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "x string")
+    got = cms_heavy_hitters(df, F.col("x"), 1, 10, d=2, w=16).collect()
+    assert [(r.k, r.cnt) for r in got] == [("hot", 500)]
+
+
 def test_mixture_weights_invariants(spark):
     """Mixing weights sum to 1 (6dp), every rate ∈ (0, 1], and a group
     smaller than its quota is taken whole (rate capped at exactly 1.0)."""

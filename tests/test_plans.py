@@ -580,3 +580,9 @@ def test_sketch_setops_plan_shapes(spark):
 
     hll = qs["sketch_hll_setops"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in hll and "CartesianProduct" not in hll
+
+    # heavy hitters: the screen is a literal-array lookup projection — the
+    # executed plan has NO Join of any kind, and exactly two aggregates
+    # (the verify count; the synopsis build ran as a separate bounded job).
+    hh = qs["heavy_hitter_bigrams"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in hh and "CartesianProduct" not in hh

@@ -285,3 +285,48 @@ def test_content_dedup_stream_drops_mirrors(spark):
     # defined — but exactly ONE of them survives, plus q and r
     assert len(names & {"p", "mirror-of-p"}) == 1 and {"q", "r"} <= names
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_distinct_estimate_stream_matches_batch_hll(spark):
+    """The streaming HLL synopsis (bounded ≤2^b-row state), drained in two
+    availableNow passes over the same checkpoint, must finish to EXACTLY
+    the batch hll_distinct estimate over everything the stream saw —
+    per-bucket max is order- and batching-insensitive."""
+    from crawl4ai_scraper_spark.operators.sketches import hll_distinct, hll_finish
+    from crawl4ai_scraper_spark.streaming import (
+        distinct_estimate_stream,
+        read_pages_stream,
+    )
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    pages_dir, chk = str(TMP / "pages"), str(TMP / "chk_hll")
+    spec = WebSpec(n_hosts=3, max_secs=3, max_pages=4)
+
+    def drain(qname):
+        syn = distinct_estimate_stream(
+            read_pages_stream(spark, pages_dir), key="url", b=8
+        )
+        q = (
+            syn.writeStream.format("memory").queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname)
+
+    _write_host_batch(spark, spec, 0, pages_dir)
+    drain("hll_syn_1")
+
+    # restart with MORE data: state resumes from the checkpoint
+    _write_host_batch(spark, spec, 1, pages_dir)
+    _write_host_batch(spark, spec, 2, pages_dir)
+    syn = drain("hll_syn_2")
+    assert syn.count() <= 256  # bounded state: at most 2^b buckets
+
+    streamed = hll_finish(syn, b=8).collect()[0]
+    batch = hll_distinct(spark.read.parquet(pages_dir), "url", b=8).collect()[0]
+    assert streamed.estimate == batch.estimate
+    assert streamed.n_zero_buckets == batch.n_zero_buckets
+    shutil.rmtree(TMP, ignore_errors=True)
