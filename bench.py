@@ -177,6 +177,11 @@ QUERY_NAMES = [
     "sketch_kmv_overlap",
     "sketch_hll_setops",
     "heavy_hitter_bigrams",
+    "inverted_index_postings",
+    "tfidf_conjunctive_search",
+    "interval_containment_join",
+    "skew_salted_join",
+    "export_shard_manifest",
 ]
 
 

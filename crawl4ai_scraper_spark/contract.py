@@ -5051,6 +5051,213 @@ def heavy_hitter_bigrams_q(spark, sf):
     )
 
 
+@_q(
+    "inverted_index_postings",
+    """WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), p AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY term, doc_id
+    ), s AS (
+      SELECT term, doc_id, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+             CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS cf
+      FROM p
+    )
+    SELECT term, doc_id, tf, df, cf FROM s WHERE df >= 3""",
+)
+def inverted_index_postings_q(spark, sf):
+    """Distributed inverted index over the corpus: flat posting rows
+    (term, doc_id, tf) from ONE map-side-combined groupBy, per-term df/cf
+    from an unbounded window over the already-tf-collapsed postings — the
+    raw token stream is shuffled exactly once and the corpus text never
+    moves again. The searchable-archive layer the reference delegates to
+    on-disk grep (main.py saved-markdown workflow)."""
+    from crawl4ai_scraper_spark.operators.search import inverted_postings
+
+    return inverted_postings(_t(spark, sf, "documents"), min_df=3).select(
+        "term", "doc_id", "tf",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
+@_q(
+    "tfidf_conjunctive_search",
+    """WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), p AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY term, doc_id
+    ), d AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    sc AS (
+      SELECT p.doc_id,
+             p.term,
+             CAST(p.tf AS DECIMAL(10,0))
+               * CAST(ROUND(ln((n_docs + 1) / (df + 1)) + 1, 12)
+                      AS DECIMAL(28,12)) AS contrib
+      FROM p JOIN d USING (term) CROSS JOIN n
+    ), h AS (
+      SELECT doc_id, COUNT(DISTINCT term) AS nt,
+             ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM h WHERE nt = 3
+    ORDER BY score DESC, doc_id LIMIT 15""",
+)
+def tfidf_conjunctive_search_q(spark, sf):
+    """Conjunctive (AND-of-terms) tf-idf retrieval: token stream filtered to
+    the 3 literal query terms BEFORE the postings groupBy, df as a 3-row
+    broadcast join, N as a one-row broadcast, conjunction via
+    count(distinct term)==3, top-k as TakeOrderedAndProject. idf rounded to
+    12dp and carried as DECIMAL(28,12) so the per-doc score sum is
+    order-free in both engines (the unigram_lm_ppl convention)."""
+    from crawl4ai_scraper_spark.operators.search import tfidf_search
+
+    return tfidf_search(
+        _t(spark, sf, "documents"), ["spark", "window", "merge"], k=15
+    )
+
+
+@_q(
+    "interval_containment_join",
+    """WITH iv AS (
+      SELECT event_id AS interval_id, ts AS t0,
+             ts + INTERVAL 30 MINUTE AS t1
+      FROM events WHERE event_id % 197 = 0
+    )
+    SELECT iv.interval_id, e.event_id
+    FROM events e JOIN iv ON e.ts >= iv.t0 AND e.ts < iv.t1""",
+)
+def interval_containment_join_q(spark, sf):
+    """Range join (point-in-interval containment) — every event matched to
+    every 30-minute window anchored at a sampled event. Spark would plan the
+    bare non-equi condition as BroadcastNestedLoopJoin (O(points ×
+    intervals)); interval_bucket_join manufactures a shared 10-minute
+    time-bucket EQUI key (intervals explode to their ≤4 covered buckets, a
+    point projects its single bucket), so the physical plan is a plain
+    equi-join + post-filter and each qualifying pair is emitted exactly
+    once. The DuckDB oracle uses its native inequality join (IEJoin)."""
+    from crawl4ai_scraper_spark.operators.temporal import interval_bucket_join
+
+    ev = _t(spark, sf, "events")
+    iv = ev.filter(F.col("event_id") % 197 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"),
+    )
+    pts = ev.select("event_id", "ts")
+    return interval_bucket_join(pts, iv, "ts", "t0", "t1", 600).select(
+        "interval_id", "event_id"
+    )
+
+
+@_q(
+    "skew_salted_join",
+    """WITH d AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n,
+             CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS type_avg
+      FROM events GROUP BY event_type
+    ), w AS (
+      SELECT event_type, type_n,
+             CAST(ROUND(type_avg, 6) AS DECIMAL(18,6)) AS wgt
+      FROM d
+    )
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(ROUND(e.value, 4) AS DECIMAL(18,4)) * w.wgt)
+                      AS DOUBLE), 4) AS weighted_sum
+    FROM events e JOIN w USING (event_type)
+    GROUP BY e.user_id""",
+)
+def skew_salted_join_q(spark, sf):
+    """Salted shuffle join on the maximally skewed key (event_type: 5
+    values over the whole fact table — at scale, one reducer per value).
+    The fact side salts 8 ways by event_id, the 5-row weight dim explodes
+    to 40 (key, salt) copies, and the merge-hinted equi-join on
+    (event_type, _salt) spreads each hot key over 8 reducers. The oracle is
+    the PLAIN join — salting must be invisible in the result. Weights are
+    decimal-exact (round→DECIMAL before every sum) so the per-user rollup
+    is order-free in both engines."""
+    from crawl4ai_scraper_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("type_n"),
+            (
+                F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("type_avg"),
+        )
+        .select(
+            "event_type",
+            "type_n",
+            F.round("type_avg", 6).cast("decimal(18,6)").alias("wgt"),
+        )
+    )
+    fact = ev.select("event_id", "user_id", "event_type", "value")
+    joined = salted_join(fact, dim, "event_type", F.col("event_id"), n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round("value", 4).cast("decimal(18,4)") * F.col("wgt"))
+            .cast("double"),
+            4,
+        ).alias("weighted_sum"),
+    )
+
+
+@_q(
+    "export_shard_manifest",
+    """WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             -- CAST: DuckDB windowed SUM(BIGINT) is HUGEINT (pandas float64)
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT cum_before // 2048 AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY cum_before // 2048""",
+)
+def export_shard_manifest_q(spark, sf):
+    """Token-budgeted export sharding (2048 tokens/shard): documents laid
+    end-to-end in doc_id order, a doc belongs to the shard its first token
+    lands in. The global running sum is the two-phase bucketed cumsum (no
+    whole-corpus single-partition window — the oracle's ORDER BY window is
+    the semantics, not the plan); the manifest is one bounded groupBy.
+    write_jsonl_shards materializes this layout to disk (pytest
+    round-trip)."""
+    from crawl4ai_scraper_spark.operators.export import shard_manifest, shard_plan
+
+    plan = shard_plan(_t(spark, sf, "documents"), target_tokens=2048)
+    return shard_manifest(plan).select(
+        "shard_id",
+        "n_docs",
+        F.col("shard_tokens").cast("long").alias("shard_tokens"),
+        "first_doc",
+        "last_doc",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -212,3 +212,57 @@ def recrawl_priorities(
     the round loop consumes it once per round."""
     stats = recrawl_stats(history, key, ts_col, content_col, tiebreak)
     return stats.select(F.col(key).alias("url"), F.col("changes_per_day").alias("priority"))
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Range (interval-containment) join without a nested-loop: match every
+    point row to every interval with ``start <= ts < end``.
+
+    Spark's optimizer turns a bare non-equi join condition into
+    BroadcastNestedLoopJoin (or worse, CartesianProduct) — O(points ×
+    intervals). The scalable composition materializes an EQUI key both
+    sides share: time buckets of ``bucket_seconds``. Each interval explodes
+    to the ≤ (len/bucket)+1 buckets it overlaps (bounded by the interval
+    length, NOT the data size); each point computes its single bucket as a
+    projection. The join is then a plain hash/sort-merge equi-join on
+    ``bucket`` with the range predicate as a post-filter, and every
+    qualifying (point, interval) pair is emitted exactly once — a point
+    lives in exactly one bucket, so no distinct is needed.
+
+    Pick ``bucket_seconds`` near the typical interval length: too small
+    inflates the interval explosion, too large degrades bucket selectivity.
+    Both are linear knobs; there is no quadratic regime.
+
+    Output: all columns of ``points`` + all columns of ``intervals``
+    (callers project). Epoch math is integral (unix seconds) so bucket
+    assignment is engine-exact.
+    """
+    p = points.withColumn(
+        "_bkt", (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bkts",
+        F.sequence(
+            (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long"),
+            # unix_timestamp truncates sub-second parts, so the exclusive
+            # end maps to its containing bucket unconditionally — at worst
+            # one extra bucket per interval, and the range post-filter
+            # discards any non-match; pair exactness is unaffected because
+            # a point lives in exactly one bucket.
+            (F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long"),
+        ),
+    ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
+    return (
+        p.join(i, "_bkt")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

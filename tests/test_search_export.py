@@ -1,0 +1,254 @@
+"""Functional tests for the round-3 additions: inverted-index search, the
+bucketed interval join, the salted skew join, and JSONL shard export.
+
+The DuckDB contract oracles prove value parity at sf scale; these tests pin
+the SEMANTIC edges the oracles exercise only by accident: conjunction
+exclusion, range-boundary inclusivity (incl. sub-second interval ends),
+salt invisibility under inner AND left joins, and the on-disk round trip.
+"""
+
+import datetime as dt
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_postings_tf_df_cf(spark):
+    from crawl4ai_scraper_spark.operators.search import inverted_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark window"),
+            (2, "spark merge"),
+            (3, "window   window merge"),  # multi-space: empty tokens dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.term, r.doc_id): (r.tf, r.df, r.cf)
+        for r in inverted_postings(docs).collect()
+    }
+    assert rows[("spark", 1)] == (2, 2, 3)
+    assert rows[("spark", 2)] == (1, 2, 3)
+    assert rows[("window", 3)] == (2, 2, 3)
+    assert rows[("merge", 2)] == (1, 2, 2)
+    assert ("", 3) not in rows  # blank tokens never become terms
+    # min_df prunes AFTER stats: df/cf of survivors unchanged
+    from crawl4ai_scraper_spark.operators.search import inverted_postings as ip
+
+    pruned = {r.term for r in ip(docs, min_df=2).collect()}
+    assert pruned == {"spark", "window", "merge"}
+
+
+def test_tfidf_search_is_conjunctive_and_ranked(spark):
+    from crawl4ai_scraper_spark.operators.search import tfidf_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark window"),  # both terms, high tf
+            (2, "spark window"),  # both terms, low tf
+            (3, "spark spark spark spark"),  # missing 'window' → excluded
+            (4, "window"),  # missing 'spark' → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    hits = tfidf_search(docs, ["spark", "window"], k=10).collect()
+    assert [r.doc_id for r in hits] == [1, 2]
+    assert hits[0].score > hits[1].score
+    # AND of one absent term matches nothing
+    assert tfidf_search(docs, ["spark", "absentterm"], k=10).count() == 0
+
+
+def test_tfidf_search_plan_takeordered_no_cartesian(spark):
+    from crawl4ai_scraper_spark import contract
+
+    df = contract.queries()["tfidf_conjunctive_search"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_interval_bucket_join_matches_naive_and_boundaries(spark):
+    from crawl4ai_scraper_spark.operators.temporal import interval_bucket_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start: included
+            (2, _ts("2024-01-01 00:29:59.999999")),  # last µs before end
+            (3, _ts("2024-01-01 00:30:00")),  # == end: EXCLUDED
+            (4, _ts("2024-01-01 00:59:59.500000")),  # sub-second end edge
+            (5, _ts("2024-01-01 02:00:00")),  # outside everything
+        ],
+        ["event_id", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:30:00")),
+            # end with fractional seconds, crossing a bucket boundary
+            (11, _ts("2024-01-01 00:30:00"), _ts("2024-01-01 00:59:59.600000")),
+            # overlapping interval: points may match several intervals
+            (12, _ts("2024-01-01 00:15:00"), _ts("2024-01-01 00:45:00")),
+        ],
+        ["interval_id", "t0", "t1"],
+    )
+    got = {
+        (r.interval_id, r.event_id)
+        for r in interval_bucket_join(pts, ivs, "ts", "t0", "t1", 600).collect()
+    }
+    naive = {
+        (r.interval_id, r.event_id)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("ts") >= F.col("t0")) & (F.col("ts") < F.col("t1")))
+        .collect()
+    }
+    assert got == naive
+    assert (10, 1) in got and (10, 2) in got and (10, 3) not in got
+    assert (11, 4) in got  # the sub-second-end bucket must not be dropped
+    assert (12, 2) in got and (12, 3) in got  # overlap → multiple matches
+    # exactly-once: no pair duplicated
+    assert (
+        interval_bucket_join(pts, ivs, "ts", "t0", "t1", 600).count()
+        == len(got)
+    )
+
+
+def test_interval_join_plan_is_equi_not_nested_loop(spark):
+    from crawl4ai_scraper_spark import contract
+
+    df = contract.queries()["interval_containment_join"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from crawl4ai_scraper_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), i * 1.0) for i in range(100)]
+        + [(100, "orphan", 1.0)],  # key absent from dim
+        ["id", "k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("k0", 10), ("k1", 20), ("k2", 30)], ["k", "w"]
+    )
+    plain = {
+        (r.id, r.w)
+        for r in fact.join(dim, "k").select("id", "w").collect()
+    }
+    salted = {
+        (r.id, r.w)
+        for r in salted_join(fact, dim, "k", F.col("id"), n_salts=4)
+        .select("id", "w")
+        .collect()
+    }
+    assert salted == plain
+    # left join keeps unmatched fact rows exactly once
+    left = salted_join(fact, dim, "k", F.col("id"), n_salts=4, how="left")
+    assert left.count() == 101
+    assert left.filter(F.col("w").isNull()).count() == 1
+
+
+def test_salted_join_plan_is_shuffle_join_on_salt(spark):
+    from crawl4ai_scraper_spark import contract
+
+    df = contract.queries()["skew_salted_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "_salt" in plan  # the salt is a physical join key
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# export shards
+# ---------------------------------------------------------------------------
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_path):
+    from crawl4ai_scraper_spark.operators.export import write_jsonl_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "export")
+    manifest = write_jsonl_shards(docs, out, target_tokens=512)
+    man = {r.shard_id: r for r in manifest.collect()}
+
+    back = spark.read.json(out)  # _manifest/ ignored (underscore dir)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    # per-shard token sums on disk match the manifest exactly
+    disk = {
+        r.shard_id: (r.n, r.tok)
+        for r in back.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert set(disk) == set(man)
+    for sid, (n, tok) in disk.items():
+        assert (man[sid].n_docs, man[sid].shard_tokens) == (n, tok)
+    # layout is deterministic: docs appear in id order across shard ids
+    ordered = sorted(man.values(), key=lambda r: r.shard_id)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.last_doc < b.first_doc
+    # every shard except the last reached its budget minus one doc
+    for r in ordered[:-1]:
+        assert r.shard_tokens >= 512 - 200  # corpus max doc ≪ 200 tokens
+    # the manifest on disk parses as JSONL
+    mdir = tmp_path / "export" / "_manifest"
+    lines = []
+    for p in mdir.glob("part-*"):
+        lines += [json.loads(x) for x in p.read_text().splitlines() if x]
+    assert {l["shard_id"] for l in lines} == set(man)
+
+
+def test_shard_plan_matches_sequence_pack_math(spark):
+    from crawl4ai_scraper_spark.operators.export import (
+        shard_plan,
+        whitespace_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (5 + i))) for i in range(20)]
+        + [Row(doc_id=99, text="   ")],  # blank → 0 tokens, shifts nothing
+    )
+    plan = {r.doc_id: r for r in shard_plan(docs, 32).collect()}
+    cum = 0
+    for i in range(20):
+        assert plan[i].cum_before == cum
+        assert plan[i].shard_id == cum // 32
+        assert plan[i].offset_in_shard == cum % 32
+        cum += 5 + i
+    assert plan[99].n_tokens == 0 and plan[99].cum_before == cum
+    # convention check: blank text counts zero
+    got = docs.select(
+        whitespace_token_count(F.col("text")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert got == cum
