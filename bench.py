@@ -182,6 +182,8 @@ QUERY_NAMES = [
     "interval_containment_join",
     "skew_salted_join",
     "export_shard_manifest",
+    "phrase_search_positions",
+    "kwic_snippets",
 ]
 
 

@@ -5258,6 +5258,59 @@ def export_shard_manifest_q(spark, sf):
     )
 
 
+@_q(
+    "phrase_search_positions",
+    """WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, UNNEST(w) AS term, UNNEST(range(1, len(w)+1)) AS pos
+      FROM w
+    ),
+    p1 AS (SELECT doc_id, pos FROM t WHERE term = 'hash'),
+    p2 AS (SELECT doc_id, pos FROM t WHERE term = 'value')
+    SELECT p1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    GROUP BY p1.doc_id""",
+)
+def phrase_search_positions_q(spark, sf):
+    """Exact phrase retrieval ('hash value' as adjacent tokens) over the
+    positional index: the token stream is filtered to the two literal terms
+    before anything shuffles, and adjacency is an EQUI-join on
+    (doc_id, pos+1) — Catalyst hash-joins the arithmetic equality, so the
+    join touches only the two terms' occurrence lists. tf-only postings
+    prove co-occurrence; positions prove order."""
+    from crawl4ai_scraper_spark.operators.search import phrase_search
+
+    return phrase_search(_t(spark, sf, "documents"), "hash", "value")
+
+
+@_q(
+    "kwic_snippets",
+    """WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, list_position(w, 'spark') AS first_pos
+      FROM w WHERE list_position(w, 'spark') > 0
+    )
+    SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+           array_to_string(
+             w[GREATEST(1, first_pos - 3):LEAST(len(w), first_pos + 3)],
+             ' ') AS snippet
+    FROM f""",
+)
+def kwic_snippets_q(spark, sf):
+    """Keyword-in-context search-result rendering: the ±3-token snippet
+    around the first occurrence of 'spark' in every matching document.
+    Zero shuffles — array_position/slice/array_join are a pure projection,
+    the whole operator runs at scan speed (FileScan → Filter → Project;
+    plan-gated). DuckDB twin: list_position + inclusive list slicing."""
+    from crawl4ai_scraper_spark.operators.search import kwic_snippets
+
+    return kwic_snippets(_t(spark, sf, "documents"), "spark", window=3)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -120,3 +120,90 @@ def tfidf_search(
         .drop("_nt")
     )
     return hits.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def positional_postings(
+    docs: DataFrame,
+    terms: Sequence[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional index rows ``(doc_id, term, pos)`` (1-based token
+    positions). Pass ``terms`` to filter the token stream to the query's
+    literals BEFORE anything shuffles — for phrase queries that makes every
+    downstream stage O(query-term occurrences), never O(corpus)."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    if terms is not None:
+        t = t.filter(F.col("term").isin([x.lower() for x in terms]))
+    else:
+        t = t.filter(F.col("term") != "")
+    return t
+
+
+def phrase_search(
+    docs: DataFrame,
+    first: str,
+    second: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact bigram-phrase retrieval: documents where ``first`` is
+    IMMEDIATELY followed by ``second``, with occurrence counts.
+
+    The tf-only inverted index can't answer this (it proves co-occurrence,
+    not adjacency); the positional index can: filter positions to the two
+    literals, then an EQUI-join on (doc_id, pos+1 == pos₂) — Catalyst plans
+    the arithmetic equality as a hash-join key, so adjacency costs one join
+    over the two terms' occurrence lists only. The scan-speed alternative
+    (zip_with over consecutive token pairs, zero shuffle) wins for ONE
+    ad-hoc phrase; the positional index wins when many phrases probe the
+    same corpus. Output: (doc_id, n_occurrences)."""
+    t = positional_postings(docs, [first, second], id_col, text_col)
+    p1 = t.filter(F.col("term") == first.lower()).select("doc_id", "pos")
+    p2 = t.filter(F.col("term") == second.lower()).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(
+            p2,
+            (p1["doc_id"] == p2["doc_id2"]) & (p2["pos2"] == p1["pos"] + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    term: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context result rendering: for every document containing
+    ``term``, the ±``window``-token snippet around its FIRST occurrence.
+
+    Pure column math — array_position / slice / array_join over the token
+    array, no explode, no shuffle at all: the whole operator is a
+    projection + filter at scan speed (the plan is FileScan → Filter →
+    Project). Output: (doc_id, first_pos, snippet)."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("w")
+    )
+    fp = F.array_position("w", term.lower())
+    start = F.greatest(F.lit(1), F.col("first_pos") - window)
+    end = F.least(F.size("w"), F.col("first_pos") + window)
+    return (
+        w.withColumn("first_pos", fp)
+        .filter(F.col("first_pos") > 0)
+        .select(
+            "doc_id",
+            "first_pos",
+            F.array_join(
+                F.slice("w", start, end - start + 1), " "
+            ).alias("snippet"),
+        )
+    )

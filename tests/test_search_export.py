@@ -252,3 +252,55 @@ def test_shard_plan_matches_sequence_pack_math(spark):
         whitespace_token_count(F.col("text")).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert got == cum
+
+
+# ---------------------------------------------------------------------------
+# phrase search / KWIC
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_requires_adjacency_in_order(spark):
+    from crawl4ai_scraper_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),  # 'big data' twice
+            (2, "data big"),  # reversed → no match
+            (3, "big x data"),  # co-occurring, not adjacent → no match
+            (4, "Big Data"),  # case-folded → match
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_occurrences for r in phrase_search(docs, "big", "data").collect()}
+    assert got == {1: 2, 4: 1}
+
+
+def test_kwic_snippets_window_and_edges(spark):
+    from crawl4ai_scraper_spark.operators.search import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c hit d e f g"),  # interior: full ±2 window
+            (2, "hit x y"),  # at start: window clamps left
+            (3, "x y hit"),  # at end: clamps right
+            (4, "no match here"),  # absent → filtered out
+            (5, "pre hit mid hit post"),  # FIRST occurrence only
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.first_pos, r.snippet) for r in kwic_snippets(docs, "hit", 2).collect()}
+    assert got == {
+        1: (4, "b c hit d e"),
+        2: (1, "hit x y"),
+        3: (3, "x y hit"),
+        5: (2, "pre hit mid hit"),
+    }
+
+
+def test_kwic_plan_is_scan_speed_zero_exchange(spark):
+    from crawl4ai_scraper_spark import contract
+
+    df = contract.queries()["kwic_snippets"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Generate" not in plan  # no explode — pure array projection
