@@ -184,6 +184,8 @@ QUERY_NAMES = [
     "export_shard_manifest",
     "phrase_search_positions",
     "kwic_snippets",
+    "event_funnel_counts",
+    "cohort_retention_daily",
 ]
 
 

@@ -5311,6 +5311,63 @@ def kwic_snippets_q(spark, sf):
     return kwic_snippets(_t(spark, sf, "documents"), "spark", window=3)
 
 
+@_q(
+    "event_funnel_counts",
+    """WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL SELECT CAST(2 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT)
+    FROM s3""",
+)
+def event_funnel_counts_q(spark, sf):
+    """Strict-ordering funnel view → click → purchase: stage i+1 is the
+    user's earliest matching event STRICTLY AFTER stage i. k chained
+    (user-keyed equi-join + min-aggregate) rounds — the per-user ordered
+    scan a single-partition sort would need is never materialized, the
+    surviving-user frame shrinks every round, and every stage reuses the
+    user_id partitioning."""
+    from crawl4ai_scraper_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_q(
+    "cohort_retention_daily",
+    """WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2""",
+)
+def cohort_retention_daily_q(spark, sf):
+    """Day-grain cohort retention matrix: users bucketed by first-activity
+    day, counted on each later active day. Two user-keyed aggregates + one
+    co-partitioned join; day offsets are integral; cohort_day ships as an
+    ISO string so the comparison never depends on date dtype plumbing."""
+    from crawl4ai_scraper_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -304,3 +304,75 @@ def test_kwic_plan_is_scan_speed_zero_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1200]
     assert "Generate" not in plan  # no explode — pure array projection
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    from crawl4ai_scraper_spark.operators.funnel import funnel, funnel_counts
+
+    T = _ts
+    ev = spark.createDataFrame(
+        [
+            # u1: full funnel in order
+            (1, "view", T("2024-01-01 10:00:00")),
+            (1, "click", T("2024-01-01 11:00:00")),
+            (1, "purchase", T("2024-01-01 12:00:00")),
+            # u2: purchase BEFORE click → stops at click
+            (2, "view", T("2024-01-01 10:00:00")),
+            (2, "purchase", T("2024-01-01 10:30:00")),
+            (2, "click", T("2024-01-01 11:00:00")),
+            # u3: click only, never viewed → not in funnel at all
+            (3, "click", T("2024-01-01 10:00:00")),
+            # u4: click SIMULTANEOUS with view → strict > excludes it
+            (4, "view", T("2024-01-01 10:00:00")),
+            (4, "click", T("2024-01-01 10:00:00")),
+            # u5: earliest view is AFTER its only click; later click counts
+            (5, "click", T("2024-01-01 09:00:00")),
+            (5, "view", T("2024-01-01 10:00:00")),
+            (5, "click", T("2024-01-01 10:30:00")),
+        ],
+        ["user_id", "event_type", "ts"],
+    )
+    steps = ["view", "click", "purchase"]
+    per_user = {r.user_id: r for r in funnel(ev, steps).collect()}
+    assert set(per_user) == {1, 2, 4, 5}
+    assert per_user[1].t3 is not None
+    assert per_user[2].t2 is not None and per_user[2].t3 is None
+    assert per_user[4].t2 is None  # simultaneous ≠ after
+    assert per_user[5].t2 == T("2024-01-01 10:30:00")  # first click AFTER view
+    counts = {r.stage_idx: r.n_users for r in funnel_counts(ev, steps).collect()}
+    assert counts == {1: 4, 2: 3, 3: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from crawl4ai_scraper_spark.operators.funnel import cohort_retention
+
+    T = _ts
+    ev = spark.createDataFrame(
+        [
+            # u1 first seen Jan 1, returns Jan 1 (twice: distinct) and Jan 3
+            (1, "view", T("2024-01-01 10:00:00")),
+            (1, "view", T("2024-01-01 23:00:00")),
+            (1, "view", T("2024-01-03 10:00:00")),
+            # u2 first seen Jan 1 only
+            (2, "view", T("2024-01-01 08:00:00")),
+            # u3 first seen Jan 2, returns Jan 3
+            (3, "view", T("2024-01-02 08:00:00")),
+            (3, "view", T("2024-01-03 08:00:00")),
+        ],
+        ["user_id", "event_type", "ts"],
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1, u2 on their first day
+        ("2024-01-01", 2): 1,  # u1 back on Jan 3
+        ("2024-01-02", 0): 1,  # u3 cohort
+        ("2024-01-02", 1): 1,  # u3 back on Jan 3
+    }
