@@ -186,6 +186,8 @@ QUERY_NAMES = [
     "kwic_snippets",
     "event_funnel_counts",
     "cohort_retention_daily",
+    "event_transition_matrix",
+    "daily_volume_zscores",
 ]
 
 

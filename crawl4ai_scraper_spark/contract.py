@@ -5368,6 +5368,66 @@ def cohort_retention_daily_q(spark, sf):
     return cohort_retention(_t(spark, sf, "events"))
 
 
+@_q(
+    "event_transition_matrix",
+    """WITH s AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+)
+def event_transition_matrix_q(spark, sf):
+    """First-order Markov transition counts between consecutive same-user
+    events: lead() inside a user-partitioned window (each partition is one
+    user's bounded list, never the corpus), event_id tiebreak so the
+    sequence is deterministic in both engines, then one bounded
+    (from, to)-keyed groupBy."""
+    from crawl4ai_scraper_spark.operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
+@_q(
+    "daily_volume_zscores",
+    """WITH daily AS (
+      SELECT event_type AS etype,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM daily GROUP BY etype
+    )
+    SELECT d.etype AS event_type, d.day, d.n,
+           ROUND(CAST(sum_n AS DOUBLE) / n_days, 6) AS mean_daily,
+           CASE WHEN n_days > 1
+                 AND (CAST(sum_sq AS DOUBLE)
+                      - CAST(sum_n AS DOUBLE) * sum_n / n_days)
+                     / (n_days - 1) > 0
+                THEN ROUND((d.n - CAST(sum_n AS DOUBLE) / n_days)
+                     / sqrt((CAST(sum_sq AS DOUBLE)
+                             - CAST(sum_n AS DOUBLE) * sum_n / n_days)
+                            / (n_days - 1)), 6)
+                END AS zscore
+    FROM daily d JOIN stats USING (etype)""",
+)
+def daily_volume_zscores_q(spark, sf):
+    """Ingest-volume anomaly screen: per-(type, day) count z-scored against
+    the type's daily history. Every moment comes from EXACT integer sums
+    (Σx, Σx² as BIGINT; variance in one fixed double expression), so the
+    result is order-free and cross-engine exact — never the STDDEV
+    aggregate, whose floating accumulation order differs per engine. Two
+    bounded groupBys + a broadcast stats join."""
+    from crawl4ai_scraper_spark.operators.funnel import daily_volume_zscores
+
+    return daily_volume_zscores(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -113,3 +113,74 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive events of
+    the same user: (from_type, to_type, n_transitions).
+
+    The per-user ordering runs inside a window PARTITIONED BY user — each
+    partition is one user's bounded event list, never the corpus (the
+    pathological all-events-one-user corpus needs the bucketed two-phase
+    rank instead; web/event data keys on millions of users). ``id_col``
+    breaks timestamp ties so the sequence — and therefore the counts — is
+    deterministic in both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def daily_volume_zscores(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Volume-anomaly screen: z-score of each (event_type, day) count
+    against that type's daily history — the monitoring query a production
+    ingest runs to catch a dead source or a crawler trap flooding one
+    event class.
+
+    All moments come from EXACT integer sums (daily counts are integers:
+    Σx and Σx² are BIGINTs; variance = (Σx² − (Σx)²/n)/(n−1) evaluated in
+    one fixed double expression), so the result is order-free and
+    cross-engine exact — no STDDEV aggregate, whose floating accumulation
+    order differs per engine. Two bounded groupBys (days × types, then
+    types); the per-type stats frame broadcasts back onto the daily rows."""
+    daily = events.groupBy(
+        F.col(type_col).alias("etype"),
+        F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    joined = daily.join(F.broadcast(stats), "etype")
+    mean = F.col("sum_n").cast("double") / F.col("n_days")
+    var = (
+        F.col("sum_sq").cast("double")
+        - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    return joined.select(
+        F.col("etype").alias("event_type"),
+        "day",
+        "n",
+        F.round(mean, 6).alias("mean_daily"),
+        F.when(
+            (F.col("n_days") > 1) & (var > 0),
+            F.round((F.col("n") - mean) / F.sqrt(var), 6),
+        ).alias("zscore"),
+    )

@@ -376,3 +376,53 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-02", 0): 1,  # u3 cohort
         ("2024-01-02", 1): 1,  # u3 back on Jan 3
     }
+
+
+def test_event_transitions_ordering_and_ties(spark):
+    from crawl4ai_scraper_spark.operators.funnel import event_transitions
+
+    T = _ts
+    ev = spark.createDataFrame(
+        [
+            # u1: a→b→a; tie at 11:00 broken by event_id (2 before 3)
+            (1, 1, "a", T("2024-01-01 10:00:00")),
+            (2, 1, "b", T("2024-01-01 11:00:00")),
+            (3, 1, "a", T("2024-01-01 11:00:00")),
+            # u2: single event → no transitions
+            (4, 2, "a", T("2024-01-01 10:00:00")),
+            # u3: b→b self-transition
+            (5, 3, "b", T("2024-01-01 10:00:00")),
+            (6, 3, "b", T("2024-01-01 10:30:00")),
+        ],
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_daily_zscores_exact_moments(spark):
+    import math
+
+    from crawl4ai_scraper_spark.operators.funnel import daily_volume_zscores
+
+    T = _ts
+    # type 'x': daily counts 1, 2, 3 → mean 2, var 1, zscores -1, 0, 1
+    rows, eid = [], 0
+    for day, k in [("01", 1), ("02", 2), ("03", 3)]:
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, 1, "x", T(f"2024-01-{day} 10:00:00")))
+    # type 'y': one day only → zscore NULL (no variance)
+    rows.append((99, 1, "y", T("2024-01-01 10:00:00")))
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    got = {
+        (r.event_type, r.day): (r.n, r.mean_daily, r.zscore)
+        for r in daily_volume_zscores(ev).collect()
+    }
+    assert got[("x", "2024-01-01")] == (1, 2.0, -1.0)
+    assert got[("x", "2024-01-02")] == (2, 2.0, 0.0)
+    assert got[("x", "2024-01-03")] == (3, 2.0, 1.0)
+    assert got[("y", "2024-01-01")][2] is None
