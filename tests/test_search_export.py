@@ -426,3 +426,22 @@ def test_daily_zscores_exact_moments(spark):
     assert got[("x", "2024-01-02")] == (2, 2.0, 0.0)
     assert got[("x", "2024-01-03")] == (3, 2.0, 1.0)
     assert got[("y", "2024-01-01")][2] is None
+
+
+def test_search_cli_smoke():
+    """The user-facing search tool: real subprocess, JSONL contract."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "search_corpus.py"),
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--phrase", "hash value", "--k", "3", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    hits = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert 1 <= len(hits) <= 3
+    assert all(set(h) == {"doc_id", "n_occurrences"} for h in hits)
