@@ -188,6 +188,7 @@ QUERY_NAMES = [
     "cohort_retention_daily",
     "event_transition_matrix",
     "daily_volume_zscores",
+    "graph_triangle_counts",
 ]
 
 

@@ -5428,6 +5428,57 @@ def daily_volume_zscores_q(spark, sf):
     return daily_volume_zscores(_t(spark, sf, "events"))
 
 
+@_q(
+    "graph_triangle_counts",
+    """WITH e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id < 239
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents
+      WHERE doc_id < 238 AND doc_id % 2 = 0
+      UNION ALL
+      SELECT 0, doc_id FROM documents
+      WHERE doc_id % 10 = 0 AND doc_id > 0 AND doc_id < 240
+    ), und AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1 JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT t.id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tri, UNNEST([tri.a, tri.b, tri.c]) AS t(id)
+    GROUP BY t.id""",
+)
+def graph_triangle_counts_q(spark, sf):
+    """Per-vertex triangle participation over a deterministic ring+chord
+    graph with a high-degree hub (vertex 0 links every 10th node — degree
+    skew with NO triangles of its own, exactly the regime the
+    degree-ordered orientation exists for). The operator orients each edge
+    low→high (degree, id) so wedge enumeration at any vertex is O(√m)
+    regardless of hubs, counts each triangle once at its lowest-ranked
+    corner via a closing-edge equi-join, and credits all three corners.
+    The oracle counts the same triangles by canonical (u<v<w) joins."""
+    from crawl4ai_scraper_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    e0 = (
+        docs.filter(F.col("doc_id") < 239)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .unionAll(
+            docs.filter((F.col("doc_id") < 238) & (F.col("doc_id") % 2 == 0))
+            .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst"))
+        )
+        .unionAll(
+            docs.filter(
+                (F.col("doc_id") % 10 == 0)
+                & (F.col("doc_id") > 0)
+                & (F.col("doc_id") < 240)
+            ).select(F.lit(0).cast("long").alias("src"), F.col("doc_id").alias("dst"))
+        )
+    )
+    return triangle_counts(e0)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -224,3 +224,61 @@ def hits(
         .select("id", F.col("hub").cast("double").alias("hub"),
                 F.col("auth").cast("double").alias("auth"))
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation over an undirected graph:
+    (id, n_triangles) — each triangle credits all three corners once.
+
+    The scale problem is wedge explosion: enumerating neighbor PAIRS at a
+    hot vertex is O(deg²) — a 10⁶-degree hub yields 10¹² wedges. The
+    classical fix (node-iterator++ / Schank-Wagner): orient every edge from
+    the endpoint with the LOWER (degree, id) to the higher, which turns the
+    graph into a DAG where every out-neighborhood is O(√m) on ANY degree
+    distribution — hubs receive edges instead of fanning out, so the
+    self-join on the wedge apex is bounded. Each triangle is then counted
+    exactly once (at its lowest-ranked corner) by probing the oriented edge
+    set for the wedge's closing edge — an equi-join, no distinct needed.
+
+    Plan: degree groupBy → broadcast onto the canonical edge list → orient
+    → self-join on apex → closing-edge equi-join → explode the 3 corners →
+    bounded groupBy. Dedup of the input (both directions, repeats) is one
+    canonical (least, greatest) distinct."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total-order rank: degree first, id tiebreak (ids must fit 10^12)
+    rk = F.col("deg").cast("long") * F.lit(1_000_000_000_000) + F.col("id")
+    ranked = deg.select("id", rk.alias("rk"))
+    e = (
+        und.join(ranked.withColumnsRenamed({"id": "u", "rk": "rku"}), "u")
+        .join(ranked.withColumnsRenamed({"id": "v", "rk": "rkv"}), "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("rkv")).otherwise(F.col("rku")).alias("rkb"),
+        )
+    )
+    w1 = e.select(F.col("a").alias("apex"), F.col("b").alias("x"), F.col("rkb").alias("rkx"))
+    w2 = e.select(F.col("a").alias("apex"), F.col("b").alias("y"), F.col("rkb").alias("rky"))
+    wedges = w1.join(w2, "apex").filter(F.col("rkx") < F.col("rky")).select("apex", "x", "y")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    return (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

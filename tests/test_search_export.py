@@ -445,3 +445,48 @@ def test_search_cli_smoke():
     hits = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
     assert 1 <= len(hits) <= 3
     assert all(set(h) == {"doc_id", "n_occurrences"} for h in hits)
+
+
+def test_triangle_counts_k5_and_input_hygiene(spark):
+    from itertools import combinations
+
+    from crawl4ai_scraper_spark.operators.graph import triangle_counts
+
+    # K5: every vertex sits in C(4,2) = 6 triangles. Feed the operator
+    # dirty input: both directions, duplicates, and a self-loop.
+    edges = [(a, b) for a, b in combinations(range(5), 2)]
+    dirty = edges + [(b, a) for a, b in edges] + edges[:3] + [(2, 2)]
+    df = spark.createDataFrame(dirty, ["src", "dst"])
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {i: 6 for i in range(5)}
+    # a pendant edge joins no triangle and yields no row
+    df2 = spark.createDataFrame(edges + [(4, 99)], ["src", "dst"])
+    got2 = {r.id: r.n_triangles for r in triangle_counts(df2).collect()}
+    assert 99 not in got2 and got2[4] == 6
+
+
+def test_triangle_counts_matches_bruteforce_on_hub_graph(spark):
+    from crawl4ai_scraper_spark.operators.graph import triangle_counts
+
+    # ring + chords + hub (the contract topology, smaller): brute force in
+    # python over the same edge set
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(i, i + 2) for i in range(0, 39, 2)]
+        + [(0, j) for j in range(10, 41, 10)]
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in [x for x in adj[a] if x > a]:
+            for c in [x for x in adj[a] if x > b]:
+                if c in adj[b]:
+                    for v in (a, b, c):
+                        expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expect
