@@ -189,6 +189,7 @@ QUERY_NAMES = [
     "event_transition_matrix",
     "daily_volume_zscores",
     "graph_triangle_counts",
+    "session_top_paths",
 ]
 
 

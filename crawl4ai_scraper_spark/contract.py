@@ -5479,6 +5479,44 @@ def graph_triangle_counts_q(spark, sf):
     return triangle_counts(e0)
 
 
+@_q(
+    "session_top_paths",
+    """WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events)
+    ), p AS (
+      SELECT user_id, sid,
+             array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS path
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20""",
+)
+def session_top_paths_q(spark, sf):
+    """Top user journeys: the 20 most common ordered event-type paths over
+    30-minute-gap sessions (the sessionize_events boundaries). In-session
+    order is deterministic in BOTH engines — Spark sorts the collected
+    (ts, id, type) structs (collect_list alone guarantees nothing), DuckDB
+    uses list(... ORDER BY ts, event_id); count-DESC + path tiebreak; the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from crawl4ai_scraper_spark.operators.funnel import top_session_paths
+
+    return top_session_paths(_t(spark, sf, "events"), k=20)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -184,3 +184,60 @@ def daily_volume_zscores(
             F.round((F.col("n") - mean) / F.sqrt(var), 6),
         ).alias("zscore"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-journeys input: one row per gap-based session with its ordered
+    event-type path ('view>click>purchase'). Session boundaries are the
+    repo-wide 30-minute-gap convention (sessionize_events); the in-session
+    ordering is made deterministic by sorting collected (ts, id, type)
+    structs — collect_list alone has no order guarantee across retries or
+    engines. Per-session lists are bounded; nothing corpus-sized sorts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    lag_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        lag_ts.isNull()
+        | (F.col(ts_col) - lag_ts > F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = events.withColumn("_sid", F.sum(is_new).over(run))
+    return sess.groupBy(user_col, "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(ts_col, id_col, type_col))
+                ),
+                lambda s: s[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+
+
+def top_session_paths(
+    events: DataFrame,
+    k: int = 20,
+    gap_minutes: int = 30,
+    **kw,
+) -> DataFrame:
+    """The 'top user journeys' report: (path, n_sessions), most common
+    first, full deterministic tiebreak (count DESC, path ASC), top-k as
+    TakeOrderedAndProject. Path cardinality is bounded by observed journey
+    diversity — the groupBy key space, not the event volume."""
+    paths = session_paths(events, gap_minutes=gap_minutes, **kw)
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )

@@ -490,3 +490,32 @@ def test_triangle_counts_matches_bruteforce_on_hub_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_session_paths_ordering_and_gap_split(spark):
+    from crawl4ai_scraper_spark.operators.funnel import (
+        session_paths,
+        top_session_paths,
+    )
+
+    T = _ts
+    ev = spark.createDataFrame(
+        [
+            # u1 session 1: a>b (tie at 10:05 broken by event_id: b then c?
+            # no — b(id=2) before c(id=3))
+            (1, 1, "a", T("2024-01-01 10:00:00")),
+            (2, 1, "b", T("2024-01-01 10:05:00")),
+            (3, 1, "c", T("2024-01-01 10:05:00")),
+            # >30 min gap → u1 session 2: a>b again
+            (4, 1, "a", T("2024-01-01 12:00:00")),
+            (5, 1, "b", T("2024-01-01 12:10:00")),
+            # u2: single-event session
+            (6, 2, "a", T("2024-01-01 10:00:00")),
+        ],
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+    got = sorted(r.path for r in session_paths(ev).collect())
+    assert got == ["a", "a>b", "a>b>c"]
+    top = [(r.path, r.n_sessions) for r in top_session_paths(ev, k=10).collect()]
+    # counts all 1 → alphabetical tiebreak
+    assert top == [("a", 1), ("a>b", 1), ("a>b>c", 1)]
