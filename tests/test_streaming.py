@@ -330,3 +330,56 @@ def test_distinct_estimate_stream_matches_batch_hll(spark):
     assert streamed.estimate == batch.estimate
     assert streamed.n_zero_buckets == batch.n_zero_buckets
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_transitions_stream_matches_batch_across_drains(spark):
+    """Streaming transition extraction reproduces the batch lead()-window
+    matrix exactly over two checkpointed drains — including the pairs that
+    STRADDLE the drain boundary (carried by per-user single-row state)."""
+    from crawl4ai_scraper_spark.operators.funnel import event_transitions
+    from crawl4ai_scraper_spark.streaming import transitions_stream
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    ev_dir, out_dir, chk = str(TMP / "ev"), str(TMP / "trans"), str(TMP / "chk_tr")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    early = events.filter(F.col("ts") <= F.lit(cut))
+    late = events.filter(F.col("ts") > F.lit(cut))
+    assert early.count() > 0 and late.count() > 0
+    early.coalesce(1).write.parquet(ev_dir)
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(ev_dir)
+        q = (
+            transitions_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out_dir).count()
+    late.coalesce(1).write.mode("append").parquet(ev_dir)
+    drain()
+
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(events).collect()
+    }
+    assert got == want
+    # the second drain really contributed (boundary pairs included)
+    assert sum(got.values()) > n1
+    shutil.rmtree(TMP, ignore_errors=True)
