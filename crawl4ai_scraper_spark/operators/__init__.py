@@ -7,8 +7,12 @@ analysis (language-ID, quality scoring, token counting, fingerprinting,
 Gopher-style repetition signals and quality filtering, top-n-gram statistics,
 PII redaction, deterministic hash sampling, naive-Bayes model-based quality
 classification), BPE tokenizer training + segmentation, cross-corpus exact
-dedup, temporal ops (as-of join, keep-latest revision dedup) and multimodal
-binary-column plumbing.
+dedup, temporal ops (as-of join, keep-latest revision dedup, bucketed
+interval/range join), multimodal binary-column plumbing, full-text search
+(inverted + positional index, conjunctive tf-idf, phrase, KWIC), skew-salted
+joins, token-budgeted JSONL shard export, ordered-sequence event analytics
+(funnels, cohorts, transition matrices, session paths, volume z-scores) and
+degree-ordered triangle counting.
 
 Everything is built from native ``pyspark.sql.functions`` (JVM-side,
 whole-stage-codegen-friendly) except where binary decoding genuinely needs

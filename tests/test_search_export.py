@@ -519,3 +519,46 @@ def test_session_paths_ordering_and_gap_split(spark):
     top = [(r.path, r.n_sessions) for r in top_session_paths(ev, k=10).collect()]
     # counts all 1 → alphabetical tiebreak
     assert top == [("a", 1), ("a>b", 1), ("a>b>c", 1)]
+
+
+# ---------------------------------------------------------------------------
+# consolidated plan gates for the session-3 operators
+# ---------------------------------------------------------------------------
+
+
+def test_round3_session3_plan_shapes(spark):
+    """One sweep over the new contract queries' physical plans: the shapes
+    the docstrings promise are the shapes Catalyst actually picks."""
+    from crawl4ai_scraper_spark import contract
+
+    sf = "/root/testdata/sf0.001"
+    qs = contract.queries()
+
+    def plan(name):
+        return qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    for name in [
+        "event_funnel_counts", "cohort_retention_daily",
+        "event_transition_matrix", "daily_volume_zscores",
+        "graph_triangle_counts", "session_top_paths",
+        "inverted_index_postings", "export_shard_manifest",
+    ]:
+        assert "CartesianProduct" not in plan(name), name
+
+    # funnel: chained joins + aggregates, never a per-user ordered window
+    p = plan("event_funnel_counts")
+    assert "Window" not in p
+    # cohort: two aggregates + join, no window either
+    assert "Window" not in plan("cohort_retention_daily")
+    # z-scores: the per-type stats frame comes back as a broadcast join
+    p = plan("daily_volume_zscores")
+    assert "BroadcastHashJoin" in p and "Window" not in p
+    # transitions: the ONLY window partitions by user (bounded lists)
+    p = plan("event_transition_matrix")
+    assert "Window" in p and "partitionBy" not in p  # sanity: physical node
+    # triangles: equi-joins only
+    p = plan("graph_triangle_counts")
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p)
+    assert "BroadcastNestedLoopJoin" not in p
+    # journeys: top-k is TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan("session_top_paths")
