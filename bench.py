@@ -190,6 +190,7 @@ QUERY_NAMES = [
     "daily_volume_zscores",
     "graph_triangle_counts",
     "session_top_paths",
+    "feature_hash_vectors",
 ]
 
 

@@ -5517,6 +5517,37 @@ def session_top_paths_q(spark, sf):
     return top_session_paths(_t(spark, sf, "events"), k=20)
 
 
+@_q(
+    "feature_hash_vectors",
+    """WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('fh1:' || term), 1, 12) AS BIGINT) AS h
+      FROM toks WHERE term <> ''
+    ), s AS (
+      SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+             CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h
+    )
+    SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS value
+    FROM s GROUP BY doc_id, dim HAVING SUM(sign) <> 0""",
+)
+def feature_hash_vectors_q(spark, sf):
+    """Hashing-trick document vectors (Weinberger/VW/fastText buckets):
+    token → dimension h%64 with a ±1 sign from an independent digest bit,
+    vector = signed count per dim. Collisions cancel in expectation — a
+    64-dim table stands in for an unbounded vocabulary. One token-volume
+    groupBy with map-side combine, exact integers, no model artifact, no
+    Python; the JVM-side bridge from raw text into the ANN/LSH/semantic-
+    dedup toolchain. Oracle via the shared 48-bit md5 digest idiom."""
+    from crawl4ai_scraper_spark.operators.search import feature_hash_vectors
+
+    return feature_hash_vectors(_t(spark, sf, "documents"), dim=64, salt="fh1")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

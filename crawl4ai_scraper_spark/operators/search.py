@@ -207,3 +207,46 @@ def kwic_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    salt: str = "fh1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. / Vowpal Wabbit /
+    fastText bucket embeddings): every token hashes to a dimension
+    ``h mod dim`` with a signed contribution ``±1`` drawn from an
+    independent bit of the same digest, and the doc's vector is the signed
+    count per dimension. The sign bit makes collisions cancel in
+    expectation — the property that lets a 64-dim table stand in for an
+    unbounded vocabulary with bounded distortion.
+
+    This is the JVM-side bridge from raw text into the embedding toolchain
+    (ANN cells, LSH buckets, semantic dedup) with NO model artifact and no
+    Python: one token-volume groupBy on (doc, dim) with map-side combine,
+    exact integer values — deterministic, oracle-replicable via the shared
+    48-bit md5 digest. Output: sparse rows (doc_id, dim, value), zero
+    dimensions omitted (sparse by construction)."""
+    from crawl4ai_scraper_spark.operators.sketches import digest48
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    hashed = toks.select("doc_id", digest48(F.col("term"), salt).alias("h"))
+    return (
+        hashed.select(
+            "doc_id",
+            (F.col("h") % dim).cast("int").alias("dim"),
+            # integer DIV keeps the sign bit exact (no double division)
+            F.when(F.expr(f"(h DIV {dim}) % 2") == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("value"))
+        .filter(F.col("value") != 0)
+    )

@@ -562,3 +562,32 @@ def test_round3_session3_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     # journeys: top-k is TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in plan("session_top_paths")
+
+
+def test_feature_hash_vectors_properties(spark):
+    from crawl4ai_scraper_spark.operators.search import feature_hash_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "alpha"),
+            (3, "beta beta"),
+            (4, "   "),  # blank doc → no rows
+        ],
+        ["doc_id", "text"],
+    )
+    vecs = feature_hash_vectors(docs, dim=16).collect()
+    by_doc = {}
+    for r in vecs:
+        by_doc.setdefault(r.doc_id, {})[r.dim] = r.value
+        assert 0 <= r.dim < 16 and r.value != 0
+    assert 4 not in by_doc
+    # determinism + linearity: doc1 = 2*('alpha' vec) + 1*('beta' vec)
+    a = by_doc[2]  # alpha × 1
+    b = {d: v // 2 for d, v in by_doc[3].items()}  # beta × 2 → unit beta
+    expect = {}
+    for d, v in a.items():
+        expect[d] = expect.get(d, 0) + 2 * v
+    for d, v in b.items():
+        expect[d] = expect.get(d, 0) + v
+    assert by_doc[1] == {d: v for d, v in expect.items() if v != 0}
