@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "graph_triangle_counts",
     "session_top_paths",
     "feature_hash_vectors",
+    "pmi_collocations",
 ]
 
 

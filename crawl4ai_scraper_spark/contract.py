@@ -5548,6 +5548,43 @@ def feature_hash_vectors_q(spark, sf):
     return feature_hash_vectors(_t(spark, sf, "documents"), dim=64, salt="fh1")
 
 
+@_q(
+    "pmi_collocations",
+    """WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, UNNEST(w) AS term, UNNEST(range(1, len(w)+1)) AS pos
+      FROM w
+    ), uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM uni),
+    big AS (
+      SELECT a.term AS w1, b.term AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.term, b.term
+    ), nb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS total_bigrams FROM big)
+    SELECT w1, w2, n_ab,
+           ROUND(ln((n_ab * total * total)
+                    / (total_bigrams * u1.n * u2.n)), 6) AS pmi
+    FROM big JOIN uni u1 ON u1.term = big.w1
+             JOIN uni u2 ON u2.term = big.w2
+    CROSS JOIN tot CROSS JOIN nb
+    WHERE n_ab >= 5""",
+)
+def pmi_collocations_q(spark, sf):
+    """Collocation mining: adjacent-pair PMI = ln(P(w1,w2)/(P(w1)P(w2))) —
+    the phrase-vocabulary/boilerplate-discovery statistic. Unigram and
+    bigram tables from the SAME positional stream (one groupBy + one
+    (doc, pos+1) adjacency join); every probability input is an exact
+    BIGINT and the PMI is one double expression written with identical
+    association order in both engines, rounded to 6dp. min_count=5 drops
+    noise AFTER counting so probabilities stay unbiased."""
+    from crawl4ai_scraper_spark.operators.search import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf, "documents"), min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -250,3 +250,49 @@ def feature_hash_vectors(
         .agg(F.sum("sign").alias("value"))
         .filter(F.col("value") != 0)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: adjacent token pairs ranked by pointwise mutual
+    information, PMI = ln(P(w1,w2) / (P(w1)·P(w2))) — the corpus-statistics
+    tool behind phrase vocabularies (word2vec phrase pass, subword-merge
+    seeding) and boilerplate discovery (high-count low-PMI pairs are
+    templates).
+
+    Both count tables come from the SAME positional token stream: unigrams
+    are one token-volume groupBy, bigrams one self-join on (doc, pos+1)
+    (the phrase_search adjacency shape, unfiltered) plus a pair groupBy
+    with map-side combine. Every probability input is an exact BIGINT;
+    the PMI is ONE double expression over them, written identically in the
+    DuckDB oracle (same association order), rounded to 6dp. ``min_count``
+    drops noise pairs AFTER counting, so probabilities are unbiased.
+    Output: (w1, w2, n_ab, pmi)."""
+    t = positional_postings(docs, None, id_col, text_col)
+    uni = t.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").cast("double").alias("total"))
+    a = t.select(F.col("doc_id").alias("d"), F.col("pos").alias("p"), F.col("term").alias("w1"))
+    b = t.select(F.col("doc_id").alias("d"), (F.col("pos") - 1).alias("p"), F.col("term").alias("w2"))
+    big = a.join(b, ["d", "p"]).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    nb = big.agg(F.sum("n_ab").cast("double").alias("total_bigrams"))
+    return (
+        big.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnsRenamed({"term": "w1", "n": "n1"})), "w1")
+        .join(F.broadcast(uni.withColumnsRenamed({"term": "w2", "n": "n2"})), "w2")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("total") * F.col("total"))
+                    / (F.col("total_bigrams") * F.col("n1") * F.col("n2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

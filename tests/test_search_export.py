@@ -591,3 +591,27 @@ def test_feature_hash_vectors_properties(spark):
     for d, v in b.items():
         expect[d] = expect.get(d, 0) + v
     assert by_doc[1] == {d: v for d, v in expect.items() if v != 0}
+
+
+def test_pmi_collocations_exact_math(spark):
+    import math
+
+    from crawl4ai_scraper_spark.operators.search import pmi_collocations
+
+    # corpus: "a b" ×4, "a c" ×2 → unigrams a=6, b=4, c=2 (per doc pair);
+    # actually craft explicit docs: each doc is one bigram.
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(4)] + [(i + 10, "a c") for i in range(2)],
+        ["doc_id", "text"],
+    )
+    got = {(r.w1, r.w2): (r.n_ab, r.pmi) for r in pmi_collocations(docs, min_count=1).collect()}
+    # totals: unigrams N=12 (a=6,b=4,c=2); bigrams NB=6 (ab=4, ac=2)
+    def pmi(nab, n1, n2):
+        return round(math.log((nab * 12.0 * 12.0) / (6.0 * n1 * n2)), 6)
+
+    assert got[("a", "b")] == (4, pmi(4, 6, 4))
+    assert got[("a", "c")] == (2, pmi(2, 6, 2))
+    assert set(got) == {("a", "b"), ("a", "c")}
+    # min_count prunes pairs but not the probability denominators
+    got5 = {(r.w1, r.w2) for r in pmi_collocations(docs, min_count=3).collect()}
+    assert got5 == {("a", "b")}
