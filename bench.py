@@ -192,6 +192,8 @@ QUERY_NAMES = [
     "session_top_paths",
     "feature_hash_vectors",
     "pmi_collocations",
+    "ann_pq_encode",
+    "ann_pq_adc_topk",
 ]
 
 

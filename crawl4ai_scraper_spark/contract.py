@@ -5586,6 +5586,119 @@ def pmi_collocations_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (operators.similarity.pq_encode / pq_adc_topk)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_DIM, _PQ_SEED = 8, 16, 64, 11
+_PQ_SUB = _PQ_DIM // _PQ_M
+
+
+def _pq_slices_sql(src: str = "e") -> str:
+    """s0..s7: the 8-dim subvector slices (1-based inclusive, matches
+    F.slice(vec, j*8+1, 8))."""
+    return ", ".join(
+        f"{src}[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}] AS s{j}" for j in range(_PQ_M)
+    )
+
+
+def _pq_dists_sql(j: int, sub_expr: str) -> str:
+    """Distance list for subspace j — the SAME expression tree as
+    similarity._pq_sub_dists: (s.s - 2.0*(s.c)) + cc with cc the
+    Python-computed literal, so doubles are bit-identical across engines."""
+    book = S.pq_codebooks(_PQ_M, _PQ_K, _PQ_DIM, _PQ_SEED)[j]
+    terms = []
+    for cent in book:
+        carr = "[" + ", ".join(f"{x:.3f}" for x in cent) + "]"
+        cc = 0.0
+        for x in cent:
+            cc = cc + x * x
+        terms.append(
+            f"(list_dot_product({sub_expr}, {sub_expr})"
+            f" - 2.0 * list_dot_product({sub_expr}, CAST({carr} AS DOUBLE[])))"
+            f" + CAST({cc!r} AS DOUBLE)"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def _pq_codes_sql() -> str:
+    """c0..c7: 1-based argmin codes (first-match ties in both engines)."""
+    return ", ".join(
+        "CAST(list_indexof(d{j}, list_aggregate(d{j}, 'min')) AS INT) AS c{j}".format(j=j)
+        for j in range(_PQ_M)
+    )
+
+
+def _pq_enc_cte() -> str:
+    dists = ", ".join(_pq_dists_sql(j, f"s{j}") + f" AS d{j}" for j in range(_PQ_M))
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sl AS (SELECT vec_id, {_pq_slices_sql()} FROM v),
+    dd AS (SELECT vec_id, {dists} FROM sl),
+    enc AS (SELECT vec_id, {_pq_codes_sql()} FROM dd)"""
+
+
+@_q(
+    "ann_pq_encode",
+    f"""WITH {_pq_enc_cte()}
+    SELECT vec_id, [{", ".join(f"c{j}" for j in range(_PQ_M))}] AS code FROM enc""",
+)
+def ann_pq_encode(spark, sf):
+    """Product-quantization encoding (Jegou et al. 2011): each 64-d vector
+    becomes 8 sub-centroid indices — the 64x compression that makes
+    exhaustive ANN candidate scans affordable at 100 TB. Pure narrow map
+    against literal codebooks (no shuffle, no UDF); the oracle rebuilds the
+    md5-derived codebooks and the exact distance expression tree."""
+    return S.pq_encode(_t(spark, sf, "embeddings"))
+
+
+def _pq_adc_sum_sql() -> str:
+    parts = []
+    for j in range(_PQ_M):
+        book = S.pq_codebooks(_PQ_M, _PQ_K, _PQ_DIM, _PQ_SEED)[j]
+        cents = "[" + ", ".join(
+            "[" + ", ".join(f"{x:.3f}" for x in c) + "]" for c in book
+        ) + "]"
+        ccs = []
+        for c in book:
+            cc = 0.0
+            for x in c:
+                cc = cc + x * x
+            ccs.append(f"CAST({cc!r} AS DOUBLE)")
+        ccs_sql = "[" + ", ".join(ccs) + "]"
+        parts.append(
+            f"((list_dot_product(q.s{j}, q.s{j})"
+            f" - 2.0 * list_dot_product(q.s{j}, (CAST({cents} AS DOUBLE[][]))[enc.c{j}]))"
+            f" + ({ccs_sql})[enc.c{j}])"
+        )
+    return " + ".join(parts)
+
+
+@_q(
+    "ann_pq_adc_topk",
+    f"""WITH {_pq_enc_cte()},
+    q AS (SELECT vec_id AS query_id, {_pq_slices_sql()} FROM v WHERE vec_id < 10),
+    sc AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id,
+             ROUND({_pq_adc_sum_sql()}, 6) AS adc_dist
+      FROM enc CROSS JOIN q
+      WHERE enc.vec_id <> q.query_id
+    ),
+    r AS (SELECT query_id, neighbor_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, neighbor_id) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= 5
+    """,
+)
+def ann_pq_adc_topk(spark, sf):
+    """Asymmetric-distance (ADC) top-k over PQ codes: full-precision queries
+    against 8-byte database codes, distance = sum of per-subspace lookup
+    distances — the standard PQ serving path. The query side broadcasts into
+    a scan of the CODE table (64x less I/O than the float scan); every
+    lookup is element_at on a 16-entry literal, codegen'd column math."""
+    return S.pq_adc_topk(_t(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

@@ -2984,3 +2984,58 @@ def test_mixture_weights_invariants(spark):
     assert 0.0 < out["big"].sample_rate < 1.0
     # tau=1/2 up-weights the tail: tiny's mix share far exceeds its p
     assert out["tiny"].mix_weight > 10 * out["tiny"].p
+
+
+def test_pq_encode_shape_and_numpy_oracle(spark):
+    """pq_encode: codes are m ints in 1..k, and match an independent numpy
+    replication of the codebook argmin for a sample of vectors."""
+    import numpy as np
+    from crawl4ai_scraper_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = S.pq_encode(emb).filter(F.col("vec_id") < 20).collect()
+    assert all(len(r["code"]) == 8 for r in out)
+    assert all(1 <= c <= 16 for r in out for c in r["code"])
+
+    books = [np.array(b) for b in S.pq_codebooks()]
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 20).collect()
+    }
+    for r in out:
+        v = vecs[r["vec_id"]]
+        for j, book in enumerate(books):
+            s = v[j * 8:(j + 1) * 8]
+            d = ((s[None, :] - book) ** 2).sum(axis=1)
+            assert r["code"][j] == int(np.argmin(d)) + 1, (r["vec_id"], j)
+
+
+def test_pq_encode_is_narrow_map(spark):
+    """The encode plan must be a pure scan→project: no Exchange anywhere."""
+    from crawl4ai_scraper_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = S.pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_beats_random_and_contains_self_dup(spark):
+    """ADC sanity: for a planted exact duplicate (same vector, new id), the
+    duplicate must be the query's rank-1 ADC neighbor with distance equal to
+    twice the query's own quantization error... precisely: ADC(q, dup(q)) ==
+    ADC(q, q) since codes are equal, and no other vector can beat a zero-
+    quantization-error match only by chance — so assert the dup is rank 1
+    for every query."""
+    from crawl4ai_scraper_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    dups = base.select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dups)
+    out = S.pq_adc_topk(corpus, n_queries=10, top_k=1).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["neighbor_id"] == r["query_id"] + 50000, r
