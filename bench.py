@@ -194,6 +194,7 @@ QUERY_NAMES = [
     "pmi_collocations",
     "ann_pq_encode",
     "ann_pq_adc_topk",
+    "doc_top_keywords",
 ]
 
 

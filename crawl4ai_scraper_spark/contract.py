@@ -5585,6 +5585,46 @@ def pmi_collocations_q(spark, sf):
     return pmi_collocations(_t(spark, sf, "documents"), min_count=5)
 
 
+@_q(
+    "doc_top_keywords",
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM d0
+    ), p AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY term, doc_id
+    ), pd AS (
+      SELECT term, doc_id, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM p
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM d0),
+    sc AS (
+      SELECT doc_id, term,
+             ROUND(CAST(CAST(tf AS DECIMAL(10,0))
+               * CAST(ROUND(ln((n_docs + 1) / (df + 1)) + 1, 12)
+                      AS DECIMAL(28,12)) AS DOUBLE), 6) AS score
+      FROM pd CROSS JOIN n
+    ), r AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM sc)
+    SELECT doc_id, term, rank, score FROM r WHERE rank <= 3""",
+)
+def doc_top_keywords_q(spark, sf):
+    """Per-doc keyword extraction: top-3 terms by smoothed tf-idf (idf
+    rounded to 12dp DECIMAL, exact tf·idf product, 6dp double output, term-
+    ascending ties). ONE corpus-volume shuffle (postings groupBy with
+    map-side combine); df over the collapsed postings; N broadcast."""
+    from crawl4ai_scraper_spark.operators.search import doc_top_keywords
+
+    return doc_top_keywords(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (operators.similarity.pq_encode / pq_adc_topk)
 # ---------------------------------------------------------------------------

@@ -296,3 +296,50 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def doc_top_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms of each document
+    by smoothed tf-idf — the standard metadata-enrichment pass a training-
+    data pipeline runs to tag every page with its salient vocabulary
+    (topic routing, quality heuristics, dedup explainability).
+
+    score(t, d) = tf(t, d) · (ln((N + 1) / (df(t) + 1)) + 1), idf rounded to
+    12dp and carried as DECIMAL(28,12) (the repo-wide order-free convention);
+    only the final score is cast to DOUBLE and rounded to 6dp. Ties break by
+    term ascending so ranks are engine-stable.
+
+    Plan shape: ONE corpus-volume shuffle (the (term, doc) postings groupBy
+    with map-side combine — raw tokens never cross the wire more than once);
+    df comes from an unbounded window over the already-collapsed postings;
+    N is a one-row broadcast; the per-doc top-k is a window over ≤ |vocab ∩
+    doc| rows per doc. Nothing downstream of the postings groupBy scales
+    with raw token volume."""
+    postings = inverted_postings(docs, id_col, text_col)
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        postings.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 12
+            ).cast("decimal(28,12)"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf").cast("decimal(10,0)") * F.col("idf")).cast("double"), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "score")
+    )

@@ -615,3 +615,26 @@ def test_pmi_collocations_exact_math(spark):
     # min_count prunes pairs but not the probability denominators
     got5 = {(r.w1, r.w2) for r in pmi_collocations(docs, min_count=3).collect()}
     assert got5 == {("a", "b")}
+
+
+def test_doc_top_keywords_prefers_rare_terms(spark):
+    """A term unique to one doc must outrank a corpus-wide term at equal tf,
+    and ranks are term-ascending on exact score ties."""
+    from crawl4ai_scraper_spark.operators.search import doc_top_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra common zebra"),
+            (2, "common common apple apple"),
+            (3, "common banana banana cherry"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in doc_top_keywords(docs, k=2).collect()
+    }
+    assert out[(1, 1)] == "zebra"       # df=1 beats df=3 'common' at tf=2
+    assert out[(2, 1)] == "apple"
+    assert out[(3, 1)] == "banana"      # tf=2 rare term first
+    assert out[(3, 2)] == "cherry"      # then tf=1 rare term over 'common'
