@@ -195,6 +195,7 @@ QUERY_NAMES = [
     "ann_pq_encode",
     "ann_pq_adc_topk",
     "doc_top_keywords",
+    "graph_connected_components",
 ]
 
 

@@ -5586,6 +5586,45 @@ def pmi_collocations_q(spark, sf):
 
 
 @_q(
+    "graph_connected_components",
+    """WITH RECURSIVE nodes AS (
+      SELECT doc_id AS node FROM documents WHERE doc_id < 520
+    ), e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+      WHERE doc_id < 499 AND doc_id % 50 <> 49
+      UNION ALL
+      SELECT doc_id, doc_id + 100 FROM documents
+      WHERE doc_id < 400 AND doc_id % 200 = 0
+    ), und AS (
+      SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0
+    ), reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT und.t, r.lbl FROM reach r JOIN und ON und.s = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""",
+)
+def graph_connected_components_q(spark, sf):
+    """Connected components by alternating large-star/small-star (Kiveris
+    et al. 2014) over a deterministic graph of ten 50-node chains, two
+    long-range merge chords, and 20 isolated vertices — chains are the
+    adversarial case for min-label propagation (O(diameter) rounds); the
+    star contraction closes them in O(log n). The oracle computes true
+    min-reachable labels with a recursive CTE. Integer-only math."""
+    from crawl4ai_scraper_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    chain = docs.filter((F.col("doc_id") < 499) & (F.col("doc_id") % 50 != 49)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    chords = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 200 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 100).alias("dst")
+    )
+    nodes = docs.filter(F.col("doc_id") < 520)
+    return connected_components(chain.unionAll(chords), nodes=nodes)
+
+
+@_q(
     "doc_top_keywords",
     """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
     toks AS (

@@ -3039,3 +3039,39 @@ def test_pq_adc_beats_random_and_contains_self_dup(spark):
     assert len(out) == 10
     for r in out:
         assert r["neighbor_id"] == r["query_id"] + 50000, r
+
+
+def test_connected_components_star(spark):
+    """Alternating-star CC: chain, cycle, isolated vertex, and a two-edge
+    merge all resolve to min-id component labels."""
+    from crawl4ai_scraper_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5 (worst case for propagation)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # cycle 10-11-12-10 with duplicate + reversed edges
+            (10, 11), (11, 12), (12, 10), (11, 10),
+            # bridge merging {20,21} into the chain via 5
+            (20, 21), (21, 5),
+        ],
+        "src int, dst int",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]], "node int")
+    got = {r["node"]: r["component"] for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 20: 1, 21: 1,
+                   10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_beats_diameter(spark):
+    """A 33-node chain must close in far fewer star rounds than its
+    diameter: max_rounds=8 (≈ 2·log2 n) suffices where label propagation
+    would need 32."""
+    from crawl4ai_scraper_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "src int, dst int"
+    )
+    got = connected_components(edges, max_rounds=8).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert {r["node"] for r in got} == set(range(33))
