@@ -196,6 +196,7 @@ QUERY_NAMES = [
     "ann_pq_adc_topk",
     "doc_top_keywords",
     "graph_connected_components",
+    "ann_ivf_pq_topk",
 ]
 
 

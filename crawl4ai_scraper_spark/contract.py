@@ -5777,6 +5777,37 @@ def ann_pq_adc_topk(spark, sf):
     return S.pq_adc_topk(_t(spark, sf, "embeddings"))
 
 
+@_q(
+    "ann_ivf_pq_topk",
+    f"""WITH {_pq_enc_cte()},
+    cl AS (SELECT vec_id,
+                  CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell
+           FROM (SELECT vec_id, {_centroid_dots_sql()} AS dots FROM embeddings)),
+    enc2 AS (SELECT enc.*, cl.cell FROM enc JOIN cl USING (vec_id)),
+    q AS (SELECT v.vec_id AS query_id, {_pq_slices_sql("v.e")}, cl.cell AS qcell
+          FROM v JOIN cl ON cl.vec_id = v.vec_id WHERE v.vec_id < 10),
+    sc AS (
+      SELECT q.query_id, enc.vec_id AS neighbor_id,
+             ROUND({_pq_adc_sum_sql()}, 6) AS adc_dist
+      FROM enc2 enc JOIN q ON enc.cell = q.qcell AND enc.vec_id <> q.query_id
+    ),
+    r AS (SELECT query_id, neighbor_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, neighbor_id) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= 5
+    """,
+)
+def ann_ivf_pq_topk(spark, sf):
+    """IVF-PQ — the production 100-TB ANN serving shape (FAISS IndexIVFPQ):
+    coarse cells bound WHICH vectors are scanned (cell equi-join, never a
+    cross product), PQ codes bound WHAT is read per vector (m byte lookups
+    vs dim floats). Assignment and encoding are narrow maps; the broadcast
+    query side carries its own cell; ADC distances are literal-codebook
+    lookups; ties by neighbor id."""
+    return S.ivf_pq_topk(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -599,3 +599,78 @@ def pq_adc_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    top_k: int = 5,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    cell_seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ: the production 100-TB ANN serving shape (FAISS's IndexIVFPQ)
+    — coarse cells bound WHICH vectors are scanned, PQ codes bound WHAT is
+    scanned per vector. Search cost = (corpus/n_cells) × m byte lookups per
+    query instead of corpus × dim float ops.
+
+    Plan: cell assignment and PQ codes are both narrow maps (literal
+    centroids / codebooks); the query side (n_queries rows, full precision,
+    with its own cell) broadcasts into an EQUI-JOIN ON THE CELL KEY against
+    the code table — never a cross product; ADC distances are literal
+    lookups; per-query top-k window. Ties by neighbor id.
+
+    Returns (query_id, neighbor_id, rank, adc_dist)."""
+    books = pq_codebooks(m, k, dim, seed)
+    sub = dim // m
+    cells = ivf_assign(embeddings, id_col, vec_col, n_cells, dim, cell_seed)
+    codes = pq_encode(embeddings, id_col, vec_col, m, k, dim, seed).join(
+        cells, "vec_id"
+    )
+    queries = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q"),
+        )
+        .join(
+            cells.select(
+                F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+            ),
+            "query_id",
+        )
+    )
+    cand = codes.join(
+        F.broadcast(queries), (F.col("cell") == F.col("qcell"))
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    total = None
+    for j, book in enumerate(books):
+        qs = F.slice(F.col("q"), j * sub + 1, sub)
+        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        ccs = []
+        for c in book:
+            cc = 0.0
+            for x in c:
+                cc = cc + x * x
+            ccs.append(cc)
+        code_j = F.element_at(F.col("code"), j + 1)
+        cent = F.element_at(cents, code_j)
+        cc_j = F.element_at(F.array(*[F.lit(v) for v in ccs]), code_j)
+        d_j = (dot(qs, qs) - F.lit(2.0) * dot(qs, cent)) + cc_j
+        total = d_j if total is None else total + d_j
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(total, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -275,6 +275,43 @@ def main():
         + plan_of(contract.queries()["token_len_quantiles"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Product quantization — Exchange-free encode, ADC over the code table",
+        "pq_encode (operators/similarity.py) is a pure scan→Project: every "
+        "sub-centroid distance folds into literal column math (no Exchange "
+        "anywhere — asserted in tests/test_ops_extra.py). pq_adc_topk "
+        "broadcasts the full-precision query rows into a scan of the CODE "
+        "table (64× less I/O than the float scan), every distance is "
+        "element_at lookups into 16-entry literals, and the only exchange is "
+        "the per-query top-k window over candidate rows — at production the "
+        "IVF cell restriction bounds that to cell size.",
+        plan_of(contract.queries()["ann_pq_encode"](spark, "/root/testdata/sf0.001"))
+        + "\n\n"
+        + plan_of(contract.queries()["ann_pq_adc_topk"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Connected components — star contraction, O(log n) rounds",
+        "graph.connected_components alternates large-star / small-star "
+        "(Kiveris et al. 2014): per round two map-side-combined groupBys on "
+        "the node key plus one equi-join, lineage truncated with "
+        "localCheckpoint — the shown plan is one round's small-star output "
+        "(post-checkpoint plans collapse to scans). Min-label propagation "
+        "(dup_clusters) needs O(diameter) rounds on chain-shaped graphs; the "
+        "star form closes a 33-node chain in ≤8 rounds (pytest-pinned).",
+        plan_of(contract.queries()["graph_connected_components"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Per-doc keywords — one corpus shuffle, df over collapsed postings",
+        "doc_top_keywords: the raw token stream crosses exactly one exchange "
+        "(the (term, doc) postings groupBy with partial_count combine); df "
+        "comes from an unbounded window over the ALREADY-COLLAPSED postings "
+        "(one row per term-doc), N is a 1-row broadcast, and the per-doc "
+        "top-k window sees ≤|doc vocab| rows per key.",
+        plan_of(contract.queries()["doc_top_keywords"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",

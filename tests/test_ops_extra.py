@@ -3075,3 +3075,23 @@ def test_connected_components_beats_diameter(spark):
     got = connected_components(edges, max_rounds=8).collect()
     assert all(r["component"] == 0 for r in got)
     assert {r["node"] for r in got} == set(range(33))
+
+
+def test_ivf_pq_topk_cell_restriction_and_dup_rank1(spark):
+    """IVF-PQ: every returned neighbor shares the query's coarse cell, and a
+    planted exact duplicate (same vector → same cell, same code) is rank 1."""
+    from crawl4ai_scraper_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    dups = base.select((F.col("vec_id") + 50000).alias("vec_id"), "embedding")
+    corpus = base.unionByName(dups)
+    out = S.ivf_pq_topk(corpus, n_queries=10, top_k=1).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["neighbor_id"] == r["query_id"] + 50000, r
+
+    cells = {r["vec_id"]: r["cell"] for r in S.ivf_assign(emb).collect()}
+    full = S.ivf_pq_topk(emb, n_queries=10, top_k=5).collect()
+    for r in full:
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
