@@ -12,8 +12,10 @@ forms a user would pass through ``soup.select()`` / lxml:
   pseudo-classes ``:first-child`` ``:last-child``
   ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
   of-type variants ``:first-of-type`` ``:last-of-type`` ``:only-of-type``
-  ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, and ``:not(compound[, …])``
-  (combinators inside the argument stay unsupported → invalid-skip);
+  ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, ``:not(compound[, …])``
+  (combinators inside the argument stay unsupported → invalid-skip), and
+  ``:has(relative selector[, …])`` with soupsieve semantics (arguments may
+  lead with ``>`` / ``+`` / ``~``, anchored at the subject element);
   combinators: descendant, ``>``, ``+``, ``~``; comma groups.
 * XPath: absolute multi-step paths (``//a//b``, ``/a/b``, ``*``),
   predicates ``[@attr='v']`` ``[@attr]`` ``[contains(@attr,'v')]``
@@ -24,7 +26,12 @@ forms a user would pass through ``soup.select()`` / lxml:
   ``self::`` ``descendant(-or-self)::`` ``following::`` ``preceding::``
   (positional predicates count in axis order per context node,
   reverse-axis aware); top-level union ``a | b`` (document-order merged
-  node-set); trailing ``text()`` steps.
+  node-set); trailing ``text()`` steps; trailing attribute steps
+  ``@name`` / ``@*`` / ``attribute::name`` yielding attribute-value
+  strings — which the extraction layer then drops exactly like the
+  reference (lxml smart strings have no ``itertext``; the AttributeError
+  is swallowed, selector_utils.py:158-165), so ``//a/@href | //p`` keeps
+  only the ``//p`` text in both engines.
 
 Anything outside the subset raises at parse time and is SKIPPED by the
 extraction layer — the reference's invalid-selector semantics. Composition
@@ -286,8 +293,69 @@ class _Compound:
                     if not inner:
                         raise ValueError(f"empty :not() argument: {part!r}")
                     self.pseudos.append(("not", inner))
+                elif name == "has" and arg:
+                    # CSS4 :has(relative selector list) — soupsieve semantics:
+                    # each argument may lead with > / + / ~ (descendant when
+                    # bare) and is anchored at the subject element; the subject
+                    # matches when ANY argument finds at least one node.
+                    body = arg[:-1] if arg.endswith(")") else arg
+                    groups = []
+                    for s in _split_top_level(body, ","):
+                        s = s.strip()
+                        if not s:
+                            continue
+                        lead = " "
+                        if s[0] in ">+~":
+                            lead, s = s[0], s[1:].strip()
+                        steps: List[Tuple[str, "_Compound"]] = []
+                        comb, pending = lead, True
+                        for tok in _tokenize_selector(s):
+                            if tok in (">", "+", "~"):
+                                if not steps:
+                                    raise ValueError(
+                                        f"unsupported :has() argument: {part!r}"
+                                    )
+                                comb, pending = tok, True
+                                continue
+                            steps.append((comb, _Compound(tok)))
+                            comb, pending = " ", False
+                        if pending and steps or not steps:
+                            raise ValueError(f"unsupported :has() argument: {part!r}")
+                        groups.append(steps)
+                    if not groups:
+                        raise ValueError(f"empty :has() argument: {part!r}")
+                    self.pseudos.append(("has", groups))
                 else:
                     raise ValueError(f"unsupported pseudo-class: :{part[1:]}")
+
+    @staticmethod
+    def _relative_nonempty(anchor: Node, steps) -> bool:
+        """True iff walking ``steps`` (combinator, compound) from ``anchor``
+        reaches at least one node — the :has() existence test."""
+        frontier = [anchor]
+        for comb, compound in steps:
+            nxt: List[Node] = []
+            seen = set()
+            for n in frontier:
+                if comb == " ":
+                    cands = [d for d in n.iter_nodes() if d is not n]
+                elif comb == ">":
+                    cands = [c for c in n.children if isinstance(c, Node)]
+                else:
+                    sibs = _element_siblings(n)
+                    pos = next(i for i, s in enumerate(sibs) if s is n)
+                    if comb == "+":
+                        cands = sibs[pos + 1:pos + 2]
+                    else:  # ~
+                        cands = sibs[pos + 1:]
+                for c in cands:
+                    if id(c) not in seen and compound.matches(c):
+                        seen.add(id(c))
+                        nxt.append(c)
+            if not nxt:
+                return False
+            frontier = nxt
+        return True
 
     @staticmethod
     def _attr_match(
@@ -332,6 +400,12 @@ class _Compound:
             kind = pseudo[0]
             if kind == "not":
                 if any(c.matches(node) for c in pseudo[1]):
+                    return False
+                continue
+            if kind == "has":
+                if not any(
+                    self._relative_nonempty(node, steps) for steps in pseudo[1]
+                ):
                     return False
                 continue
             sibs = _element_siblings(node)
@@ -535,9 +609,22 @@ class _XStep:
         if "::" in text:
             ax, _, text = text.partition("::")
             ax = ax.strip()
-            if ax not in _X_AXES:
+            if ax == "attribute":
+                # attribute::name ≡ @name (normalized below)
+                text = "@" + text.strip()
+            elif ax not in _X_AXES:
                 raise ValueError(f"unsupported XPath axis: {ax}::")
-            self.xaxis = ax
+            else:
+                self.xaxis = ax
+        if text.startswith("@"):
+            # attribute step — yields attribute VALUE strings (lxml smart
+            # strings); must be the final step, no predicates
+            name = text[1:].strip()
+            if not re.match(r"^(?:[\w-]+|\*)$", name):
+                raise ValueError(f"unsupported attribute step: {text!r}")
+            self.name = "@" + name
+            self.preds = []
+            return
         m = _STEP_RX.match(text)
         if not m:
             raise ValueError(f"unsupported XPath step: {text!r}")
@@ -605,6 +692,8 @@ def _parse_xpath(expr: str) -> List[_XStep]:
     for step in steps[:-1]:
         if step.name == "text()":
             raise ValueError("text() must be the final step")
+        if step.name.startswith("@"):
+            raise ValueError("attribute steps must be final")
     return steps
 
 
@@ -765,6 +854,22 @@ def _xpath_select_path(scope: Node, expr: str) -> List:
                     out.extend(c for c in ctx.children if isinstance(c, str))
                 else:
                     out.extend(ctx.iter_text())
+                continue
+            if step.name.startswith("@"):
+                # attribute VALUE strings, document order; one entry per
+                # attribute node (equal values from different elements are
+                # distinct nodes in lxml — no dedup)
+                name = step.name[1:]
+                # // ≡ descendant-or-self: the context node's own attributes
+                # are in scope too (iter_nodes excludes self)
+                bases = [ctx] if step.axis == "child" else (
+                    [ctx] + list(ctx.iter_nodes())
+                )
+                for base in bases:
+                    if name == "*":
+                        out.extend(base.attrs.values())
+                    elif name in base.attrs:
+                        out.append(base.attrs[name])
                 continue
             if step.xaxis is not None:
                 # //axis::x ≡ descendant-or-self::node()/axis::x — the axis

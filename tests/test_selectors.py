@@ -398,8 +398,12 @@ class TestXPathRound3Extensions:
         assert xpath_select(root, "/html/preceding::*") == []
 
     def test_unsupported_axes_invalid_skip(self):
-        for bad in ("//a/attribute::href", "//a/namespace::x"):
+        for bad in ("//a/namespace::x",):
             assert not validate_xpath(bad)[0], bad
+        # attribute:: / @ steps are VALID (select attr-value strings) but the
+        # extraction layer drops strings exactly like the reference's
+        # itertext AttributeError skip — observable output stays empty
+        assert validate_xpath("//a/attribute::href")[0]
         assert extract_by_xpath(EXT_DOC, ["//a/attribute::href"]) == ""
 
     def test_axis_after_double_slash_applies_from_descendants(self):
@@ -434,3 +438,54 @@ class TestAttrCaseFlags:
     def test_flag_without_value_is_invalid(self):
         ok, _ = validate_css_selector("a[rel i]")
         assert not ok
+
+
+class TestHasAndAttributeSteps:
+    """Round-3 session-4 residue: CSS :has(relative selector) and XPath
+    attribute steps (@href / attribute::href)."""
+
+    DOC = ("<div id='a'><img src='x'><p>one</p></div>"
+           "<div id='b'><p>two</p></div>"
+           "<div id='c'><span><img src='y'></span></div>"
+           "<section><h2>t</h2><p>after</p></section>")
+
+    def test_has_descendant_child_sibling(self):
+        root = parse_dom(self.DOC)
+        assert _ids(css_select(root, "div:has(img)")) == ["a", "c"]
+        assert _ids(css_select(root, "div:has(> img)")) == ["a"]
+        assert _ids(css_select(root, "div:has(+ div)")) == ["a", "b"]
+        assert [n.tag for n in css_select(root, "section:has(h2 + p)")] == ["section"]
+
+    def test_has_nested_and_combined(self):
+        root = parse_dom(self.DOC)
+        assert _ids(css_select(root, "div:has(span:has(> img))")) == ["c"]
+        assert _ids(css_select(root, "div:has(p):not(#b)")) == ["a"]
+        assert _ids(css_select(root, "div:not(:has(p))")) == ["c"]
+
+    def test_has_invalid_arguments_skip(self):
+        assert not validate_css_selector("div:has()")[0]
+        assert not validate_css_selector("div:has(> )")[0]
+        assert extract_by_css(self.DOC, ["div:has()"]) == ""
+
+    def test_has_extraction(self):
+        assert extract_by_css(self.DOC, ["div:has(> img) p"]) == "one"
+
+    def test_attribute_steps_select_value_strings(self):
+        root = parse_dom("<div id='top'><a href='/x'>1</a>"
+                         "<section id='s1'><a href='/y'>2</a></section></div>")
+        assert xpath_select(root, "//a/@href") == ["/x", "/y"]
+        assert xpath_select(root, "//a/attribute::href") == ["/x", "/y"]
+        assert xpath_select(root, "//section//@href") == ["/y"]
+        assert xpath_select(root, "//@id") == ["top", "s1"]
+
+    def test_attribute_steps_dropped_at_extraction_like_reference(self):
+        # lxml returns smart strings for @href; the reference's
+        # ' '.join(element.itertext()) raises on them and SKIPS (selector_
+        # utils.py:158-165) — a mixed union keeps only the element results
+        html = "<div><a href='/x'>one</a><p>para</p></div>"
+        assert extract_by_xpath(html, ["//a/@href | //p"]) == "para"
+        assert extract_by_xpath(html, ["//a/@href"]) == ""
+
+    def test_attribute_step_must_be_final(self):
+        assert not validate_xpath("//@href/a")[0]
+        assert not validate_xpath("//a/@href[1]")[0]
