@@ -5778,6 +5778,41 @@ def ann_pq_adc_topk(spark, sf):
 
 
 @_q(
+    "chunk_sentences",
+    """WITH s0 AS (
+      SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, trim(UNNEST(ss)) AS s, UNNEST(range(1, len(ss)+1)) AS pos
+      FROM s0
+    ), s2 AS (SELECT doc_id, s, pos FROM s1 WHERE s <> ''),
+    s3 AS (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS sent_idx,
+             COALESCE(SUM(length(s)) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, s, sent_idx,
+             CAST(cum_before // 200 AS INT) AS chunk_id
+      FROM s3
+    )
+    SELECT doc_id, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(length(string_agg(s, ' ' ORDER BY sent_idx)) AS INT) AS n_chars,
+           string_agg(s, ' ' ORDER BY sent_idx) AS chunk_text
+    FROM s4 GROUP BY doc_id, chunk_id""",
+)
+def chunk_sentences_q(spark, sf):
+    """RAG-style sentence chunking: naive [^.!?]+ sentences packed into
+    ~200-char chunks on global character offsets (closed-form chunk_id =
+    cum_before DIV 200 — no per-doc sequential state, sentences never
+    split). One doc-key window + one (doc, chunk) groupBy."""
+    return T.chunk_sentences(_t(spark, sf, "documents"), max_chars=200)
+
+
+@_q(
     "ann_ivf_pq_topk",
     f"""WITH {_pq_enc_cte()},
     cl AS (SELECT vec_id,

@@ -1306,3 +1306,70 @@ def classifier_pr_table(
         "threshold", "tp", "fp", "fn",
         precision.alias("precision"), recall.alias("recall"), f1.alias("f1"),
     )
+
+
+def chunk_sentences(
+    docs: DataFrame,
+    max_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary chunking — the RAG/embedding-window op: split each
+    document into naive sentences (maximal ``[^.!?]+[.!?]*`` runs, the
+    RE2∩Java-regex splitter — no lookbehind, so both engines agree) and pack
+    consecutive sentences into ~``max_chars`` chunks WITHOUT ever splitting
+    a sentence: chunk_id = cum_chars_before DIV max_chars, i.e. boundaries
+    fall on the document's global character offsets and a sentence belongs
+    to the chunk where it starts. Unlike greedy reset-packing this is a
+    closed-form window expression (no per-doc sequential state), which is
+    what makes it one pass at 100 TB; chunks overshoot by at most one
+    sentence.
+
+    Scale shape: Generate (sentence explode) off the pruned scan, ONE
+    doc-key window for (sent_idx, cum_before), one (doc, chunk) groupBy with
+    map-side combine. Ordered reassembly via array_sort(struct) — no second
+    window.
+
+    Returns (doc_id, chunk_id, n_sentences, n_chars, chunk_text)."""
+    from pyspark.sql import Window
+
+    sents = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.expr(f"regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0)")
+            ).alias("pos", "raw"),
+        )
+        .select("doc_id", "pos", F.trim(F.col("raw")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wsum = w.rowsBetween(Window.unboundedPreceding, -1)
+    staged = sents.select(
+        "doc_id",
+        "s",
+        F.row_number().over(w).alias("sent_idx"),
+        F.coalesce(F.sum(F.length("s")).over(wsum), F.lit(0)).alias("cum_before"),
+    ).withColumn(
+        "chunk_id", F.expr(f"CAST(cum_before DIV {max_chars} AS INT)")
+    )
+    return (
+        staged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "s"))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_sentences",
+            F.length("chunk_text").alias("n_chars"),
+            "chunk_text",
+        )
+    )

@@ -3095,3 +3095,46 @@ def test_ivf_pq_topk_cell_restriction_and_dup_rank1(spark):
     full = S.ivf_pq_topk(emb, n_queries=10, top_k=5).collect()
     for r in full:
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+
+
+def test_chunk_sentences_invariants(spark):
+    """Sentence chunking: chunks reassemble to the full trimmed sentence
+    stream (no sentence ever split), and each chunk's first sentence starts
+    inside the chunk's character window [id*max_chars, (id+1)*max_chars)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "One. Two two! Three three three? " * 8),
+            (2, "A single very long sentence with no terminator at all " * 12),
+            (3, "Tiny."),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = T.chunk_sentences(docs, max_chars=60).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # empty doc yields no sentences
+    assert [r["chunk_id"] for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])] == [0]
+
+    import re
+
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        text = {1: "One. Two two! Three three three? " * 8,
+                2: "A single very long sentence with no terminator at all " * 12,
+                3: "Tiny."}[doc_id]
+        sents = [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", text) if s.strip()]
+        # reassembly: concatenating chunks in order == the sentence stream
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(sents)
+        # boundary: first sentence of chunk k starts at offset in [60k, 60k+60)
+        cum = 0
+        starts = {}
+        for s in sents:
+            starts.setdefault(cum // 60, cum)
+            cum += len(s)
+        for r in rows:
+            assert r["chunk_id"] in starts
+            assert starts[r["chunk_id"]] // 60 == r["chunk_id"]
+            assert r["n_chars"] == len(r["chunk_text"])
+            assert r["n_sentences"] >= 1
