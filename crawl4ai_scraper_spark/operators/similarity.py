@@ -537,6 +537,67 @@ def pq_encode(
     return with_d.select("vec_id", F.array(*codes).alias("code"))
 
 
+def _pq_queries_with_lut(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_queries: int, books
+) -> DataFrame:
+    """Query frame (query_id, dtab) where dtab[j][c] = ||q_j − c_{j,c}||²
+    — the classic ADC distance LUT (Jegou et al. 2011 §III.B), computed
+    ONCE per query instead of re-deriving both subspace dot products per
+    candidate row. The query set is a driver-known, model-sized artifact
+    (like k-means centroids), so the LUT is folded DRIVER-SIDE with the
+    exact IEEE sequence of ``_pq_sub_dists``/the DuckDB oracle — a left
+    fold ``acc + x·y`` from 0.0, then ``(s.s − 2·(s.c)) + c.c`` — which
+    keeps every entry bit-identical to the in-plan tree while removing
+    the m·k-distance codegen expression from the plan entirely: the
+    candidate side is m array lookups, nothing else."""
+    spark = embeddings.sparkSession
+    sub = len(books[0][0])
+    rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("q"))
+        .collect()
+    )
+
+    def fold_dot(xs, ys):
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc = acc + x * y
+        return acc
+
+    out = []
+    for r in rows:
+        q = r["q"]
+        dtab = []
+        for j, book in enumerate(books):
+            s = q[j * sub : (j + 1) * sub]
+            ss = fold_dot(s, s)
+            row = []
+            for cent in book:
+                cc = 0.0
+                for x in cent:
+                    cc = cc + x * x
+                row.append((ss - 2.0 * fold_dot(s, cent)) + cc)
+            dtab.append(row)
+        out.append((int(r["query_id"]), dtab))
+    return spark.createDataFrame(
+        out, "query_id long, dtab array<array<double>>"
+    ).withColumn("query_id", F.col("query_id").cast(dict(embeddings.dtypes)[id_col]))
+
+
+def _pq_adc_from_lut(m: int) -> Column:
+    """Σ_j dtab[j][code_j] — m array lookups per candidate row, summed in
+    subspace order (left-assoc, same float association as the unhoisted
+    per-row form)."""
+    total = None
+    for j in range(m):
+        d_j = F.element_at(
+            F.element_at(F.col("dtab"), j + 1), F.element_at(F.col("code"), j + 1)
+        )
+        total = d_j if total is None else total + d_j
+    return total
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -554,40 +615,24 @@ def pq_adc_topk(
     serving path (Jegou et al. 2011 §III.B; reference scope: this engine's
     embedding column, crawl analytics over page embeddings).
 
-    Scale shape: the query side (n_queries rows) broadcasts into a scan of
-    the CODE table — 64× less I/O than the float scan of ``cosine_topk`` —
-    and each distance is m literal-codebook lookups (element_at on a
-    16-entry literal), pure codegen'd column math. Ranking is a per-query
-    window over n_queries×N candidate rows; production fuses this with an
-    IVF cell restriction (``ivf_topk_assigned``) so N is the cell size, not
-    the corpus.
+    Scale shape: the query side (n_queries rows, each carrying its
+    precomputed m×k ADC distance LUT — see ``_pq_queries_with_lut``)
+    broadcasts into a scan of the CODE table — 64× less I/O than the float
+    scan of ``cosine_topk`` — and each candidate distance is m array
+    lookups into the broadcast LUT, pure codegen'd column math with no
+    per-candidate dot products. Ranking is a per-query window over
+    n_queries×N candidate rows; production fuses this with an IVF cell
+    restriction (``ivf_topk_assigned``) so N is the cell size, not the
+    corpus.
 
     Returns (query_id, neighbor_id, rank, adc_dist rounded to 6dp)."""
     books = pq_codebooks(m, k, dim, seed)
-    sub = dim // m
     codes = pq_encode(embeddings, id_col, vec_col, m, k, dim, seed)
-    queries = embeddings.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q"),
-    )
+    queries = _pq_queries_with_lut(embeddings, id_col, vec_col, n_queries, books)
     cand = codes.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    total = None
-    for j, book in enumerate(books):
-        qs = F.slice(F.col("q"), j * sub + 1, sub)
-        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-        ccs = []
-        for c in book:
-            cc = 0.0
-            for x in c:
-                cc = cc + x * x
-            ccs.append(cc)
-        code_j = F.element_at(F.col("code"), j + 1)
-        cent = F.element_at(cents, code_j)
-        cc_j = F.element_at(F.array(*[F.lit(v) for v in ccs]), code_j)
-        d_j = (dot(qs, qs) - F.lit(2.0) * dot(qs, cent)) + cc_j
-        total = d_j if total is None else total + d_j
+    total = _pq_adc_from_lut(m)
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -627,42 +672,20 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, rank, adc_dist)."""
     books = pq_codebooks(m, k, dim, seed)
-    sub = dim // m
     cells = ivf_assign(embeddings, id_col, vec_col, n_cells, dim, cell_seed)
     codes = pq_encode(embeddings, id_col, vec_col, m, k, dim, seed).join(
         cells, "vec_id"
     )
-    queries = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("q"),
-        )
-        .join(
-            cells.select(
-                F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
-            ),
-            "query_id",
-        )
+    queries = _pq_queries_with_lut(embeddings, id_col, vec_col, n_queries, books).join(
+        cells.select(
+            F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+        ),
+        "query_id",
     )
     cand = codes.join(
         F.broadcast(queries), (F.col("cell") == F.col("qcell"))
     ).filter(F.col("vec_id") != F.col("query_id"))
-    total = None
-    for j, book in enumerate(books):
-        qs = F.slice(F.col("q"), j * sub + 1, sub)
-        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-        ccs = []
-        for c in book:
-            cc = 0.0
-            for x in c:
-                cc = cc + x * x
-            ccs.append(cc)
-        code_j = F.element_at(F.col("code"), j + 1)
-        cent = F.element_at(cents, code_j)
-        cc_j = F.element_at(F.array(*[F.lit(v) for v in ccs]), code_j)
-        d_j = (dot(qs, qs) - F.lit(2.0) * dot(qs, cent)) + cc_j
-        total = d_j if total is None else total + d_j
+    total = _pq_adc_from_lut(m)
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

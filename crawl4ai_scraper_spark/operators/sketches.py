@@ -341,9 +341,33 @@ def cms_heavy_hitters(
 
     N is read off the synopsis itself (each of the d rows sums to N), so
     the screen needs no second pass over the data.
+
+    Hash family: a PRIVATE xxhash64 per row (seeded by salt+row index) —
+    unlike the md5-derived `digest48` used by the oracle-replicated
+    sketch queries, nothing downstream replays these cells, and the
+    output is EXACT regardless of hash family, so the screen uses the
+    cheapest JVM hash available. The key stream is hashed d times in
+    each pass; md5+conv here was the dominant cost of the whole job.
     """
     toks = df.select(col.alias("k"))
-    syn_rows = cms_build(toks, F.col("k"), d, w, salt).collect()
+
+    def _bucket(i: int) -> Column:
+        return F.pmod(F.xxhash64(F.lit(f"{salt}{i}"), F.col("k")), F.lit(w))
+
+    syn_rows = (
+        toks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row"), _bucket(i).alias("bucket"))
+                    for i in range(d)
+                ])
+            ).alias("c")
+        )
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
     n_total = sum(r.cnt for r in syn_rows if r.row == 0)
     cells = [0] * (d * w)
     for r in syn_rows:
@@ -351,7 +375,7 @@ def cms_heavy_hitters(
     lut = F.lit(cells)  # ONE array literal (not d·w expressions)
     est = F.least(
         *[
-            F.element_at(lut, (F.lit(i * w) + digest48(F.col("k"), f"{salt}{i}") % F.lit(w) + F.lit(1)).cast("int"))
+            F.element_at(lut, (F.lit(i * w) + _bucket(i) + F.lit(1)).cast("int"))
             for i in range(d)
         ]
     )

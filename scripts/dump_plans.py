@@ -280,11 +280,13 @@ def main():
         "pq_encode (operators/similarity.py) is a pure scan→Project: every "
         "sub-centroid distance folds into literal column math (no Exchange "
         "anywhere — asserted in tests/test_ops_extra.py). pq_adc_topk "
-        "broadcasts the full-precision query rows into a scan of the CODE "
-        "table (64× less I/O than the float scan), every distance is "
-        "element_at lookups into 16-entry literals, and the only exchange is "
-        "the per-query top-k window over candidate rows — at production the "
-        "IVF cell restriction bounds that to cell size.",
+        "broadcasts the query rows — each carrying its driver-computed m×k "
+        "ADC distance LUT (bit-identical IEEE fold to the in-plan tree) — "
+        "into a scan of the CODE table (64× less I/O than the float scan); "
+        "every candidate distance is m element_at lookups into the LUT, no "
+        "per-candidate dot products, and the only exchange is the per-query "
+        "top-k window over candidate rows — at production the IVF cell "
+        "restriction bounds that to cell size.",
         plan_of(contract.queries()["ann_pq_encode"](spark, "/root/testdata/sf0.001"))
         + "\n\n"
         + plan_of(contract.queries()["ann_pq_adc_topk"](spark, "/root/testdata/sf0.001")),
