@@ -293,6 +293,31 @@ def main():
     ))
 
     sections.append((
+        "IVF-PQ top-k — cell restriction × ADC lookups, the 100-TB ANN plan",
+        "ann_ivf_pq_topk composes the two scale levers: the IVF coarse cell "
+        "assignment restricts each query to its nprobe nearest cells (an "
+        "EQUI join on cell id — the only corpus-volume stage sees "
+        "|corpus|·nprobe/n_cells rows), and within a cell every candidate "
+        "distance is m element_at lookups into the query's broadcast ADC "
+        "LUT (computed driver-side once per query from the literal "
+        "codebook — zero per-candidate float dot products). The final "
+        "top-k window runs per query over cell-bounded candidates.",
+        plan_of(contract.queries()["ann_ivf_pq_topk"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Sentence chunking — closed-form chunk ids, zero per-doc state",
+        "textops.chunk_sentences splits on sentence boundaries with a "
+        "posexplode, then assigns fixed-budget chunk ids in CLOSED FORM "
+        "(floor(cum_len/budget) over a doc-keyed running sum window) — no "
+        "per-doc sequential scan UDF, no state. One exchange for the "
+        "doc-keyed window, one for the chunk reassembly groupBy; both key "
+        "on doc_id so hot documents can't skew a reducer beyond their own "
+        "sentence count.",
+        plan_of(contract.queries()["chunk_sentences"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
         "Connected components — star contraction, O(log n) rounds",
         "graph.connected_components alternates large-star / small-star "
         "(Kiveris et al. 2014): per round two map-side-combined groupBys on "
