@@ -197,6 +197,9 @@ QUERY_NAMES = [
     "doc_top_keywords",
     "graph_connected_components",
     "ann_ivf_pq_topk",
+    "opic_cash_step",
+    "lr_quality_train",
+    "cdc_chunk_hashes",
 ]
 
 

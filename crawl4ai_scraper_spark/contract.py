@@ -5843,6 +5843,163 @@ def ann_ivf_pq_topk(spark, sf):
     return S.ivf_pq_topk(_t(spark, sf, "embeddings"))
 
 
+@_q(
+    "opic_cash_step",
+    """WITH e AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id < 195 AND doc_id % 15 = 0
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), c0 AS (
+      SELECT id, CAST(ROUND(1.0 / n, 12) AS DECIMAL(28,12)) AS cash FROM nodes, nn
+    ), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), dang AS (
+      SELECT COALESCE(SUM(cash), CAST(0 AS DECIMAL(28,12))) AS g
+      FROM c0 LEFT JOIN deg ON deg.src = c0.id WHERE deg.src IS NULL
+    ), shr AS (
+      SELECT CAST(ROUND(CAST(g AS DOUBLE) / n, 12) AS DECIMAL(28,12)) AS share
+      FROM dang, nn
+    ), contrib AS (
+      SELECT e.dst AS id,
+             CAST(SUM(CAST(ROUND(CAST(c0.cash AS DOUBLE) / deg.outdeg, 12)
+                           AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS in_sum
+      FROM e JOIN deg ON deg.src = e.src JOIN c0 ON c0.id = e.src
+      GROUP BY e.dst)
+    SELECT c0.id,
+           CAST(COALESCE(in_sum, CAST(0 AS DECIMAL(28,12))) + shr.share AS DOUBLE) AS cash,
+           CAST(c0.cash AS DOUBLE) AS history,
+           CAST(COALESCE(in_sum, CAST(0 AS DECIMAL(28,12))) + shr.share + c0.cash
+                AS DOUBLE) AS importance
+    FROM c0 CROSS JOIN shr LEFT JOIN contrib ON contrib.id = c0.id""",
+)
+def opic_cash_step_q(spark, sf):
+    """OPIC (Abiteboul et al. WWW'03) — the crawl-frontier importance metric
+    computed ONLINE instead of by PageRank convergence: one synchronous
+    cash-distribution step over the DIRECTED star/bridge graph (kept
+    directed precisely so dangling hubs exist and exercise the
+    virtual-root re-injection). Per-edge contributions and the uniform
+    dangling share are rounded to 12dp before the DECIMAL sums — order-free,
+    oracle-exact; importance = history + cash is the frontier's ORDER BY."""
+    from crawl4ai_scraper_spark.operators.graph import opic_step
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    star = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("dst"),
+    )
+    bridge = docs.filter((F.col("doc_id") < 195) & (F.col("doc_id") % 15 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 5).alias("dst")
+    )
+    return opic_step(star.unionByName(bridge), n_iter=1)
+
+
+@_q(
+    "lr_quality_train",
+    """WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('fh1:' || term), 1, 12) AS BIGINT) AS h
+      FROM toks WHERE term <> ''
+    ), f AS (
+      SELECT doc_id, CAST(h % 64 AS INT) AS dim,
+             CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS x
+      FROM h GROUP BY doc_id, dim
+      HAVING SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    ), lbl AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lbl
+    ), g1 AS (
+      -- step 1 from w = 0: sigmoid(0) = 0.5 exactly, no transcendental
+      SELECT f.dim,
+             CAST(SUM(CAST(ROUND((0.5 - lbl.y) * f.x / nn.n, 12)
+                           AS DECIMAL(20,12))) AS DECIMAL(38,12)) AS g
+      FROM f JOIN lbl USING (doc_id) CROSS JOIN nn GROUP BY f.dim
+    ), dims AS (SELECT CAST(r AS INT) AS dim FROM range(0, 64) t(r)
+    ), w1 AS (
+      SELECT dims.dim,
+             CAST(0 - COALESCE(g1.g, CAST(0 AS DECIMAL(38,12))) AS DECIMAL(18,12)) AS w
+      FROM dims LEFT JOIN g1 USING (dim)
+    ), m2 AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(f.x AS DECIMAL(10,0)) * w1.w) AS DECIMAL(38,12)) AS m
+      FROM f JOIN w1 USING (dim) GROUP BY f.doc_id
+    ), r2 AS (
+      -- the 6dp rounding of the sigmoid is the determinism contract: a
+      -- last-ulp exp() difference between engines cannot reach 5e-7
+      SELECT lbl.doc_id,
+             ROUND(1.0 / (1.0 + EXP(-COALESCE(CAST(m2.m AS DOUBLE), 0.0))), 6)
+               - lbl.y AS r
+      FROM lbl LEFT JOIN m2 USING (doc_id)
+    ), g2 AS (
+      SELECT f.dim,
+             CAST(SUM(CAST(ROUND(r2.r * f.x / nn.n, 12)
+                           AS DECIMAL(20,12))) AS DECIMAL(38,12)) AS g
+      FROM f JOIN r2 USING (doc_id) CROSS JOIN nn GROUP BY f.dim)
+    SELECT w1.dim,
+           CAST(w1.w - COALESCE(g2.g, CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS weight
+    FROM w1 LEFT JOIN g2 USING (dim)""",
+)
+def lr_quality_train_q(spark, sf):
+    """Train the quality classifier IN-ENGINE: two full-batch logistic-
+    regression GD steps over hashing-trick features (feature_hash_vectors,
+    exact integers), labels y = (lang = 'en') — the fastText-style filter
+    recipe (CCNet / DCLM / FineWeb-Edu) with the engine's determinism
+    contract: DECIMAL dot products, sigmoid rounded to 6dp, 12dp per-example
+    gradient rounding before DECIMAL sums, learning rate 1 so updates are
+    exact subtractions. The oracle reproduces the learned 64-dim weight
+    vector bit-for-bit."""
+    from crawl4ai_scraper_spark.operators.classifier import lr_train
+    from crawl4ai_scraper_spark.operators.search import feature_hash_vectors
+
+    docs = _t(spark, sf, "documents")
+    feats = feature_hash_vectors(docs, dim=64, salt="fh1")
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    return lr_train(feats, labels, dim=64, steps=2)
+
+
+@_q(
+    "cdc_chunk_hashes",
+    """WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, UNNEST(w) AS term, UNNEST(range(0, len(w))) AS pos FROM w
+    ), tt AS (
+      SELECT doc_id, pos, term,
+             CASE WHEN CAST('0x' || substr(md5('cdc1:' || term), 1, 12) AS BIGINT)
+                       % 32 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM t WHERE term <> ''
+    ), st AS (
+      SELECT doc_id, pos, term,
+             CAST(COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+               AS chunk_id
+      FROM tt)
+    SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_hash
+    FROM st GROUP BY doc_id, chunk_id""",
+)
+def cdc_chunk_hashes_q(spark, sf):
+    """Content-defined chunking (rsync/LBFS boundaries on token digests,
+    expected 32-token chunks): boundaries depend on local content only, so
+    insertions shift NO downstream chunk hashes — the dedup key that catches
+    shifted/partially-edited near-duplicates fixed windows miss. Closed-form
+    chunk ids (one doc-key window), ordered reassembly via array_sort."""
+    from crawl4ai_scraper_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf, "documents"), mask_bits=5, salt="cdc1")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

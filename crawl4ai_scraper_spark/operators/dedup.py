@@ -728,3 +728,87 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+# --- content-defined chunking (Rabin-style boundaries) -----------------------
+
+def cdc_chunks(
+    docs: DataFrame,
+    mask_bits: int = 5,
+    salt: str = "cdc1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: split each document at TOKENS whose digest
+    satisfies ``h % 2^mask_bits == 0`` (expected chunk length 2^mask_bits
+    tokens). Because boundaries are a function of local content only — not
+    of offsets — an insertion or deletion reshuffles just the one or two
+    chunks it touches while every other chunk keeps its hash, which is the
+    property that lets chunk-hash dedup catch shifted/partially-edited
+    near-duplicates that fixed windows (dup_span_stats) and whole-doc
+    hashes structurally miss (the rsync / LBFS / backup-dedup trick,
+    Muthitacharoen et al. SOSP'01, applied to webtext).
+
+    The boundary token CLOSES its chunk: chunk_id = running count of
+    boundary tokens strictly BEFORE the current one — a closed-form window
+    expression like chunk_sentences, no per-doc sequential state. Digest is
+    the shared 48-bit md5 (sketches.digest48), so a SQL oracle reproduces
+    the cut points exactly.
+
+    Scale shape: Generate off the pruned scan, ONE doc-key window for the
+    cumulative boundary count, one (doc, chunk) groupBy with map-side
+    combine (AQE co-partitions it with the window exchange); ordered
+    reassembly via array_sort(struct) — no second window. Token volume
+    moves once.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_hash) where chunk_hash =
+    md5 of the space-joined chunk text — the key a groupBy/anti-join dedup
+    consumes downstream."""
+    from pyspark.sql import Window
+
+    from crawl4ai_scraper_spark.operators.search import tokenize
+    from crawl4ai_scraper_spark.operators.sketches import digest48
+
+    mask = 1 << mask_bits
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            "pos",
+            "term",
+            F.when(digest48(F.col("term"), salt) % mask == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("b"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = toks.select(
+        "doc_id",
+        "pos",
+        "term",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).cast("int").alias("chunk_id"),
+    )
+    return (
+        staged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                        lambda x: x["term"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .select("doc_id", "chunk_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "chunk_hash")
+    )

@@ -367,3 +367,85 @@ def connected_components(
             isolated.select("node", F.col("node").alias("component"))
         )
     return out
+
+
+# --- OPIC: On-line Page Importance Computation -------------------------------
+
+def opic_step(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 1,
+) -> DataFrame:
+    """OPIC cash propagation (Abiteboul, Preda & Cobena, WWW 2003 — the
+    frontier-prioritization importance metric crawlers use INSTEAD of full
+    PageRank: importance accrues online as pages are visited, no global
+    convergence loop). Batch-synchronous variant over the directed link
+    graph: every node starts with cash 1/n and history 0; one step banks
+    the cash into history and redistributes it equally over out-edges;
+    dangling cash (nodes with no out-links) goes to the virtual root and is
+    re-injected uniformly in the same step, so total cash is conserved
+    (up to the documented 1e-12 per-term rounding).
+
+    Engine-reproducible by the same contract as :func:`pagerank`: per-edge
+    contributions and the uniform dangling share are rounded to 12dp BEFORE
+    the DECIMAL sums, so the result is order-free and a SQL oracle matches
+    it bit-for-bit. The crawl-priority read-out is (history + cash) — the
+    OPIC importance estimate the frontier can ORDER BY.
+
+    Scale shape per step: one equi-join of edges with the cash vector on
+    src + one groupBy(dst) with map-side combine + one model-sized scalar
+    aggregate for the dangling mass; lineage truncated per round.
+    Returns (id, cash, history, importance) as doubles.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = out_degrees(e)
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+
+    state = nodes.select(
+        "id",
+        F.round(F.lit(1.0 / n), 12).cast(_SCALE).alias("cash"),
+        F.lit(0).cast(_SCALE).alias("history"),
+    )
+    zero = F.lit(0).cast(_SCALE)
+    for _ in range(n_iter):
+        # dangling mass: exact DECIMAL sum over nodes with no out-edges
+        dangling = (
+            state.join(deg.select(F.col("src").alias("id")), "id", "left_anti")
+            .agg(F.coalesce(F.sum("cash"), zero).cast(_SCALE).alias("g"))
+            .collect()[0]["g"]
+        )
+        share = F.round(F.lit(float(dangling) / n), 12).cast(_SCALE)
+        contrib = (
+            e_deg.join(state.select(F.col("id").alias("src"), "cash"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("cash").cast("double") / F.col("outdeg"), 12)
+                .cast(_SCALE)
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast(_SCALE).alias("in_sum"))
+        )
+        state = (
+            state.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("in_sum"), zero) + share).cast(_SCALE).alias("cash"),
+                (F.col("history") + F.col("cash")).cast(_SCALE).alias("history"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "id",
+        F.col("cash").cast("double").alias("cash"),
+        F.col("history").cast("double").alias("history"),
+        (F.col("cash") + F.col("history")).cast("double").alias("importance"),
+    )

@@ -1,0 +1,179 @@
+"""Kernel tests for the session-5 operators: OPIC cash propagation,
+in-engine logistic-regression training, and content-defined chunking."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+# --- OPIC --------------------------------------------------------------------
+
+def _opic_python(edges, n_iter):
+    """Sequential oracle with the same 12dp rounding contract."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    cash = {v: round(1.0 / n, 12) for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(cash[v] for v in nodes if v not in outdeg)
+        share = round(dangling / n, 12)
+        nxt = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            nxt[v] += round(cash[u] / outdeg[u], 12)
+        for v in nodes:
+            hist[v] = round(hist[v] + cash[v], 12)
+            cash[v] = round(nxt[v] + share, 12)
+    return {v: (cash[v], hist[v]) for v in nodes}
+
+
+def test_opic_step_matches_python_oracle_and_conserves_cash(spark):
+    from crawl4ai_scraper_spark.operators.graph import opic_step
+
+    #   1 → 2 → 3 (dangling), 1 → 3, 4 isolated-as-dangling-target of 3? no:
+    # build: chain with a dangling sink and a second component
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for n_iter in (1, 3):
+        got = {r["id"]: (r["cash"], r["history"]) for r in opic_step(df, n_iter=n_iter).collect()}
+        want = _opic_python(edges, n_iter)
+        assert set(got) == set(want)
+        for v in want:
+            assert math.isclose(got[v][0], want[v][0], abs_tol=1e-9), (n_iter, v)
+            assert math.isclose(got[v][1], want[v][1], abs_tol=1e-9), (n_iter, v)
+        # cash conservation: the virtual-root re-injection keeps Σcash = 1
+        assert math.isclose(sum(c for c, _ in got.values()), 1.0, abs_tol=1e-8)
+
+
+def test_opic_importance_favors_link_targets(spark):
+    from crawl4ai_scraper_spark.operators.graph import opic_step
+
+    # star: every spoke points at the hub → hub importance dominates
+    edges = [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    rows = {r["id"]: r["importance"] for r in opic_step(df, n_iter=3).collect()}
+    assert rows[0] > max(v for k, v in rows.items() if k != 0) * 2
+
+
+# --- logistic regression ------------------------------------------------------
+
+def _lr_numpy(feat_rows, labels, dim, steps):
+    """Unrounded full-batch GD oracle (lr = 1, from 0)."""
+    import numpy as np
+
+    docs = sorted(labels)
+    X = np.zeros((len(docs), dim))
+    idx = {d: i for i, d in enumerate(docs)}
+    for d, j, x in feat_rows:
+        X[idx[d], j] = x
+    y = np.array([labels[d] for d in docs], dtype=float)
+    w = np.zeros(dim)
+    for _ in range(steps):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = w - X.T @ (p - y) / len(docs)
+    return w
+
+
+def test_lr_train_matches_numpy_within_rounding(spark):
+    from crawl4ai_scraper_spark.operators.classifier import lr_train
+
+    # linearly separable toy: dim 3 positive-indicative, dim 7 negative
+    feat_rows, labels = [], {}
+    for d in range(40):
+        y = d % 2
+        labels[d] = y
+        feat_rows.append((d, 3, 2 if y else 0))
+        feat_rows.append((d, 7, 0 if y else 2))
+        feat_rows.append((d, 11, 1))  # constant/bias-ish noise dim
+    feat_rows = [(d, j, x) for d, j, x in feat_rows if x != 0]
+    feats = spark.createDataFrame(feat_rows, "doc_id int, dim int, value int")
+    lbl = spark.createDataFrame(list(labels.items()), "doc_id int, y int")
+    got = {r["dim"]: r["weight"] for r in lr_train(feats, lbl, dim=16, steps=2).collect()}
+    want = _lr_numpy(feat_rows, labels, 16, 2)
+    assert len(got) == 16
+    for j in range(16):
+        # rounding contract perturbs ≤ ~1e-6 per example per step
+        assert abs(got[j] - want[j]) < 1e-4, (j, got[j], want[j])
+    assert got[3] > 0.1 and got[7] < -0.1  # learned the separating signs
+
+
+def test_lr_score_separates_labels(spark):
+    from crawl4ai_scraper_spark.operators.classifier import lr_score, lr_train
+
+    feat_rows, lbl_rows = [], []
+    for d in range(30):
+        y = 1 if d % 3 == 0 else 0
+        lbl_rows.append((d, y))
+        feat_rows.append((d, 1, 3 if y else 1))
+        feat_rows.append((d, 2, 1 if y else 4))
+    feats = spark.createDataFrame(feat_rows, "doc_id int, dim int, value int")
+    lbl = spark.createDataFrame(lbl_rows, "doc_id int, y int")
+    w = lr_train(feats, lbl, dim=4, steps=3)
+    scores = {r["doc_id"]: r["score"] for r in lr_score(feats, w).collect()}
+    pos = [scores[d] for d, y in lbl_rows if y == 1]
+    neg = [scores[d] for d, y in lbl_rows if y == 0]
+    assert min(pos) > max(neg)
+
+
+# --- content-defined chunking -------------------------------------------------
+
+def _cdc_python(text, mask_bits=5, salt="cdc1"):
+    toks = [t for t in text.strip().lower().split() if t]
+    mask = 1 << mask_bits
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        h = int(hashlib.md5(f"{salt}:{t}".encode()).hexdigest()[:12], 16)
+        if h % mask == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        (i, len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+        for i, c in enumerate(chunks)
+    ]
+
+
+def test_cdc_chunks_match_python_oracle(spark):
+    from crawl4ai_scraper_spark.operators.dedup import cdc_chunks
+
+    texts = {
+        1: " ".join(f"tok{i % 97}" for i in range(400)),
+        2: "single",
+        3: "",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    out = cdc_chunks(docs, mask_bits=5, salt="cdc1").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_tokens"], r["chunk_hash"])
+        )
+    assert 3 not in by_doc
+    for d, text in list(texts.items())[:2]:
+        assert sorted(by_doc[d]) == _cdc_python(text)
+
+
+def test_cdc_chunks_are_shift_invariant(spark):
+    """Inserting a prefix changes at most the FIRST chunk's hash — the
+    property fixed windows lack and the reason CDC catches shifted dups."""
+    from crawl4ai_scraper_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{(i * 7) % 211}" for i in range(600))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted preamble tokens here " + base)],
+        "doc_id int, text string",
+    )
+    rows = cdc_chunks(docs, mask_bits=5, salt="cdc1").collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    first1 = min((r["chunk_id"], r["chunk_hash"]) for r in rows if r["doc_id"] == 1)[1]
+    # every chunk of the original except possibly its first survives verbatim
+    assert h1 - h2 <= {first1}
+    assert len(h1 & h2) >= len(h1) - 1
