@@ -200,6 +200,9 @@ QUERY_NAMES = [
     "opic_cash_step",
     "lr_quality_train",
     "cdc_chunk_hashes",
+    "trustrank_scores",
+    "doc_novelty_scores",
+    "readability_scores",
 ]
 
 

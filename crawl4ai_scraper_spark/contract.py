@@ -6000,6 +6000,123 @@ def cdc_chunk_hashes_q(spark, sf):
     return cdc_chunks(_t(spark, sf, "documents"), mask_bits=5, salt="cdc1")
 
 
+@_q(
+    "trustrank_scores",
+    """WITH e AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id < 195 AND doc_id % 15 = 0
+    ), nodes AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), sd AS (SELECT id FROM nodes WHERE id % 20 = 0
+    ), ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM sd
+    ), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), t0 AS (
+      SELECT nodes.id,
+             CASE WHEN sd.id IS NOT NULL
+                  THEN CAST(ROUND(1.0 / s, 12) AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END AS trust
+      FROM nodes CROSS JOIN ss LEFT JOIN sd ON sd.id = nodes.id
+    ), base AS (
+      SELECT nodes.id,
+             CASE WHEN sd.id IS NOT NULL
+                  THEN CAST(ROUND(0.15 / s, 12) AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END AS d
+      FROM nodes CROSS JOIN ss LEFT JOIN sd ON sd.id = nodes.id
+    ), contrib AS (
+      SELECT e.dst AS id,
+             CAST(SUM(CAST(ROUND(0.85 * CAST(t0.trust AS DOUBLE) / deg.outdeg, 12)
+                           AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS in_sum
+      FROM e JOIN deg ON deg.src = e.src JOIN t0 ON t0.id = e.src
+      GROUP BY e.dst)
+    SELECT base.id,
+           CAST(base.d + COALESCE(in_sum, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+             AS trust
+    FROM base LEFT JOIN contrib ON contrib.id = base.id""",
+)
+def trustrank_scores_q(spark, sf):
+    """TrustRank (Gyöngyi et al. VLDB'04): PageRank personalized to a
+    vetted seed set — trust flows out of seeds and decays with link
+    distance, so spam-farm neighborhoods score ≈ 0; the graph complement
+    of the lexical url_spam_filter for frontier demotion. One iteration
+    over the directed star/bridge graph from the seed-restricted teleport
+    vector (seeds = id % 20 = 0), same 12dp-before-DECIMAL-sum contract as
+    pagerank_step; multi-iteration decay is pytest-pinned."""
+    from crawl4ai_scraper_spark.operators.graph import trustrank
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    star = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("dst"),
+    )
+    bridge = docs.filter((F.col("doc_id") < 195) & (F.col("doc_id") % 15 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 5).alias("dst")
+    )
+    seeds = docs.filter(F.col("doc_id") % 20 == 0)
+    return trustrank(star.unionByName(bridge), seeds, n_iter=1)
+
+
+@_q(
+    "doc_novelty_scores",
+    f"""WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents),
+    g2 AS (SELECT doc_id, UNNEST(list_distinct({_G3_SQL})) AS gram FROM w),
+    g AS (SELECT doc_id, gram FROM g2 WHERE gram <> ''),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+    df AS (SELECT gram, COUNT(*) AS df, MIN(doc_id) AS owner FROM g GROUP BY gram),
+    nov AS (SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+            FROM df WHERE df = 1 GROUP BY owner)
+    SELECT tot.doc_id, tot.n_grams,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) / tot.n_grams, 4)
+             AS novelty
+    FROM tot LEFT JOIN nov USING (doc_id)""",
+)
+def doc_novelty_scores_q(spark, sf):
+    """Per-doc corpus novelty: fraction of the doc's distinct 3-grams with
+    corpus df = 1 — the diversity-selection dual of decontamination.
+    df=1 grams keep their single owner via MIN(doc) inside the gram
+    aggregate, so novelty needs NO join back through the gram table: two
+    map-side-combined aggs of one distinct (doc, gram) stream joined at
+    one row per doc."""
+    from crawl4ai_scraper_spark.operators.textops import doc_novelty
+
+    return doc_novelty(_t(spark, sf, "documents"), n=3)
+
+
+@_q(
+    "readability_scores",
+    """WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                                  s -> trim(s) <> '')) AS BIGINT) AS n_sents,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_sents, n_words, n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+             AS flesch,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+             AS fk_grade
+    FROM c WHERE n_words > 0 AND n_sents > 0""",
+)
+def readability_scores_q(spark, sf):
+    """Flesch reading-ease + Flesch–Kincaid grade — the classic readability
+    features for webtext quality mixes (both tails correlate with spam/
+    boilerplate). Syllables = maximal [aeiouy]+ runs, sentences = the
+    chunk_sentences splitter, words = whitespace tokens: three regexp/array
+    projections at scan speed, two identical double expressions, 4dp."""
+    from crawl4ai_scraper_spark.operators.textops import readability
+
+    return readability(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

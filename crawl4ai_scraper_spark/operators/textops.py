@@ -1373,3 +1373,105 @@ def chunk_sentences(
             "chunk_text",
         )
     )
+
+
+# --- corpus novelty -----------------------------------------------------------
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    n-grams that occur in NO other document (corpus df = 1) — the
+    diversity-selection signal dual to ``contamination`` (overlap vs an
+    eval set) and ``dup_span_stats`` (overlap as spans): high-novelty docs
+    add new content to the corpus, near-zero-novelty docs are assembled
+    from boilerplate even when no single duplicate pair flags them.
+
+    Plan: distinct (doc, gram) once, then TWO aggregations of it — a
+    doc-keyed count (n_grams) and a gram-keyed df count whose df=1 rows
+    keep their single owner via min=max (so novel counts need NO join back
+    through the gram table) — joined doc-to-doc at 1 row per doc.
+    Gram volume shuffles twice (doc key, gram key), never joins against
+    itself; both aggs combine map-side. Returns
+    (doc_id, n_grams, n_novel, novelty) with novelty rounded to 4dp."""
+    dg = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .localCheckpoint(eager=True)
+    )
+    totals = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+# --- readability --------------------------------------------------------------
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document — the
+    classic quality-filter features (too-hard and too-easy tails both
+    correlate with boilerplate/spam in webtext mixes). Heuristic syllables:
+    maximal vowel-group runs ``[aeiouy]+`` of the lowercased text; sentences:
+    the chunk_sentences splitter (maximal ``[^.!?]+[.!?]*`` runs, non-blank);
+    words: whitespace tokens. All three are pure regexp/array projections at
+    scan speed (no shuffle, no Python), and the two scores are single double
+    expressions written identically in the oracle, rounded to 4dp.
+
+    Docs with zero words or zero sentences are excluded (scores undefined).
+    Returns (doc_id, n_sents, n_words, n_syllables, flesch, fk_grade)."""
+    toks = words(F.col(text_col))
+    n_words = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    n_sents = F.size(
+        F.filter(
+            F.expr(f"regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0)"),
+            lambda s: F.trim(s) != F.lit(""),
+        )
+    )
+    n_syll = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_sents.cast("bigint").alias("n_sents"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_sents") > 0))
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return staged.select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )

@@ -177,3 +177,95 @@ def test_cdc_chunks_are_shift_invariant(spark):
     # every chunk of the original except possibly its first survives verbatim
     assert h1 - h2 <= {first1}
     assert len(h1 & h2) >= len(h1) - 1
+
+
+# --- TrustRank -----------------------------------------------------------------
+
+def _trustrank_python(edges, seeds, n_iter, damping=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    seeds = [s for s in seeds if s in set(nodes)]
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    s = len(seeds)
+    d = {v: (round((1 - damping) / s, 12) if v in seeds else 0.0) for v in nodes}
+    t = {v: (round(1.0 / s, 12) if v in seeds else 0.0) for v in nodes}
+    for _ in range(n_iter):
+        nxt = {v: d[v] for v in nodes}
+        for u, v in edges:
+            nxt[v] += round(damping * t[u] / outdeg[u], 12)
+        t = {v: round(nxt[v], 12) for v in nodes}
+    return t
+
+
+def test_trustrank_matches_python_and_decays_with_distance(spark):
+    from crawl4ai_scraper_spark.operators.graph import trustrank
+
+    # chain 0→1→2→3 plus an unreachable spam pocket 8→9
+    edges = [(0, 1), (1, 2), (2, 3), (8, 9)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "id int")
+    for n_iter in (1, 3):
+        got = {r["id"]: r["trust"] for r in trustrank(df, seeds, n_iter=n_iter).collect()}
+        want = _trustrank_python(edges, [0], n_iter)
+        assert set(got) == set(want)
+        for v in want:
+            assert math.isclose(got[v], want[v], abs_tol=1e-9), (n_iter, v)
+    t3 = {r["id"]: r["trust"] for r in trustrank(df, seeds, n_iter=3).collect()}
+    # every chain node is reached and damped (trust ≤ 0.85^dist), total
+    # trust stays ≤ 1, and NOTHING reaches the unlinked spam pocket
+    assert all(t3[v] > 0 for v in (0, 1, 2, 3))
+    for v in (1, 2, 3):
+        assert t3[v] <= 0.85 ** v + 1e-9
+    assert sum(t3.values()) <= 1.0 + 1e-9
+    assert t3[8] == 0.0 and t3[9] == 0.0
+
+
+def test_trustrank_empty_seed_set_is_all_zero(spark):
+    from crawl4ai_scraper_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    seeds = spark.createDataFrame([], "id int")
+    assert all(r["trust"] == 0.0 for r in trustrank(df, seeds).collect())
+
+
+# --- novelty & readability -------------------------------------------------------
+
+def test_doc_novelty_hand_computed(spark):
+    from crawl4ai_scraper_spark.operators.textops import doc_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: 'a b c', 'b c d'
+            (2, "a b c e"),          # grams: 'a b c', 'b c e'
+            (3, "x y"),              # short doc → single gram 'x y'
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in doc_novelty(docs, n=3).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 1  # 'a b c' shared
+    assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1
+    assert got[3]["n_grams"] == 1 and got[3]["n_novel"] == 1
+    assert got[1]["novelty"] == 0.5 and got[3]["novelty"] == 1.0
+
+
+def test_readability_hand_computed(spark):
+    from crawl4ai_scraper_spark.operators.textops import readability
+
+    # "The cat sat. It ran away!" → 2 sents, 6 words,
+    # syllable runs: e/a/a/i/a/a/ay → count via [aeiouy]+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran away!"), (2, ""), (3, "no terminator here")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert 2 not in rows  # empty doc excluded
+    r1 = rows[1]
+    assert r1["n_sents"] == 2 and r1["n_words"] == 6
+    syll = 7  # e, a, a, i, a, a+ay ("away" → 'a','ay' = 2 runs)
+    assert r1["n_syllables"] == syll
+    wps, spw = 6 / 2, syll / 6
+    assert abs(r1["flesch"] - round(206.835 - 1.015 * wps - 84.6 * spw, 4)) < 1e-9
+    assert abs(r1["fk_grade"] - round(0.39 * wps + 11.8 * spw - 15.59, 4)) < 1e-9
+    # a doc with no sentence terminator still yields one sentence run
+    assert rows[3]["n_sents"] == 1
