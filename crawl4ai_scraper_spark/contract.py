@@ -6117,6 +6117,32 @@ def readability_scores_q(spark, sf):
     return readability(_t(spark, sf, "documents"))
 
 
+@_q(
+    "host_corpus_report",
+    """SELECT source AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4)
+             AS dup_rate,
+           ROUND(CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+                                                             '\\s+'),
+                                          t -> t <> ''))) AS DOUBLE) / COUNT(*), 2)
+             AS avg_tokens
+    FROM documents GROUP BY source""",
+)
+def host_corpus_report_q(spark, sf):
+    """Per-host corpus dashboard: doc count, exact-text dup rate (mill/
+    parked-domain detector), token mass, language spread — the aggregates
+    host budgets and recrawl priorities consume. ONE groupBy(host), the
+    distinct-text count riding the same aggregate; output is |hosts| rows."""
+    from crawl4ai_scraper_spark.operators.textops import host_corpus_report
+
+    return host_corpus_report(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -48,6 +48,8 @@ class _PageParser(HTMLParser):
         self.links: List[Tuple[str, str]] = []  # (href, anchor-ish tag context)
         self.title_parts: List[str] = []
         self.description: Optional[str] = None
+        self.canonical: Optional[str] = None  # first <link rel=canonical href>
+        self.meta_robots: Optional[str] = None  # first <meta name=robots content>
         self.blocks: List[str] = []
         self._drop_depth = 0
         self._in_title = False
@@ -82,9 +84,18 @@ class _PageParser(HTMLParser):
                 self._href_stack.append(href)
                 self._anchor_text.append("")
                 self._link_idx_stack.append(len(self.links) - 1)
-        if tag == "meta" and self.description is None:
-            if (amap.get("name") or "").lower() == "description":
+        if tag == "meta":
+            name = (amap.get("name") or "").lower()
+            if self.description is None and name == "description":
                 self.description = amap.get("content") or ""
+            if self.meta_robots is None and name == "robots":
+                self.meta_robots = (amap.get("content") or "").strip().lower()
+        if tag == "link" and self.canonical is None:
+            rel = (amap.get("rel") or "").lower().split()
+            if "canonical" in rel:
+                href = (amap.get("href") or "").strip()
+                if href:
+                    self.canonical = href
         if tag in _DROP_TAGS:
             self._drop_depth += 1
             return
@@ -459,4 +470,33 @@ def fetch_render(html, url: str) -> Dict:
         "links": links,
         "links_internal": internal,
         "links_external": external,
+    }
+
+
+def page_canonical(html: str, base_url: str) -> Optional[str]:
+    """The page's declared canonical URL (first ``<link rel=canonical>``),
+    resolved against the page URL — or None if absent/unresolvable. The
+    reference scraper ignores rel=canonical (selector_utils/crawler have no
+    canonical handling); this is additive crawl hygiene: canonical groups
+    are the publisher-declared duplicate clusters (print views, tracking-
+    parameter variants, m.-mirrors) that content hashing only catches after
+    fetching both copies."""
+    p = _parse(html)
+    if not p.canonical:
+        return None
+    try:
+        return urljoin(base_url, p.canonical)
+    except ValueError:
+        return None
+
+
+def page_meta_robots(html: str) -> Dict[str, bool]:
+    """``<meta name=robots>`` directives as flags. ``none`` = noindex +
+    nofollow (the HTML spec's shorthand); absent meta → both False
+    (indexable, followable — the crawler default)."""
+    p = _parse(html)
+    toks = {t.strip() for t in (p.meta_robots or "").split(",")}
+    return {
+        "noindex": "noindex" in toks or "none" in toks,
+        "nofollow": "nofollow" in toks or "none" in toks,
     }

@@ -1475,3 +1475,45 @@ def readability(
             "fk_grade"
         ),
     )
+
+
+# --- per-host corpus report -----------------------------------------------------
+
+def host_corpus_report(
+    docs: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The per-host corpus dashboard row: how many docs a host contributed,
+    how internally duplicated it is (exact-text dup rate — boilerplate
+    mills and parked domains sit near 1), its token mass and language
+    spread — the aggregates a crawl operator reads before deciding host
+    budgets (host_budget_cap) and recrawl priorities.
+
+    ONE groupBy(host); the exact distinct-text count rides the same
+    aggregate (Spark plans the count-distinct expand, keys ≈ |hosts| —
+    model-sized output). Returns (host, n_docs, n_distinct_texts,
+    total_tokens, n_langs, dup_rate, avg_tokens)."""
+    toks = F.size(F.filter(words(F.col(text_col)), lambda t: t != F.lit("")))
+    agg = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct_texts"),
+        F.sum(toks).alias("total_tokens"),
+        F.countDistinct(F.col(lang_col)).alias("n_langs"),
+    )
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct_texts").cast("bigint").alias("n_distinct_texts"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / F.col("n_docs"),
+            4,
+        ).alias("dup_rate"),
+        F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 2).alias(
+            "avg_tokens"
+        ),
+    )

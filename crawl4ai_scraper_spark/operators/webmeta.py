@@ -1,0 +1,101 @@
+"""Page-metadata crawl hygiene: rel=canonical collapse and meta-robots
+gating over the stored pages table.
+
+The reference scraper has neither (crawler.py consumes crawl4ai's markdown/
+links result only) — these are the additive hygiene passes a production
+crawl runs between fetch and indexing:
+
+* ``rel=canonical`` groups are PUBLISHER-DECLARED duplicate clusters
+  (print views, tracking-parameter URL variants, m.-mirrors). Collapsing
+  them is cheaper and earlier than content dedup — no second fetch, no
+  text hashing — and catches pairs whose extracted text differs (ads,
+  timestamps) so hash dedup would miss them.
+* ``<meta name=robots>`` noindex/nofollow is the in-page half of the
+  politeness contract (robots.txt is the out-of-band half, handled in
+  plans/politeness.py): noindex pages must not be indexed/exported,
+  nofollow pages contribute no outlinks to the frontier.
+
+Both flags come out of ONE narrow Arrow pass over (url, html) — the html
+column never enters a shuffle; downstream operators see only the small
+metadata rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGE_META_SCHEMA = "url string, canonical string, noindex boolean, nofollow boolean"
+
+
+def _extract_meta_rows(it):
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.htmlkit import (
+        decode_html,
+        page_canonical,
+        page_meta_robots,
+    )
+
+    for pdf in it:
+        urls, canon, noidx, nofol = [], [], [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            h = decode_html(html)
+            c = page_canonical(h, url)
+            r = page_meta_robots(h)
+            urls.append(url)
+            canon.append(c if c else url)  # absent declaration = self-canonical
+            noidx.append(r["noindex"])
+            nofol.append(r["nofollow"])
+        yield pd.DataFrame(
+            {"url": urls, "canonical": canon, "noindex": noidx, "nofollow": nofol}
+        )
+
+
+def page_meta(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(url, canonical, noindex, nofollow) per page — one Arrow batch pass,
+    html never shuffled."""
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).mapInPandas(_extract_meta_rows, PAGE_META_SCHEMA)
+
+
+def canonical_collapse(meta: DataFrame) -> DataFrame:
+    """Collapse canonical groups: every URL labeled with its group's
+    SURVIVOR — the canonical target itself when it was crawled, else the
+    lexicographically-first member (deterministic; the target may 404 or
+    sit outside the crawl budget).
+
+    Shape: one groupBy(canonical) whose min-struct prefers a self-canonical
+    member (map-side combine, group keys ≈ distinct targets), then one
+    co-partitioned join back — the standard first-appender dedup shape, so
+    a hot canonical target (every product variant pointing at one page)
+    collapses map-side instead of skewing a reducer.
+
+    Returns (url, canonical, survivor_url, is_survivor)."""
+    survivors = (
+        meta.groupBy("canonical")
+        .agg(
+            F.min(
+                F.struct((F.col("url") != F.col("canonical")), F.col("url"))
+            ).alias("pick")
+        )
+        .select("canonical", F.col("pick.url").alias("survivor_url"))
+    )
+    return meta.select("url", "canonical").join(survivors, "canonical").select(
+        "url",
+        "canonical",
+        "survivor_url",
+        (F.col("url") == F.col("survivor_url")).alias("is_survivor"),
+    )
+
+
+def robots_meta_gate(meta: DataFrame) -> DataFrame:
+    """Split read-out of the meta-robots directives: (url, indexable,
+    followable) — the predicates the exporter (noindex) and the frontier
+    expansion (nofollow) consume."""
+    return meta.select(
+        "url",
+        (~F.col("noindex")).alias("indexable"),
+        (~F.col("nofollow")).alias("followable"),
+    )

@@ -339,6 +339,58 @@ def main():
         plan_of(contract.queries()["doc_top_keywords"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "LR classifier training — broadcast weights, two map-side-combined aggs",
+        "classifier.lr_train (lr_quality_train): per GD step the 64-row "
+        "weight table is BROADCAST into the feature scan (never a shuffled "
+        "join), margins collapse in ONE doc-keyed groupBy with "
+        "partial_sum, and the gradient groupBy runs over 64 dim keys — "
+        "partial aggregation collapses each task to ≤64 rows before the "
+        "exchange. The corpus-volume feature table crosses one exchange "
+        "per pass; weights are the only driver artifact (model-sized).",
+        plan_of(contract.queries()["lr_quality_train"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Content-defined chunking — one doc-key window, no per-doc state",
+        "dedup.cdc_chunks (cdc_chunk_hashes): Rabin-style boundaries are a "
+        "pure digest predicate per token; chunk ids are CLOSED FORM (a "
+        "doc-keyed running count window), so there is no sequential "
+        "per-doc UDF and no state. The token stream crosses the doc-keyed "
+        "window exchange once; the (doc, chunk) reassembly groupBy keys on "
+        "the same doc id.",
+        plan_of(contract.queries()["cdc_chunk_hashes"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Corpus novelty — df=1 grams keep their owner, no gram join-back",
+        "textops.doc_novelty (doc_novelty_scores): the distinct (doc, gram) "
+        "stream feeds TWO map-side-combined aggregations — a doc-keyed "
+        "count and a gram-keyed df count whose df=1 rows carry MIN(doc) as "
+        "the owner — so per-doc novelty is a 1-row-per-doc join of two "
+        "aggregates; the gram table never joins against itself.",
+        plan_of(contract.queries()["doc_novelty_scores"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Readability — pure projection at scan speed",
+        "textops.readability (readability_scores): syllable/sentence/word "
+        "counts are regexp/array expressions inside WholeStageCodegen over "
+        "the scan — ZERO exchanges, no Generate, no Python.",
+        plan_of(contract.queries()["readability_scores"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "OPIC + TrustRank — the pagerank join/agg shape with rank-vector variants",
+        "graph.opic_step banks cash into history and redistributes per step "
+        "(dangling mass via one scalar aggregate, re-injected uniformly); "
+        "graph.trustrank personalizes the teleport vector to the seed set. "
+        "Both reuse the pagerank per-iteration shape: one edges⋈rank "
+        "equi-join plus one dst-keyed groupBy with partial DECIMAL sums — "
+        "shown here for one OPIC step.",
+        plan_of(contract.queries()["opic_cash_step"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",

@@ -269,3 +269,63 @@ def test_readability_hand_computed(spark):
     assert abs(r1["fk_grade"] - round(0.39 * wps + 11.8 * spw - 15.59, 4)) < 1e-9
     # a doc with no sentence terminator still yields one sentence run
     assert rows[3]["n_sents"] == 1
+
+
+# --- page-metadata hygiene (canonical collapse + meta robots) --------------------
+
+def _page(canon=None, robots=None):
+    head = ""
+    if canon:
+        head += f'<link rel="canonical" href="{canon}">'
+    if robots:
+        head += f'<meta name="robots" content="{robots}">'
+    return f"<html><head>{head}</head><body><p>content</p></body></html>".encode()
+
+
+def test_page_meta_and_canonical_collapse(spark):
+    from crawl4ai_scraper_spark.operators.webmeta import (
+        canonical_collapse,
+        page_meta,
+        robots_meta_gate,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/real", _page()),                       # target itself
+            ("https://a.example/dup?utm=1", _page(canon="/real")),     # variant
+            ("https://a.example/dup?utm=2", _page(canon="/real")),     # variant
+            ("https://a.example/orphan1", _page(canon="/gone")),       # target not crawled
+            ("https://a.example/orphan2", _page(canon="/gone")),
+            ("https://a.example/plain", _page()),                      # no declaration
+            ("https://a.example/secret", _page(robots="noindex, nofollow")),
+            ("https://a.example/nofollow-only", _page(robots="nofollow")),
+            ("https://a.example/none-kw", _page(robots="none")),
+        ],
+        "url string, html binary",
+    )
+    meta = page_meta(pages)
+    rows = {r["url"]: r for r in meta.collect()}
+    assert rows["https://a.example/dup?utm=1"]["canonical"] == "https://a.example/real"
+    assert rows["https://a.example/plain"]["canonical"] == "https://a.example/plain"
+    assert rows["https://a.example/secret"]["noindex"] is True
+    assert rows["https://a.example/nofollow-only"]["noindex"] is False
+    assert rows["https://a.example/nofollow-only"]["nofollow"] is True
+    assert rows["https://a.example/none-kw"]["noindex"] is True  # 'none' shorthand
+
+    col = {r["url"]: r for r in canonical_collapse(meta).collect()}
+    # declared group collapses onto the crawled target
+    for u in ("https://a.example/real", "https://a.example/dup?utm=1",
+              "https://a.example/dup?utm=2"):
+        assert col[u]["survivor_url"] == "https://a.example/real"
+    assert col["https://a.example/real"]["is_survivor"] is True
+    assert col["https://a.example/dup?utm=1"]["is_survivor"] is False
+    # uncrawled target → deterministic lexicographic survivor
+    assert col["https://a.example/orphan1"]["survivor_url"] == "https://a.example/orphan1"
+    assert col["https://a.example/orphan2"]["is_survivor"] is False
+    # undeclared pages survive as themselves
+    assert col["https://a.example/plain"]["is_survivor"] is True
+
+    gate = {r["url"]: r for r in robots_meta_gate(meta).collect()}
+    assert gate["https://a.example/secret"]["indexable"] is False
+    assert gate["https://a.example/secret"]["followable"] is False
+    assert gate["https://a.example/plain"]["indexable"] is True

@@ -586,3 +586,77 @@ def test_sketch_setops_plan_shapes(spark):
     # (the verify count; the synopsis build ran as a separate bounded job).
     hh = qs["heavy_hitter_bigrams"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in hh and "CartesianProduct" not in hh
+
+
+def test_lr_train_broadcast_weights_no_sortmerge(spark):
+    """LR training: the 64-row weight table enters via BroadcastHashJoin —
+    the corpus-volume feature table must never shuffle FOR A JOIN (its only
+    hash exchanges are the doc-keyed margin agg / residual join and the
+    64-key gradient agg, both with partial aggregation)."""
+    from crawl4ai_scraper_spark.operators.classifier import lr_score, lr_train
+
+    feats = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 16).cast("int").alias("dim"),
+        (F.col("id") % 5 + 1).cast("int").alias("value"),
+    )
+    lbl = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).cast("int").alias("y")
+    )
+    w = lr_train(feats, lbl, dim=16, steps=1)
+    plan = _plan(lr_score(feats, w))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_cdc_chunks_single_doc_window_exchange(spark):
+    """CDC chunking: the token stream crosses doc-keyed exchanges only (the
+    boundary-count window and the chunk reassembly agg) — no joins, no
+    non-doc shuffle, and partial aggregation before the reassembly."""
+    from crawl4ai_scraper_spark.operators.dedup import cdc_chunks
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(cdc_chunks(docs))
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line, line
+
+
+def test_doc_novelty_two_aggs_no_gram_self_join(spark):
+    """Novelty: two map-side-combined aggs of the (doc, gram) stream joined
+    doc-to-doc at one row per doc — the gram table never joins against
+    itself (no gram-keyed join, no SortMergeJoin on gram)."""
+    from crawl4ai_scraper_spark.operators.textops import doc_novelty
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w1 w2 w3 w4 w"), (F.col("id") % 9).cast("string")).alias("text"),
+    )
+    plan = _plan(doc_novelty(docs, n=3))
+    assert "partial_count" in plan
+    for line in plan.splitlines():
+        if "Join" in line and "gram" in line:
+            raise AssertionError(f"gram-keyed join found: {line}")
+
+
+def test_readability_zero_exchange_pure_projection(spark):
+    """Readability is a pure projection: no Exchange, no Generate, no
+    Python — the whole thing stays inside codegen over the scan."""
+    from crawl4ai_scraper_spark.operators.textops import readability
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("The cat sat. It ran away!").alias("text"),
+    )
+    plan = _plan(readability(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # executedPlan().toString() marks whole-stage-codegen spans with "*(n)"
+    assert "*(" in plan
