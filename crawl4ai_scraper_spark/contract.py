@@ -6143,6 +6143,103 @@ def host_corpus_report_q(spark, sf):
     return host_corpus_report(_t(spark, sf, "documents"))
 
 
+@_q(
+    "redirect_resolution",
+    """WITH RECURSIVE redir AS (
+      SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+      FROM documents WHERE doc_id % 3 <> 0
+    ), nodes AS (
+      SELECT src AS node FROM redir UNION SELECT dst FROM redir
+    ), walk AS (
+      SELECT node AS src, node AS cur, 0 AS hops FROM nodes
+      UNION ALL
+      SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN redir r ON r.src = w.cur
+    )
+    SELECT src AS node, CAST(cur AS BIGINT) AS final_id,
+           CAST(hops AS INT) AS hops, TRUE AS resolved
+    FROM walk
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) = 1""",
+)
+def redirect_resolution_q(spark, sf):
+    """Redirect-chain resolution by pointer doubling over a deterministic
+    functional graph (doc % 3 != 0 redirects to doc DIV 2; multiples of 3
+    and 0 are terminals — chains are O(log max_id) hops). Spark resolves in
+    ceil(log2 L) self-joins of the mapping; the oracle walks the chain with
+    a recursive CTE. Integer-exact, bit-reproducible."""
+    from crawl4ai_scraper_spark.operators.graph import resolve_redirects
+
+    docs = _t(spark, sf, "documents").select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    redir = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("src"),
+        F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("dst"),
+    )
+    return resolve_redirects(redir)
+
+
+@_q(
+    "host_graph_rank",
+    """WITH e1 AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id < 195 AND doc_id % 15 = 0
+    ), eb AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+    ), hmap AS (
+      SELECT doc_id, source FROM documents WHERE doc_id < 200
+    ), he AS (
+      SELECT s.source AS src, d.source AS dst, COUNT(*) AS w
+      FROM eb JOIN hmap s ON s.doc_id = eb.src JOIN hmap d ON d.doc_id = eb.dst
+      WHERE s.source <> d.source GROUP BY 1, 2
+    ), nodes AS (SELECT src AS id FROM he UNION SELECT dst FROM he
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), wout AS (SELECT src, SUM(w) AS tw FROM he GROUP BY src
+    ), r0 AS (
+      SELECT id, CAST(ROUND(1.0 / n, 12) AS DECIMAL(28,12)) AS rank FROM nodes, nn
+    ), contrib AS (
+      SELECT he.dst AS id,
+             CAST(SUM(CAST(ROUND(0.85 * CAST(r0.rank AS DOUBLE) * he.w / wout.tw, 12)
+                           AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS in_sum
+      FROM he JOIN wout ON wout.src = he.src JOIN r0 ON r0.id = he.src
+      GROUP BY he.dst)
+    SELECT nodes.id AS host,
+           CAST(CAST(ROUND(0.15 / n, 12) AS DECIMAL(28,12))
+                + COALESCE(in_sum, CAST(0 AS DECIMAL(28,12))) AS DOUBLE) AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN contrib ON contrib.id = nodes.id""",
+)
+def host_graph_rank_q(spark, sf):
+    """Host-level authority: contract the pagerank_step link graph to the
+    HOST graph (endpoints mapped through documents.source, parallel edges
+    weight-collapsed, intra-host edges dropped) and run one WEIGHTED rank
+    step — rank flows proportional to edge weight over total outgoing
+    weight. Host graphs are 3-5 orders smaller than page graphs; this is
+    where crawl-budget and spam-demotion signals live."""
+    from crawl4ai_scraper_spark.operators.graph import (
+        contract_to_hosts,
+        weighted_pagerank,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    ids = docs.select("doc_id")
+    star = ids.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("dst"),
+    )
+    bridge = ids.filter((F.col("doc_id") < 195) & (F.col("doc_id") % 15 == 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 5).alias("dst")
+    )
+    directed = star.unionByName(bridge)
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    hosts = contract_to_hosts(
+        edges, docs.select("doc_id", "source"), node="doc_id", host="source"
+    )
+    return weighted_pagerank(hosts, src="src_host", dst="dst_host").select(
+        F.col("id").alias("host"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

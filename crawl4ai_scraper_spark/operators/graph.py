@@ -536,3 +536,173 @@ def trustrank(
             .localCheckpoint(eager=True)
         )
     return trust.select("id", F.col("trust").cast("double").alias("trust"))
+
+
+# --- redirect-chain resolution (pointer doubling) -----------------------------
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Final-target resolution of redirect chains (301/302 hops, HTML
+    refreshes, canonical indirections) by POINTER DOUBLING: each round every
+    node's pointer jumps to its pointer's pointer, so an L-hop chain resolves
+    in ceil(log2 L) rounds — each round is ONE co-partitioned equi-join of
+    the |nodes|-row 2-column mapping with itself plus a scalar all-done
+    check. Chasing hop-by-hop would be O(max_hops) edge joins; at 10^10 URLs
+    with 30-hop worst-case chains doubling needs 5 joins, chasing needs 30.
+    The reference fetches redirects inline per-URL (requests follows them
+    silently); batch crawls must resolve the stored redirect table instead.
+
+    Redirect LOOPS (they exist in real crawls) never reach a terminal: after
+    ``max_rounds`` they remain resolved=false, keeping their last-jump
+    target, so callers can quarantine them. Acyclic inputs always converge.
+
+    Returns (node, final_id, hops, resolved) for EVERY node of the graph —
+    terminals (targets with no outgoing redirect) map to themselves at 0.
+    Integer-only math: bit-reproducible in any engine."""
+    r = redirects.select(F.col(src).alias("node"), F.col(dst).alias("nxt")).distinct()
+    terminals = (
+        r.select(F.col("nxt").alias("node"))
+        .distinct()
+        .join(r.select("node"), "node", "left_anti")
+    )
+    m = (
+        r.select(
+            "node", "nxt", F.lit(1).cast("int").alias("hops"), F.lit(False).alias("done")
+        )
+        .unionByName(
+            terminals.select(
+                "node",
+                F.col("node").alias("nxt"),
+                F.lit(0).cast("int").alias("hops"),
+                F.lit(True).alias("done"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if m.filter(~F.col("done")).isEmpty():
+            break
+        hop = m.select(
+            F.col("node").alias("nxt"),
+            F.col("nxt").alias("nxt2"),
+            F.col("hops").alias("hops2"),
+            F.col("done").alias("done2"),
+        )
+        m = (
+            m.join(hop, "nxt", "left")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("nxt"))
+                .otherwise(F.coalesce(F.col("nxt2"), F.col("nxt")))
+                .alias("nxt"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.coalesce(F.col("hops2"), F.lit(0)))
+                .alias("hops"),
+                F.when(F.col("done"), F.lit(True))
+                .otherwise(F.coalesce(F.col("done2"), F.lit(False)))
+                .alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return m.select(
+        "node", F.col("nxt").alias("final_id"), "hops", F.col("done").alias("resolved")
+    )
+
+
+# --- host-graph contraction + weighted rank -----------------------------------
+
+def contract_to_hosts(
+    edges: DataFrame,
+    node_host: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    host: str = "host",
+) -> DataFrame:
+    """Contract the page-level link graph to the HOST graph: map both
+    endpoints through the (node, host) table, drop intra-host edges, and
+    weight-collapse parallel edges. The host graph is 3-5 orders smaller
+    than the page graph — host-level authority (spam demotion, crawl budget
+    allocation) is computed there, not on 10^10 pages.
+
+    Shape: two co-partitioned equi-joins on the page id (the mapping table
+    is |pages|-sized — NOT broadcastable at web scale; both joins key on the
+    uniform page id) followed by one groupBy((src_host, dst_host)) with
+    map-side combine — parallel edges collapse inside each task before the
+    exchange. Returns (src_host, dst_host, weight)."""
+    nh_s = node_host.select(F.col(node).alias(src), F.col(host).alias("src_host"))
+    nh_d = node_host.select(F.col(node).alias(dst), F.col(host).alias("dst_host"))
+    return (
+        edges.select(src, dst)
+        .join(nh_s, src)
+        .join(nh_d, dst)
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    n_iter: int = 1,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a WEIGHTED graph (host graph, anchor-count graph): a
+    node's rank flows to each successor proportional to edge weight over the
+    node's total outgoing weight. Same determinism contract as pagerank():
+    the per-edge contribution is rounded to 12dp and cast to DECIMAL BEFORE
+    the incoming sum — order-free, engine-exact. Same scale shape too: per
+    iteration one edges⋈ranks equi-join on src + one groupBy(dst) with
+    map-side combine; lineage truncated per round."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    wout = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    e_w = e.join(wout, "src").localCheckpoint(eager=True)
+
+    teleport = F.round(F.lit((1.0 - damping) / n), 12).cast(_SCALE)
+    ranks = nodes.select(
+        "id", F.round(F.lit(1.0 / n), 12).cast(_SCALE).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e_w.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                # ((damping * rank) * w) / tw, rounded BEFORE the sum —
+                # operand order fixed to match the SQL oracle exactly
+                F.round(
+                    F.lit(damping)
+                    * F.col("rank").cast("double")
+                    * F.col("w")
+                    / F.col("tw"),
+                    12,
+                ).cast(_SCALE).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast(_SCALE).alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (teleport + F.coalesce(F.col("in_sum"), F.lit(0).cast(_SCALE)))
+                .cast(_SCALE).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("rank").cast("double").alias("rank"))

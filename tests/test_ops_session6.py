@@ -1,0 +1,88 @@
+"""Session-6 operators: redirect-chain resolution (pointer doubling),
+host-graph contraction + weighted rank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_scraper_spark.operators.graph import (
+    contract_to_hosts,
+    resolve_redirects,
+    weighted_pagerank,
+)
+
+
+def test_resolve_redirects_chains_and_cycle(spark):
+    # chain 5->4->3->2->1->0 (terminal), short chain 10->0, 2-cycle 20<->21
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (10, 0), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r for r in resolve_redirects(edges, max_rounds=8).collect()}
+    # terminal maps to itself at 0 hops
+    assert rows[0]["final_id"] == 0 and rows[0]["hops"] == 0 and rows[0]["resolved"]
+    # every chain member lands on the terminal with its exact distance
+    for node, hops in ((1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (10, 1)):
+        assert rows[node]["final_id"] == 0
+        assert rows[node]["hops"] == hops
+        assert rows[node]["resolved"] is True
+    # the loop never resolves and is flagged for quarantine
+    assert rows[20]["resolved"] is False
+    assert rows[21]["resolved"] is False
+
+
+def test_resolve_redirects_log_rounds(spark):
+    # a 20-hop chain resolves within ceil(log2(20))=5 doubling rounds
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 21)], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in resolve_redirects(edges, max_rounds=5).collect()}
+    assert rows[20]["final_id"] == 0 and rows[20]["hops"] == 20 and rows[20]["resolved"]
+    # but NOT within 2 rounds (pointer doubling reaches 2^2=4... actually
+    # after k rounds a pointer has compressed up to 2^k hops; 2 rounds < 20)
+    short = {r["node"]: r for r in resolve_redirects(edges, max_rounds=2).collect()}
+    assert short[20]["resolved"] is False
+
+
+def test_contract_to_hosts_weights_and_self_loop_drop(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    hosts = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c")], "node long, host string"
+    )
+    he = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in contract_to_hosts(edges, hosts).collect()
+    }
+    # 1->2 is intra-host (a->a): dropped; 4->5 intra-host (c->c): dropped
+    assert ("a", "a") not in he and ("c", "c") not in he
+    assert he[("a", "b")] == 2  # 1->3 and 2->3 collapse
+    assert he[("b", "a")] == 1
+
+
+def test_weighted_pagerank_weight_proportional(spark):
+    # a sends 3/4 of its damped rank to b, 1/4 to c
+    he = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, weight long"
+    )
+    r = {row["id"]: row["rank"] for row in weighted_pagerank(he, n_iter=1).collect()}
+    n = 3
+    tele = round(0.15 / n, 12)
+    base = round(1.0 / n, 12)
+    assert r["a"] == pytest.approx(tele, abs=1e-12)
+    assert r["b"] == pytest.approx(tele + round(0.85 * base * 3 / 4, 12), abs=1e-12)
+    assert r["c"] == pytest.approx(tele + round(0.85 * base * 1 / 4, 12), abs=1e-12)
+
+
+def test_weighted_pagerank_rank_conservation(spark):
+    # no dangling nodes -> total rank stays 1 across iterations
+    he = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 5), ("b", "a", 3)],
+        "src string, dst string, weight long",
+    )
+    total = (
+        weighted_pagerank(he, n_iter=3)
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
