@@ -6240,6 +6240,51 @@ def host_graph_rank_q(spark, sf):
     )
 
 
+@_q(
+    "embedding_gram",
+    """SELECT CAST(r1.i - 1 AS INT) AS i, CAST(r2.j - 1 AS INT) AS j,
+           CAST(SUM(CAST(ROUND(CAST(embedding[r1.i] AS DOUBLE)
+                                * CAST(embedding[r2.j] AS DOUBLE), 12)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS g
+    FROM embeddings, range(1, 65) r1(i), range(1, 65) r2(j)
+    GROUP BY 1, 2""",
+)
+def embedding_gram_q(spark, sf):
+    """X^T X over the embedding corpus — the d×d Gram matrix PCA/whitening
+    start from. Spark builds the d² products per vector as ONE flattened
+    codegen array (no exploded self-join) and collapses them in a single
+    map-side-combined groupBy over d²=4096 keys; per-product 12dp rounding
+    + DECIMAL sums make it bit-reproducible in the oracle."""
+    from crawl4ai_scraper_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(_t(spark, sf, "embeddings"), dim=64)
+
+
+@_q(
+    "jl_projection",
+    """SELECT vec_id AS id, CAST(r2.t AS INT) AS t,
+           CAST(SUM(CAST(ROUND(CAST(embedding[r1.i + 1] AS DOUBLE)
+               * (CASE CAST('0x' || substr(md5('jl1:' || CAST(r1.i AS VARCHAR)
+                                            || ':' || CAST(r2.t AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 6
+                  WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS proj
+    FROM embeddings, range(0, 64) r1(i), range(0, 16) r2(t)
+    GROUP BY 1, 2""",
+)
+def jl_projection_q(spark, sf):
+    """Sparse Johnson-Lindenstrauss projection 64 → 16 with HASH-DERIVED
+    Achlioptas signs ({+1,-1,0} at {1/6,1/6,2/3} from md5(salt:i:t)) — no
+    projection-matrix artifact to ship; per-term 12dp rounding + DECIMAL
+    sums = engine-exact. One posexplode + one (id,t)-keyed map-side-combined
+    groupBy."""
+    from crawl4ai_scraper_spark.operators.similarity import jl_project
+
+    return jl_project(_t(spark, sf, "embeddings")).select(
+        "id", F.col("t").cast("int").alias("t"), "proj"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -86,3 +86,90 @@ def test_weighted_pagerank_rank_conservation(spark):
         .collect()[0]["s"]
     )
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+# --- Gram / PCA / JL projection ---------------------------------------------------
+
+def _rand_emb(spark, n=120, d=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d))
+    # plant strong variance along two directions so PCA has a clear answer
+    x[:, 0] *= 6.0
+    x[:, 1] *= 3.0
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return x, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from crawl4ai_scraper_spark.operators.similarity import gram_matrix
+
+    x, emb = _rand_emb(spark)
+    g = np.zeros((16, 16))
+    for r in gram_matrix(emb, dim=16).collect():
+        g[r["i"], r["j"]] = r["g"]
+    # float32 storage truncates the inputs; compare against float32-cast numpy
+    x32 = x.astype("float32").astype("float64")
+    assert np.allclose(g, x32.T @ x32, atol=1e-6)
+
+
+def test_gram_fast_matches_exact(spark):
+    import numpy as np
+
+    from crawl4ai_scraper_spark.operators.similarity import (
+        gram_matrix,
+        gram_matrix_fast,
+    )
+
+    _, emb = _rand_emb(spark)
+    exact = {(r["i"], r["j"]): r["g"] for r in gram_matrix(emb, dim=16).collect()}
+    fast = {(r["i"], r["j"]): r["g"] for r in gram_matrix_fast(emb).collect()}
+    assert set(exact) == set(fast)
+    for k in exact:
+        assert np.isclose(exact[k], fast[k], atol=1e-8)
+
+
+def test_pca_recovers_planted_directions(spark):
+    import numpy as np
+
+    from crawl4ai_scraper_spark.operators.similarity import (
+        gram_matrix,
+        pca_components,
+        pca_project,
+    )
+
+    x, emb = _rand_emb(spark, n=400)
+    comps = pca_components(gram_matrix(emb, dim=16), dim=16, k=2)
+    # top component aligns with axis 0 (variance 36), second with axis 1 (9)
+    assert abs(comps[0][0]) > 0.95
+    assert abs(comps[1][1]) > 0.95
+    # deterministic sign convention: largest-|entry| positive
+    assert comps[0][int(np.argmax(np.abs(comps[0])))] > 0
+    # projection matches the driver-side matrix product
+    rows = pca_project(emb, comps).select("vec_id", "pca").collect()
+    c = np.array(comps)
+    x32 = x.astype("float32").astype("float64")
+    for r in rows[:20]:
+        expect = c @ x32[r["vec_id"]]
+        assert np.allclose(np.array(r["pca"]), expect, atol=1e-5)
+
+
+def test_jl_projection_shape_and_distance_preservation(spark):
+    import numpy as np
+
+    from crawl4ai_scraper_spark.operators.similarity import jl_project
+
+    x, emb = _rand_emb(spark, n=60, d=16)
+    proj = jl_project(emb, out_dim=8).collect()
+    assert len(proj) == 60 * 8
+    p = np.zeros((60, 8))
+    for r in proj:
+        p[r["id"], r["t"]] = r["proj"]
+    # sparse JL with s=3: E[||Pv||^2] = (d_out/3)·||v||^2 — check the
+    # corpus-level ratio is in a loose band (it's a randomized embedding)
+    x32 = x.astype("float32").astype("float64")
+    ratio = (p ** 2).sum() / ((x32 ** 2).sum() * (8 / 3.0))
+    assert 0.5 < ratio < 2.0

@@ -660,3 +660,21 @@ def test_readability_zero_exchange_pure_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # executedPlan().toString() marks whole-stage-codegen spans with "*(n)"
     assert "*(" in plan
+
+
+def test_gram_matrix_no_join_one_exchange(spark):
+    """Gram: the d² products are a flattened codegen array per row — NO
+    self-join of an exploded table; exactly one hash exchange (the (i,j)
+    groupBy) with partial aggregation before it."""
+    from crawl4ai_scraper_spark.operators.similarity import gram_matrix
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (k + 2)).cast("float") for k in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    plan = _plan(gram_matrix(emb, dim=8))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
