@@ -6285,6 +6285,70 @@ def jl_projection_q(spark, sf):
     )
 
 
+@_q(
+    "lang_confusion",
+    f"""WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter({_LTOKS}, t -> t IN ({_SW_EN}))) AS s_en,
+        len(list_filter({_LTOKS}, t -> t IN ({_SW_DE}))) AS s_de,
+        len(list_filter({_LTOKS}, t -> t IN ({_SW_FR}))) AS s_fr,
+        len(list_filter({_LTOKS}, t -> t IN ({_SW_ES}))) AS s_es
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und' END AS lang_pred
+      FROM s)
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2""",
+)
+def lang_confusion_q(spark, sf):
+    """Language-ID confusion matrix (labeled lang × stopword prediction) —
+    the eval run before trusting lang_id for filtering. ONE map-side-
+    combined groupBy to ≤|langs|² rows."""
+    from crawl4ai_scraper_spark.operators.textops import lang_confusion
+
+    return lang_confusion(_t(spark, sf, "documents"))
+
+
+@_q(
+    "tokenizer_fertility",
+    _BPE_MERGES_SQL
+    + r""",
+tok AS (
+  SELECT doc_id, CAST(r.pos AS INT) AS pos, toks[CAST(r.pos AS INT)] AS word
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents) t,
+       UNNEST(range(1, len(toks) + 1)) AS r(pos)),
+seg AS (
+  SELECT tok.doc_id, tok.pos,
+         len(string_split(trim(ws3.s), '  ')) AS np
+  FROM tok JOIN ws3 ON ws3.word = tok.word),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(np) AS n_pieces
+  FROM seg GROUP BY doc_id)
+SELECT d.lang, CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+       ROUND(CAST(SUM(p.n_pieces) AS DOUBLE) / SUM(p.n_words), 6) AS fertility
+FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.lang""",
+)
+def tokenizer_fertility_q(spark, sf):
+    """Pieces-per-word fertility by language under the 3 learned BPE merges
+    — the per-language sequence-length cost a tokenizer team watches. One
+    co-partitioned join back for the label + ONE groupBy(lang)."""
+    from crawl4ai_scraper_spark.operators import bpe as B
+    from crawl4ai_scraper_spark.operators.bpe import tokenizer_fertility
+
+    docs = _t(spark, sf, "documents")
+    merges, word_pieces = B.bpe_train(docs, "text", n_merges=3)
+    seg = B.bpe_segment(docs, "text", "doc_id", word_pieces)
+    return tokenizer_fertility(seg, docs)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -588,3 +588,38 @@ def vocab_frame(spark, vocab_rows) -> DataFrame:
         [(p, int(c), int(i)) for p, c, i in vocab_rows],
         "piece string, cnt long, piece_id int",
     )
+
+
+def tokenizer_fertility(
+    seg: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer FERTILITY (pieces per word) by language — the number a
+    tokenizer team watches per language before training: a fertility of 2×
+    in one language means its documents cost twice the sequence length per
+    word, skewing both the mixture and the compute bill.
+
+    ``seg`` is bpe_segment() output (id, n_words, n_pieces, …); one
+    co-partitioned join back to the documents table for the language label
+    and ONE groupBy(lang) — output is |langs| rows.
+    Returns (lang, n_words, n_pieces, fertility)."""
+    labeled = seg.join(
+        docs.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang")), "id"
+    )
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+    )

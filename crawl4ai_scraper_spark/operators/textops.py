@@ -1517,3 +1517,23 @@ def host_corpus_report(
             "avg_tokens"
         ),
     )
+
+
+# --- language-ID evaluation ------------------------------------------------------
+
+def lang_confusion(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Confusion matrix of the stopword language-ID against the labeled
+    language — the eval a pipeline runs before trusting lang_id for
+    filtering decisions (which languages it silently mislabels, and into
+    what). ONE groupBy over (label, prediction): map-side combine collapses
+    each task to ≤ |langs|² rows; output is model-sized.
+    Returns (lang, lang_pred, n)."""
+    return (
+        docs.groupBy(
+            F.col(label_col).alias("lang"), lang_id(F.col(text_col)).alias("lang_pred")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("lang", "lang_pred", F.col("n").cast("bigint").alias("n"))
+    )

@@ -173,3 +173,41 @@ def test_jl_projection_shape_and_distance_preservation(spark):
     x32 = x.astype("float32").astype("float64")
     ratio = (p ** 2).sum() / ((x32 ** 2).sum() * (8 / 3.0))
     assert 0.5 < ratio < 2.0
+
+
+# --- language-ID eval + tokenizer fertility -------------------------------------
+
+def test_lang_confusion_counts(spark):
+    from crawl4ai_scraper_spark.operators.textops import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the of and to a in is it"),       # clearly en
+            (1, "en", "der die und das ist nicht"),      # mislabeled -> de
+            (2, "de", "der die und das ist nicht"),      # clearly de
+            (3, "fr", "zzz qqq xxx"),                    # no stopwords -> und
+        ],
+        "doc_id long, lang string, text string",
+    )
+    m = {(r["lang"], r["lang_pred"]): r["n"] for r in lang_confusion(docs).collect()}
+    assert m[("en", "en")] == 1
+    assert m[("en", "de")] == 1
+    assert m[("de", "de")] == 1
+    assert m[("fr", "und")] == 1
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from crawl4ai_scraper_spark.operators.bpe import tokenizer_fertility
+
+    # fabricate bpe_segment output directly: fertility = sum pieces / sum words
+    seg = spark.createDataFrame(
+        [(0, 4, 8), (1, 2, 2), (2, 10, 15)],
+        "id long, n_words long, n_pieces long",
+    )
+    docs = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    rows = {r["lang"]: r for r in tokenizer_fertility(seg, docs).collect()}
+    assert rows["en"]["n_words"] == 6 and rows["en"]["n_pieces"] == 10
+    assert rows["en"]["fertility"] == pytest.approx(10 / 6, abs=1e-6)
+    assert rows["de"]["fertility"] == 1.5
