@@ -6349,6 +6349,79 @@ def tokenizer_fertility_q(spark, sf):
     return tokenizer_fertility(seg, docs)
 
 
+@_q(
+    "winnowing_fingerprints",
+    r"""WITH base AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT id, CAST(r.s AS INT) AS s,
+             md5(array_to_string(toks[CAST(r.s AS INT) + 1 : CAST(r.s AS INT) + 3],
+                                 ' ')) AS h,
+             len(toks) - 2 AS ng
+      FROM base, UNNEST(range(0, len(toks) - 2)) AS r(s)
+      WHERE len(toks) >= 3
+    ), anchors AS (
+      SELECT id, s FROM g WHERE s <= ng - 4
+    ), wsel AS (
+      SELECT a.id, w2.s AS pos, w2.h AS fp,
+             ROW_NUMBER() OVER (PARTITION BY a.id, a.s
+                                ORDER BY w2.h, w2.s DESC) AS rn
+      FROM anchors a JOIN g w2 ON w2.id = a.id AND w2.s BETWEEN a.s AND a.s + 3
+    )
+    SELECT DISTINCT id, CAST(pos AS INT) AS pos, fp FROM wsel WHERE rn = 1""",
+)
+def winnowing_fingerprints_q(spark, sf):
+    """Winnowing fingerprints (MOSS; k=3-gram hashes, window w=4, rightmost
+    min per window): guaranteed detection of shared substrings ≥ w+k-1
+    tokens at ~2/(w+1) density. Spark selects via a doc-keyed running-window
+    MIN (one exchange); the oracle replays the per-window argmin
+    quadratically."""
+    from crawl4ai_scraper_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@_q(
+    "mirror_host_pairs",
+    """WITH corpus AS (
+      SELECT source AS host, text FROM documents
+      UNION ALL
+      SELECT 'm-' || source AS host, text FROM documents WHERE doc_id % 7 = 0
+    ), hh AS (
+      SELECT DISTINCT md5(text) AS h, host FROM corpus
+    ), deg AS (SELECT h, COUNT(*) AS nh FROM hh GROUP BY h
+    ), ok AS (
+      SELECT hh.h, hh.host FROM hh JOIN deg USING (h) WHERE nh BETWEEN 2 AND 8
+    ), per_host AS (SELECT host, COUNT(*) AS n_texts FROM hh GROUP BY host
+    ), pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+      FROM ok a JOIN ok b ON a.h = b.h AND a.host < b.host
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+           ROUND(CAST(shared AS DOUBLE) / LEAST(pa.n_texts, pb.n_texts), 6)
+             AS containment
+    FROM pairs JOIN per_host pa ON pa.host = pairs.host_a
+               JOIN per_host pb ON pb.host = pairs.host_b""",
+)
+def mirror_host_pairs_q(spark, sf):
+    """Mirror detection over a corpus with PLANTED mirrors (every 7th doc
+    re-served under host 'm-'||source): host pairs sharing ≥2 exact-text
+    hashes, with containment = shared / min host size. Universal boilerplate
+    (hash on >8 hosts) is dropped before pairing — the skew guard that keeps
+    the hash join's fan-out bounded at web scale."""
+    from crawl4ai_scraper_spark.operators.dedup import mirror_host_pairs
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select(F.col("source").alias("host"), "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("m-"), F.col("source")).alias("host"), "text"
+        )
+    )
+    return mirror_host_pairs(corpus, host_col="host")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

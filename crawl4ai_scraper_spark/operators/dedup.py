@@ -812,3 +812,102 @@ def cdc_chunks(
         )
         .select("doc_id", "chunk_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "chunk_hash")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every k-gram, then in every window of ``w``
+    consecutive k-gram hashes select the minimum (rightmost on ties). The
+    selected set is position-aware and LOCAL — any shared substring of
+    length ≥ w+k-1 between two documents is guaranteed to share a
+    fingerprint, with expected density 2/(w+1) instead of all n grams.
+    This is the fingerprint family for plagiarism-style overlap detection
+    where MinHash's whole-document Jaccard is too coarse.
+
+    Scale shape: the gram stream is ONE row per token position (md5 only,
+    never text — shared with dup_span_stats); selection is a doc-keyed
+    running-window MIN (one exchange on doc id), dedup of the selected
+    (pos, hash) pairs rides the same partitioning. Docs with fewer than
+    w complete windows yield no fingerprints (below the guarantee length).
+    Returns (id, pos, fp) — pos is the k-gram start token offset."""
+    from pyspark.sql import Window
+
+    base, wins = _span_windows(df, text_col, id_col, k)
+    frame = Window.partitionBy("id").orderBy("s").rowsBetween(Window.currentRow, w - 1)
+    sel = wins.select(
+        "id",
+        # min struct = (smallest hash, then most-negative -s = RIGHTMOST tie)
+        F.min(F.struct(F.col("h"), (-F.col("s")).alias("ns"))).over(frame).alias("m"),
+        F.count(F.lit(1)).over(frame).alias("wn"),
+    ).filter(F.col("wn") == w)
+    return (
+        sel.select(
+            "id",
+            (-F.col("m.ns")).cast("int").alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def mirror_host_pairs(
+    docs: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    max_hosts_per_hash: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MIRROR detection: host pairs that serve the same content (exact-text
+    hash overlap) — the www./m./CDN/alias clusters a crawler must collapse
+    before host-level budgets and rank make sense.
+
+    Shape: distinct (md5(text), host) → per-hash host-degree count; hashes
+    shared by > ``max_hosts_per_hash`` hosts are DROPPED before pairing
+    (universal boilerplate — empty pages, parked-domain templates — would
+    otherwise explode degree² pairs per hash; real mirrors are low-degree).
+    The pair join is then equi on the hash with bounded fan-out, and the
+    (host_a, host_b) groupBy is map-side combined. ``containment`` =
+    shared / min(|texts_a|, |texts_b|) — 1.0 means the smaller host is a
+    full mirror of the larger.
+    Returns (host_a, host_b, shared, containment)."""
+    hh = docs.select(
+        F.md5(F.col(text_col)).alias("h"), F.col(host_col).alias("host")
+    ).distinct()
+    deg = hh.groupBy("h").agg(F.count(F.lit(1)).alias("nh"))
+    ok = hh.join(
+        deg.filter((F.col("nh") >= 2) & (F.col("nh") <= max_hosts_per_hash)).select("h"),
+        "h",
+    )
+    per_host = hh.groupBy("host").agg(F.count(F.lit(1)).alias("n_texts"))
+    pairs = (
+        ok.select("h", F.col("host").alias("host_a"))
+        .join(ok.select("h", F.col("host").alias("host_b")), "h")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            per_host.select(F.col("host").alias("host_a"), F.col("n_texts").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            per_host.select(F.col("host").alias("host_b"), F.col("n_texts").alias("n_b")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

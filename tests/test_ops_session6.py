@@ -211,3 +211,62 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert rows["en"]["n_words"] == 6 and rows["en"]["n_pieces"] == 10
     assert rows["en"]["fertility"] == pytest.approx(10 / 6, abs=1e-6)
     assert rows["de"]["fertility"] == 1.5
+
+
+# --- winnowing + mirror detection -------------------------------------------------
+
+def test_winnowing_guarantee_and_density(spark):
+    from crawl4ai_scraper_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1 guarantee
+    docs = spark.createDataFrame(
+        [
+            (0, f"xx yy {shared} zz ww uu vv"),
+            (1, f"{shared} aa bb cc dd ee ff gg"),
+            (2, "totally different words here with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # any shared substring of >= w+k-1 tokens must share >= 1 fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    # density: far fewer fingerprints than grams (expected ~2/(w+1))
+    n_grams_doc1 = 14 - 3 + 1
+    assert len(by_doc[1]) < n_grams_doc1
+
+
+def test_winnowing_short_doc_below_guarantee_empty(spark):
+    from crawl4ai_scraper_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five")],  # 5 tokens -> 3 grams < w=4 windows
+        "doc_id long, text string",
+    )
+    assert winnowing_fingerprints(docs, "text", "doc_id", k=3, w=4).count() == 0
+
+
+def test_mirror_host_pairs_planted_and_skew_guard(spark):
+    from crawl4ai_scraper_spark.operators.dedup import mirror_host_pairs
+
+    rows = []
+    # host a: 4 unique texts; host b mirrors 3 of them; host c unrelated
+    for i in range(4):
+        rows.append(("a", f"text number {i} lorem ipsum"))
+    for i in range(3):
+        rows.append(("b", f"text number {i} lorem ipsum"))
+    rows.append(("b", "own text of b"))
+    rows.append(("c", "unrelated text on c"))
+    # universal boilerplate on 10 hosts -> must be dropped by the skew guard
+    for h in range(10):
+        rows.append((f"bp{h}", "cookie banner boilerplate"))
+    docs = spark.createDataFrame(rows, "host string, text string")
+    out = {(r["host_a"], r["host_b"]): r for r in
+           mirror_host_pairs(docs, host_col="host", max_hosts_per_hash=8).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["shared"] == 3
+    assert r["containment"] == pytest.approx(3 / 4, abs=1e-9)  # min(4,4)=4 texts each
