@@ -203,6 +203,16 @@ QUERY_NAMES = [
     "trustrank_scores",
     "doc_novelty_scores",
     "readability_scores",
+    # session-6 additions
+    "host_corpus_report",
+    "redirect_resolution",
+    "host_graph_rank",
+    "embedding_gram",
+    "jl_projection",
+    "lang_confusion",
+    "tokenizer_fertility",
+    "winnowing_fingerprints",
+    "mirror_host_pairs",
 ]
 
 

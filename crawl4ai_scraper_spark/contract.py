@@ -6422,6 +6422,119 @@ def mirror_host_pairs_q(spark, sf):
     return mirror_host_pairs(corpus, host_col="host")
 
 
+_SH3_SQL = (
+    "list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),"
+    " i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||"
+    " string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||"
+    " string_split_regex(trim(lower(text)), '\\s+')[i+2])"
+)
+_SIG8_SQL = (
+    "[list_min(list_transform(sh, x -> md5('0:' || x))),"
+    " list_min(list_transform(sh, x -> md5('1:' || x))),"
+    " list_min(list_transform(sh, x -> md5('2:' || x))),"
+    " list_min(list_transform(sh, x -> md5('3:' || x))),"
+    " list_min(list_transform(sh, x -> md5('4:' || x))),"
+    " list_min(list_transform(sh, x -> md5('5:' || x))),"
+    " list_min(list_transform(sh, x -> md5('6:' || x))),"
+    " list_min(list_transform(sh, x -> md5('7:' || x)))]"
+)
+
+
+@_q(
+    "fuzzy_decontaminate",
+    f"""WITH evals AS (
+      SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 50 = 0
+    ), train AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT eval_id + 200000, {_VARIANT_SQL} FROM evals
+    ), tsh AS (
+      SELECT id, {_SH3_SQL} AS sh FROM train
+    ), esh AS (
+      SELECT eval_id, {_SH3_SQL} AS sh FROM evals
+    ), tsig AS (
+      SELECT id, sh, {_SIG8_SQL} AS sig FROM tsh
+    ), esig AS (
+      SELECT eval_id, sh, {_SIG8_SQL} AS sig FROM esh
+    ), tband AS (
+      SELECT id, b.band, md5(sig[b.band*2+1] || '|' || sig[b.band*2+2]) AS bhash
+      FROM tsig, (SELECT UNNEST([0,1,2,3]) AS band) b
+    ), eband AS (
+      SELECT eval_id, b.band, md5(sig[b.band*2+1] || '|' || sig[b.band*2+2]) AS bhash
+      FROM esig, (SELECT UNNEST([0,1,2,3]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT t.id, e.eval_id
+      FROM tband t JOIN eband e ON t.band = e.band AND t.bhash = e.bhash
+    )
+    SELECT c.id, c.eval_id,
+           ROUND(CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+                 / len(list_distinct(list_concat(list_distinct(a.sh), list_distinct(b.sh)))), 4)
+             AS jaccard
+    FROM cand c JOIN tsh a ON a.id = c.id JOIN esh b ON b.eval_id = c.eval_id
+    WHERE CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(list_distinct(a.sh), list_distinct(b.sh)))) >= 0.5""",
+)
+def fuzzy_decontaminate_q(spark, sf):
+    """Near-duplicate decontamination vs a planted eval set (every 50th doc;
+    training corpus additionally carries a paraphrased copy — first 7 chars
+    dropped — of each eval doc): eval bands/shingles broadcast, train side
+    explodes to scalar band rows, exact-Jaccard verify. Catches the
+    paraphrased leakage exact n-gram matching misses."""
+    from crawl4ai_scraper_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    train = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        evals.select(
+            (F.col("eval_id") + 200000).alias("id"), F.expr("substr(text, 8)").alias("text")
+        )
+    )
+    return fuzzy_decontaminate(train, evals, id_col="id")
+
+
+@_q(
+    "mojibake_stats",
+    """WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN replace(text, 'a', 'Ã¤') ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST((length(text) - length(replace(text, '�', '')))
+                + (length(text) - length(replace(text, 'Ã', '')))
+                + (length(text) - length(replace(text, 'Â', '')))
+                + (length(text) - length(replace(text, 'â€', ''))) / 2 AS BIGINT) AS n_bad,
+           ROUND(((length(text) - length(replace(text, '�', '')))
+                + (length(text) - length(replace(text, 'Ã', '')))
+                + (length(text) - length(replace(text, 'Â', '')))
+                + (length(text) - length(replace(text, 'â€', ''))) / 2)
+                / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS bad_ratio,
+           ((length(text) - length(replace(text, '�', '')))
+                + (length(text) - length(replace(text, 'Ã', '')))
+                + (length(text) - length(replace(text, 'Â', '')))
+                + (length(text) - length(replace(text, 'â€', ''))) / 2) = 0 AS is_clean
+    FROM corpus""",
+)
+def mojibake_stats_q(spark, sf):
+    """Encoding-damage stats over a corpus with PLANTED mojibake (every 13th
+    doc re-encoded UTF-8-as-Latin-1 style): U+FFFD + mojibake-leader counts
+    by pure length arithmetic — codegen at scan speed, zero shuffles."""
+    from crawl4ai_scraper_spark.operators.textops import mojibake_stats
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.replace(F.col("text"), F.lit("a"), F.lit("Ã¤"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mojibake_stats(corpus)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

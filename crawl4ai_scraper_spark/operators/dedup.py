@@ -911,3 +911,61 @@ def mirror_host_pairs(
             ).alias("containment"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-DUPLICATE decontamination: flag training documents whose
+    shingle-set Jaccard against ANY eval/benchmark document clears the
+    threshold — the paraphrased / partially-edited leakage that exact
+    n-gram matching (textops.decontaminate_ngrams) misses entirely.
+
+    Asymmetric LSH: the eval set is benchmark-sized (10^3-10^5 docs), so its
+    banded hashes AND shingle sets are BROADCAST; the training side explodes
+    to n_bands scalar rows per doc (never carrying shingles — the
+    minhash_lsh_pairs convention) and candidates come from a broadcast band
+    equi-join. The only corpus-volume shuffle is the train-side shingle
+    join-back, co-keyed on the train id. Verification is exact Jaccard.
+    Returns (id, eval_id, jaccard) — one row per contaminated (train, eval)
+    pair; anti-join the distinct ids to purge."""
+    rows_per_band = n_hashes // n_bands
+    t_base = train.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    e_base = evals.select(
+        F.col(eval_id_col).alias("eval_id"),
+        shingles(F.col(eval_text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+
+    t_band = t_base.select(
+        "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    e_band = e_base.select(
+        "eval_id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+    ).select("eval_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+
+    cand = (
+        t_band.join(F.broadcast(e_band), ["band", "bhash"])
+        .select("id", "eval_id")
+        .dropDuplicates(["id", "eval_id"])
+    )
+    t_sh = t_base.select("id", F.array_distinct("sh").alias("sh_t"))
+    e_sh = e_base.select("eval_id", F.array_distinct("sh").alias("sh_e"))
+    pairs = cand.join(t_sh, "id").join(F.broadcast(e_sh), "eval_id")
+    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
+    union = F.size(F.array_union(F.col("sh_t"), F.col("sh_e")))
+    return (
+        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id", "eval_id", "jaccard")
+    )

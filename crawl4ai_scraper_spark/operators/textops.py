@@ -1537,3 +1537,38 @@ def lang_confusion(
         .agg(F.count(F.lit(1)).alias("n"))
         .select("lang", "lang_pred", F.col("n").cast("bigint").alias("n"))
     )
+
+
+# --- encoding-damage (mojibake) stats --------------------------------------------
+
+MOJIBAKE_MARKERS = ("�", "Ã", "Â", "â€")
+
+
+def mojibake_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers=MOJIBAKE_MARKERS,
+) -> DataFrame:
+    """Encoding-damage stats per document: occurrences of the replacement
+    char U+FFFD and the classic UTF-8-read-as-Latin-1 mojibake leaders
+    (Ã, Â, â€) — the CCNet-family signal for pages fetched with a wrong
+    charset. Counting is pure length arithmetic (length minus length-after-
+    replace, divided by the marker length) — whole-stage codegen over the
+    scan, zero shuffles, identical in any engine.
+    Returns (id, n_chars, n_bad, bad_ratio, is_clean)."""
+    text = F.col(text_col)
+    counts = [
+        (F.length(text) - F.length(F.replace(text, F.lit(m), F.lit("")))) / len(m)
+        for m in markers
+    ]
+    n_bad = sum(counts[1:], counts[0]).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        n_bad.alias("n_bad"),
+        F.round(
+            n_bad.cast("double") / F.greatest(F.length(text), F.lit(1)), 6
+        ).alias("bad_ratio"),
+        (n_bad == 0).alias("is_clean"),
+    )

@@ -270,3 +270,46 @@ def test_mirror_host_pairs_planted_and_skew_guard(spark):
     r = out[("a", "b")]
     assert r["shared"] == 3
     assert r["containment"] == pytest.approx(3 / 4, abs=1e-9)  # min(4,4)=4 texts each
+
+
+# --- fuzzy decontamination + mojibake ---------------------------------------------
+
+def test_fuzzy_decontaminate_catches_paraphrase_not_exact(spark):
+    from crawl4ai_scraper_spark.operators.dedup import fuzzy_decontaminate
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd cheers loudly tonight")
+    evals = spark.createDataFrame([(0, base)], "eval_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (100, base),                      # verbatim leak
+            (101, base[10:]),                 # paraphrased leak (prefix cut)
+            (102, "completely unrelated content about spark dataframes and "
+                  "parquet files with nothing shared at all here"),
+        ],
+        "id long, text string",
+    )
+    hits = {(r["id"], r["eval_id"]): r["jaccard"]
+            for r in fuzzy_decontaminate(train, evals, id_col="id").collect()}
+    assert hits[(100, 0)] == 1.0
+    assert (101, 0) in hits and hits[(101, 0)] >= 0.5
+    assert all(i != 102 for i, _ in hits)
+
+
+def test_mojibake_stats_counts(spark):
+    from crawl4ai_scraper_spark.operators.textops import mojibake_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean ascii text"),
+            (1, "damaged Ã¤ text â€” twice â€œquotedâ€"),
+            (2, "repl � char"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in mojibake_stats(docs).collect()}
+    assert rows[0]["n_bad"] == 0 and rows[0]["is_clean"] is True
+    # doc 1: one Ã, three â€ (leaders of —, “, ”) -> 1 + 3 = 4
+    assert rows[1]["n_bad"] == 4 and rows[1]["is_clean"] is False
+    assert rows[2]["n_bad"] == 1
+    assert rows[2]["bad_ratio"] == pytest.approx(1 / len("repl � char"), abs=1e-6)
