@@ -6535,6 +6535,93 @@ def mojibake_stats_q(spark, sf):
     return mojibake_stats(corpus)
 
 
+@_q(
+    "length_powerlaw_fit",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(50 AS INT) AS x_min,
+           ROUND(1.0 + COUNT(*)
+                 / CAST(SUM(CAST(ROUND(ln(CAST(n_chars AS DOUBLE) / 50.0), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS alpha
+    FROM documents WHERE n_chars >= 50""",
+)
+def length_powerlaw_fit_q(spark, sf):
+    """Continuous-MLE power-law exponent over document lengths (Clauset et
+    al. 2009): one aggregate, per-row ln ratio rounded to 12dp and summed
+    in DECIMAL — two scalars, engine-exact."""
+    from crawl4ai_scraper_spark.operators.stats import length_powerlaw_fit
+
+    return length_powerlaw_fit(_t(spark, sf, "documents"), x_min=50)
+
+
+@_q(
+    "zipf_fit",
+    r"""WITH counts AS (
+      SELECT t.tok, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t GROUP BY t.tok
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+      FROM counts QUALIFY rank <= 500
+    ), pts AS (
+      SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+             CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS xy,
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS xx
+      FROM ranked
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy,
+             SUM(xx) AS sxx FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s""",
+)
+def zipf_fit_q(spark, sf):
+    """Zipf slope (OLS of ln count on ln rank, top-500 vocab): token counts
+    collapse in one map-side-combined groupBy; ranking and the OLS sums run
+    over the vocab-sized count table, never the token stream."""
+    from crawl4ai_scraper_spark.operators.stats import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), top_n=500)
+
+
+@_q(
+    "skew_report",
+    """WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT k, c, ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i FROM counts
+    ), s AS (
+      SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, SUM(i * c) AS ic FROM ranked
+    ), top AS (
+      SELECT k AS top_key, c AS top_c FROM counts ORDER BY c DESC, k DESC LIMIT 1
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+           top_key,
+           ROUND(CAST(top_c AS DOUBLE) / n_rows, 6) AS top_share,
+           ROUND(2.0 * CAST(ic AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                 - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6) AS gini
+    FROM s, top""",
+)
+def skew_report_q(spark, sf):
+    """Shuffle-key skew diagnostic over events.user_id: hottest key's row
+    share (the straggler bound) + Gini of the key-count distribution. The
+    Gini cumsum window runs over the |keys|-row count table, not the rows."""
+    from crawl4ai_scraper_spark.operators.stats import skew_report
+
+    ev = _t(spark, sf, "events").select(F.col("user_id").cast("string").alias("uid"))
+    return skew_report(ev, "uid")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -313,3 +313,56 @@ def test_mojibake_stats_counts(spark):
     assert rows[1]["n_bad"] == 4 and rows[1]["is_clean"] is False
     assert rows[2]["n_bad"] == 1
     assert rows[2]["bad_ratio"] == pytest.approx(1 / len("repl � char"), abs=1e-6)
+
+
+# --- corpus distribution health + skew diagnostics --------------------------------
+
+def test_length_powerlaw_fit_known_alpha(spark):
+    import math
+
+    from crawl4ai_scraper_spark.operators.stats import length_powerlaw_fit
+
+    # lengths 50..149 uniform-ish; verify against the closed-form MLE
+    lens = [50 + i for i in range(100)]
+    docs = spark.createDataFrame([(i, l) for i, l in enumerate(lens)],
+                                 "doc_id long, n_chars long")
+    r = length_powerlaw_fit(docs, x_min=50).collect()[0]
+    expect = 1.0 + len(lens) / sum(round(math.log(l / 50.0), 12) for l in lens)
+    assert r["n"] == 100
+    assert r["alpha"] == pytest.approx(expect, abs=1e-6)
+    # docs below x_min are excluded
+    docs2 = docs.union(spark.createDataFrame([(999, 10)], "doc_id long, n_chars long"))
+    assert length_powerlaw_fit(docs2, x_min=50).collect()[0]["n"] == 100
+
+
+def test_zipf_fit_planted_slope(spark):
+    from crawl4ai_scraper_spark.operators.stats import zipf_fit
+
+    # plant counts c(r) = 1000/r for ranks 1..20 -> slope ~ -1
+    rows = []
+    for r in range(1, 21):
+        tok = f"tok{r:02d}"
+        rows.extend([(len(rows) + i, tok) for i in range(1000 // r)])
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    out = zipf_fit(docs, top_n=20).collect()[0]
+    assert out["n_points"] == 20
+    assert out["slope"] == pytest.approx(-1.0, abs=0.05)
+
+
+def test_skew_report_hand_computed(spark):
+    from crawl4ai_scraper_spark.operators.stats import skew_report
+
+    # keys: a->6 rows, b->2, c->2 => top_share 0.6
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, "k").collect()[0]
+    assert r["n_keys"] == 3 and r["n_rows"] == 10
+    assert r["top_key"] == "a" and r["top_share"] == pytest.approx(0.6)
+    # gini: counts sorted asc [2,2,6] (b,c by key asc), i*c = 1*2+2*2+3*6=24
+    # G = 2*24/(3*10) - 4/3 = 1.6 - 1.3333 = 0.266667
+    assert r["gini"] == pytest.approx(0.266667, abs=1e-6)
+    # uniform distribution -> gini ~ 0
+    uni = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    assert skew_report(uni, "k").collect()[0]["gini"] == pytest.approx(0.0, abs=1e-9)
