@@ -6622,6 +6622,121 @@ def skew_report_q(spark, sf):
     return skew_report(ev, "uid")
 
 
+@_q(
+    "ann_ivf_multiprobe",
+    f"""WITH a AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(list_indexof(dots, list_aggregate(dots, 'max')) AS INT) AS cell,
+             dots
+      FROM (SELECT vec_id, embedding, {_centroid_dots_sql()} AS dots FROM embeddings)
+    ), q0 AS (
+      SELECT vec_id, e, cell, list_concat(dots[1:cell-1], dots[cell+1:]) AS rest
+      FROM a WHERE vec_id < 10
+    ), q AS (
+      SELECT vec_id, e, cell AS p1,
+             CAST(CASE WHEN list_indexof(rest, list_aggregate(rest, 'max')) >= cell
+                       THEN list_indexof(rest, list_aggregate(rest, 'max')) + 1
+                       ELSE list_indexof(rest, list_aggregate(rest, 'max')) END
+                  AS INT) AS p2
+      FROM q0
+    ), probes AS (
+      SELECT vec_id, e, p1 AS cell FROM q
+      UNION ALL SELECT vec_id, e, p2 FROM q
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_dot_product(p.e, b.e)
+                                  / (sqrt(list_dot_product(p.e, p.e))
+                                     * sqrt(list_dot_product(b.e, b.e))) DESC,
+                                  b.vec_id) AS rank
+      FROM probes p JOIN a b ON b.cell = p.cell AND b.vec_id <> p.vec_id)
+    WHERE rank <= 5""",
+)
+def ann_ivf_multiprobe_q(spark, sf):
+    """Multi-probe IVF (n_probe=2): each query searches its two nearest
+    coarse cells — the recall lever for boundary vectors. Data keeps one
+    cell per vector; only the (few, broadcast) queries explode; candidate
+    generation stays a cell equi-join."""
+    from crawl4ai_scraper_spark.operators.similarity import ivf_multiprobe_topk
+
+    return ivf_multiprobe_topk(
+        _t(spark, sf, "embeddings"), n_queries=10, k=5, n_probe=2
+    )
+
+
+@_q(
+    "url_history_scd2",
+    """WITH revs AS (
+      SELECT doc_id % 100 AS url_key,
+             1700000000 + (doc_id * 37) % 1000 AS warc_ts,
+             doc_id
+      FROM documents)
+    SELECT url_key, doc_id, warc_ts AS valid_from,
+           LEAD(warc_ts) OVER (PARTITION BY url_key
+                               ORDER BY warc_ts, doc_id) AS valid_to,
+           LEAD(warc_ts) OVER (PARTITION BY url_key
+                               ORDER BY warc_ts, doc_id) IS NULL AS is_current
+    FROM revs""",
+)
+def url_history_scd2_q(spark, sf):
+    """SCD type-2 interval history from the revision stream (same derived
+    revs as url_latest_revision): one key-partitioned lead() window — any
+    downstream query answers "what did this URL serve at time t" with a
+    BETWEEN instead of replaying the log."""
+    from crawl4ai_scraper_spark.operators.temporal import scd2_history
+
+    revs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 100).alias("url_key"),
+        (F.lit(1700000000) + (F.col("doc_id") * 37) % 1000).alias("warc_ts"),
+        "doc_id",
+    )
+    return scd2_history(revs, key="url_key", ts_col="warc_ts", tiebreak="doc_id")
+
+
+@_q(
+    "link_degree_stats",
+    """WITH e1 AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+      FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+    ), dd AS (
+      SELECT src AS s, dst AS d FROM e1
+      UNION
+      SELECT dst, src FROM e1 WHERE src % 2 = 0
+    ), ne AS (SELECT COUNT(*) AS n_edges FROM dd
+    ), nn AS (SELECT COUNT(*) AS n_nodes FROM (SELECT s AS n FROM dd UNION SELECT d FROM dd)
+    ), mo AS (SELECT MAX(c) AS max_outdeg FROM (SELECT COUNT(*) AS c FROM dd GROUP BY s)
+    ), mi AS (SELECT MAX(c) AS max_indeg FROM (SELECT COUNT(*) AS c FROM dd GROUP BY d)
+    ), rc AS (
+      SELECT COUNT(*) AS n_recip FROM dd a
+      WHERE EXISTS (SELECT 1 FROM dd b WHERE b.s = a.d AND b.d = a.s)
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(max_outdeg AS BIGINT) AS max_outdeg,
+           CAST(max_indeg AS BIGINT) AS max_indeg,
+           ROUND(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
+    FROM nn, ne, mo, mi, rc""",
+)
+def link_degree_stats_q(spark, sf):
+    """Link-graph shape summary (node/edge counts, max degrees, reciprocity)
+    over the star graph with PLANTED reciprocal edges (even-id star edges
+    reversed): two map-side-combined degree aggs + one co-keyed semi-join of
+    the edges against their own reversal; scalar one-row output."""
+    from crawl4ai_scraper_spark.operators.graph import degree_stats
+
+    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    star = ids.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("dst"),
+    )
+    directed = star.unionByName(
+        star.filter(F.col("src") % 2 == 0).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return degree_stats(directed)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

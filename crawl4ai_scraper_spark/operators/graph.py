@@ -706,3 +706,48 @@ def weighted_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("rank").cast("double").alias("rank"))
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row link-graph shape summary: node/edge counts, max in/out
+    degree, and RECIPROCITY (fraction of directed edges whose reverse also
+    exists) — the signals that distinguish an organic web graph (low
+    reciprocity, heavy-tailed degrees) from link farms (reciprocity → 1,
+    uniform degrees).
+
+    Two map-side-combined degree aggregations + ONE co-keyed semi-join of
+    the edge table against its own reversal (equi on (src, dst) — never a
+    cross product); everything downstream of the aggregates is scalar.
+    Returns (n_nodes, n_edges, max_outdeg, max_indeg, reciprocity)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nn = (
+        e.select(F.col("s").alias("n"))
+        .unionByName(e.select(F.col("d").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    mo = (
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.max("od").cast("bigint").alias("max_outdeg"))
+    )
+    mi = (
+        e.groupBy("d").agg(F.count(F.lit(1)).alias("idg"))
+        .agg(F.max("idg").cast("bigint").alias("max_indeg"))
+    )
+    rc = e.join(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d")), ["s", "d"], "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_recip"))
+    # one-row stats frames composed lazily — each crossJoin is a broadcast
+    # of a scalar row (the repo's standard stats-frame pattern)
+    return (
+        nn.crossJoin(ne).crossJoin(mo).crossJoin(mi).crossJoin(rc).select(
+            "n_nodes",
+            "n_edges",
+            "max_outdeg",
+            "max_indeg",
+            F.round(
+                F.col("n_recip").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )

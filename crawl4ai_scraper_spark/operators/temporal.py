@@ -266,3 +266,32 @@ def interval_bucket_join(
         )
         .drop("_bkt")
     )
+
+
+def scd2_history(
+    revs: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 history from a revision stream: each
+    revision of a URL becomes an interval row (valid_from, valid_to) with
+    the open-ended current revision flagged — the warehouse layout that lets
+    any downstream query ask "what did this URL serve AT time t" with a
+    BETWEEN predicate instead of replaying the revision log.
+
+    ONE key-partitioned lead() window — a single exchange on the url key,
+    no joins, no state; ties on the timestamp are ordered by ``tiebreak`` so
+    the intervals are deterministic.
+    Returns (key, tiebreak, valid_from, valid_to, is_current)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    nxt = F.lead(ts_col).over(w)
+    return revs.select(
+        key,
+        tiebreak,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -366,3 +366,63 @@ def test_skew_report_hand_computed(spark):
     # uniform distribution -> gini ~ 0
     uni = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
     assert skew_report(uni, "k").collect()[0]["gini"] == pytest.approx(0.0, abs=1e-9)
+
+
+# --- multiprobe IVF + SCD2 + degree stats ------------------------------------------
+
+def test_ivf_multiprobe_superset_of_single_probe(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.similarity import (
+        ivf_multiprobe_topk,
+        ivf_topk_assigned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk_assigned(emb, n_queries=5, k=600).collect()}
+    multi = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_multiprobe_topk(emb, n_queries=5, k=600, n_probe=2).collect()}
+    # with k large enough to not truncate, probe-2 candidates ⊇ probe-1
+    assert single <= multi
+    assert len(multi) > len(single)
+    # p=1 multiprobe degenerates to the single-probe search exactly
+    p1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+          ivf_multiprobe_topk(emb, n_queries=5, k=50, n_probe=1).collect()}
+    s1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+          ivf_topk_assigned(emb, n_queries=5, k=50).collect()}
+    assert p1 == s1
+
+
+def test_scd2_history_intervals(spark):
+    from crawl4ai_scraper_spark.operators.temporal import scd2_history
+
+    revs = spark.createDataFrame(
+        [("u1", 100, 1), ("u1", 200, 2), ("u1", 300, 3), ("u2", 50, 4)],
+        "url_key string, warc_ts long, doc_id long",
+    )
+    rows = {r["doc_id"]: r for r in
+            scd2_history(revs, "url_key", "warc_ts", "doc_id").collect()}
+    assert rows[1]["valid_from"] == 100 and rows[1]["valid_to"] == 200
+    assert rows[2]["valid_to"] == 300 and rows[2]["is_current"] is False
+    assert rows[3]["valid_to"] is None and rows[3]["is_current"] is True
+    assert rows[4]["is_current"] is True  # sole revision of u2
+    # point-in-time lookup: at t=250 u1 served revision 2
+    import pyspark.sql.functions as F
+    hist = scd2_history(revs, "url_key", "warc_ts", "doc_id")
+    at250 = hist.filter((F.col("url_key") == "u1") & (F.col("valid_from") <= 250)
+                        & ((F.col("valid_to") > 250) | F.col("valid_to").isNull()))
+    assert [r["doc_id"] for r in at250.collect()] == [2]
+
+
+def test_degree_stats_hand_computed(spark):
+    from crawl4ai_scraper_spark.operators.graph import degree_stats
+
+    # a->b, a->c, b->a  => 3 edges, 3 nodes, reciprocity: a->b & b->a = 2/3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "src string, dst string"
+    )
+    r = degree_stats(edges).collect()[0]
+    assert r["n_nodes"] == 3 and r["n_edges"] == 3
+    assert r["max_outdeg"] == 2 and r["max_indeg"] == 1
+    assert r["reciprocity"] == pytest.approx(2 / 3, abs=1e-6)
