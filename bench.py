@@ -213,6 +213,14 @@ QUERY_NAMES = [
     "tokenizer_fertility",
     "winnowing_fingerprints",
     "mirror_host_pairs",
+    "fuzzy_decontaminate",
+    "mojibake_stats",
+    "length_powerlaw_fit",
+    "zipf_fit",
+    "skew_report",
+    "ann_ivf_multiprobe",
+    "url_history_scd2",
+    "link_degree_stats",
 ]
 
 
@@ -299,12 +307,20 @@ def main():
 
     total_start = time.perf_counter()
     timings = bench_queries(spark) if BENCH_ONLY != "crawl" else {}
-    crawl = bench_crawl(spark)
+    # BENCH_ONLY=queries skips the crawl leg — the fast loop for verifying
+    # operator-key changes without the ~2-minute corpus crawl.
+    crawl = (
+        bench_crawl(spark)
+        if BENCH_ONLY != "queries"
+        else {"crawl_sec": 0.0, "crawl_visited": 0, "crawl_extracted": 0,
+              "crawl_urls_per_sec": 0.0}
+    )
     total = round(time.perf_counter() - total_start, 3)
 
     queries = dict(timings)
-    queries["crawl_full"] = crawl["crawl_sec"]
-    queries["crawl_urls_per_sec"] = crawl["crawl_urls_per_sec"]
+    if BENCH_ONLY != "queries":
+        queries["crawl_full"] = crawl["crawl_sec"]
+        queries["crawl_urls_per_sec"] = crawl["crawl_urls_per_sec"]
 
     out = {
         "metric": "bench_total_sec (operators @ SF + full frontier crawl; "
@@ -319,8 +335,10 @@ def main():
     line = json.dumps(out)
     # the driver tail-captures stdout and can truncate a long line (r2's
     # BENCH JSON parsed null) — persist the same line to a file as the
-    # durable copy (VERDICT r2 fix #9)
-    (REPO / "BENCH_LAST.json").write_text(line + "\n")
+    # durable copy (VERDICT r2 fix #9). Partial runs (BENCH_ONLY set) must
+    # not clobber the durable full-run record.
+    if not BENCH_ONLY:
+        (REPO / "BENCH_LAST.json").write_text(line + "\n")
     print(line)
 
 

@@ -391,6 +391,53 @@ def main():
         plan_of(contract.queries()["opic_cash_step"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Gram matrix — flattened outer product, no self-join, one exchange",
+        "similarity.gram_matrix (embedding_gram): the d² per-vector products "
+        "are ONE flattened codegen array (no exploded self-join), collapsed "
+        "by a single (i,j)-keyed groupBy with partial aggregation — every "
+        "task reduces to ≤ d² rows before the only exchange.",
+        plan_of(contract.queries()["embedding_gram"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Fuzzy decontamination — eval side broadcast, corpus never re-keyed",
+        "dedup.fuzzy_decontaminate (fuzzy_decontaminate): the benchmark-"
+        "sized eval bands and shingle sets enter via BroadcastHashJoin; the "
+        "training corpus explodes only to scalar band rows and its single "
+        "corpus-volume shuffle is the co-keyed shingle join-back on the "
+        "train id.",
+        plan_of(contract.queries()["fuzzy_decontaminate"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Winnowing — doc-keyed running-window MIN, no joins",
+        "dedup.winnowing_fingerprints (winnowing_fingerprints): per-window "
+        "argmin (rightmost tie) is a running-frame MIN over the gram stream "
+        "keyed on the doc id — selection and dedup ride one doc exchange; "
+        "the oracle replays the same set quadratically.",
+        plan_of(contract.queries()["winnowing_fingerprints"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Multi-probe IVF — corpus keeps 1 cell/vector, queries explode & broadcast",
+        "similarity.ivf_multiprobe_topk (ann_ivf_multiprobe): probe-2 "
+        "candidates come from the SAME cell equi-join as single-probe IVF — "
+        "only the few queries explode to n_probe rows and broadcast; the "
+        "corpus is never re-partitioned or re-scanned per probe.",
+        plan_of(contract.queries()["ann_ivf_multiprobe"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Redirect resolution — ceil(log2 L) mapping self-joins (pointer doubling)",
+        "graph.resolve_redirects (redirect_resolution): each round jumps "
+        "every pointer to its pointer's pointer — the executed plan below is "
+        "the final checkpointed mapping scan; the per-round shape is one "
+        "co-partitioned equi-join of the 2-column mapping with itself plus "
+        "a scalar all-done check, O(log max_hops) rounds total.",
+        plan_of(contract.queries()["redirect_resolution"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",

@@ -678,3 +678,62 @@ def test_gram_matrix_no_join_one_exchange(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_side(spark):
+    """Eval-set decontamination: the benchmark side enters the band join and
+    the shingle verify via BROADCAST joins — the training corpus must never
+    SortMerge against the eval set."""
+    from crawl4ai_scraper_spark.operators.dedup import fuzzy_decontaminate
+
+    evals = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(4)],
+        "eval_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 4}") for i in range(40)],
+        "id long, text string",
+    )
+    plan = _plan(fuzzy_decontaminate(train, evals, id_col="id"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_single_doc_exchange(spark):
+    """Winnowing: selection is a doc-keyed running-window MIN — every hash
+    exchange keys on the doc id, no joins."""
+    from crawl4ai_scraper_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l m n") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(winnowing_fingerprints(docs, "text", "doc_id"))
+    assert "Join" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "id" in line, line
+
+
+def test_scd2_single_window_exchange_no_join(spark):
+    from crawl4ai_scraper_spark.operators.temporal import scd2_history
+
+    revs = spark.range(100).select(
+        (F.col("id") % 10).alias("url_key"),
+        (F.col("id") * 7 % 50).alias("warc_ts"),
+        F.col("id").alias("doc_id"),
+    )
+    plan = _plan(scd2_history(revs, "url_key", "warc_ts", "doc_id"))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_multiprobe_query_side_broadcast(spark):
+    """Multi-probe IVF: the exploded query side is broadcast; the corpus is
+    never shuffled for the candidate join."""
+    from crawl4ai_scraper_spark.operators.similarity import ivf_multiprobe_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_multiprobe_topk(emb, n_queries=4, k=3, n_probe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
