@@ -6737,6 +6737,68 @@ def link_degree_stats_q(spark, sf):
     return degree_stats(directed)
 
 
+@_q(
+    "wat_roundtrip_links",
+    """SELECT 'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' (' || lang || ')' AS title,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_links,
+       array_to_string(list_transform(range(1, CAST(doc_id % 3 + 2 AS INT)),
+         j -> 'https://' || source || '.example/l/' || CAST(doc_id AS VARCHAR)
+              || '/' || CAST(j AS VARCHAR)), '|') AS links_str
+    FROM documents WHERE doc_id % 100 < 20""",
+)
+def wat_roundtrip_links_q(spark, sf):
+    """Common-Crawl WAT interchange (sources/wat.py): deterministic
+    (url, title, outlinks) rows are serialized into real WAT metadata
+    shards by the production packer (per-partition, content-addressed ids,
+    CC envelope JSON) and parsed back by the real reader codec — the output
+    (url, title, link count, ordered link list) only matches the oracle,
+    which derives the same rows from documents directly, if both codec
+    directions are faithful. WAT is what link-graph builders consume
+    instead of re-parsing WARC HTML."""
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.sources.wat import parse_wat_shard, wat_shards
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 100 < 20)
+    did = F.col("doc_id").cast("string")
+    recs = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/docs/d"), did
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-03-05 08:30:00")).alias("warc_ts"),
+        F.concat(F.lit("Doc "), did, F.lit(" ("), F.col("lang"), F.lit(")")).alias(
+            "title"
+        ),
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+            lambda j: F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/l/"), did,
+                F.lit("/"), j.cast("string"),
+            ),
+        ).alias("links"),
+    )
+    shards = wat_shards(recs.repartition(4), per_record_gzip=True)
+
+    def _unpack(batches):
+        for pdf in batches:
+            urls, titles, n_links, links_str = [], [], [], []
+            for blob in pdf["shard"]:
+                for url, _ts, title, links in parse_wat_shard(bytes(blob)):
+                    urls.append(url)
+                    titles.append(title)
+                    n_links.append(len(links))
+                    links_str.append("|".join(links))
+            yield pd.DataFrame(
+                {"url": urls, "title": titles, "n_links": n_links,
+                 "links_str": links_str}
+            )
+
+    return shards.mapInPandas(
+        _unpack, "url string, title string, n_links long, links_str string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
