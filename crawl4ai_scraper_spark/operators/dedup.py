@@ -969,3 +969,25 @@ def fuzzy_decontaminate(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id", "eval_id", "jaccard")
     )
+
+
+def band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id, band, bhash) rows — the bucketed near-dup key stream shared by
+    the batch LSH pairs join, the eval decontaminator, and the streaming
+    near-dup screen. Pure column expressions (shingle → minhash → band), so
+    it works identically on batch and streaming frames; the output carries
+    three scalar columns, never the shingles."""
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    return base.select(
+        "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))

@@ -209,3 +209,64 @@ def host_rate_stream(
             "bytes",
         )
     )
+
+
+def near_dup_flags_stream(
+    docs_stream: DataFrame,
+    banked_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "warc_ts",
+    watermark: Optional[str] = "1 day",
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-dup screen against the banked corpus: each arriving
+    document is minhash-banded (pure column math — the same
+    ``dedup.band_table`` expressions the batch path uses) and its band keys
+    are probed against the static band table of the already-accepted corpus
+    via a STREAM-STATIC equi-join; a watermarked per-doc aggregation then
+    collapses the n_bands probe rows into one verdict row.
+
+    This is the incremental complement of ``content_dedup_stream`` (exact
+    bytes) and batch ``minhash_lsh_pairs`` (within-corpus): it catches the
+    lightly-edited re-post of something ALREADY IN THE BANK the moment it
+    arrives, at band-key cost — no text shuffles, state bounded by the
+    watermark, the static side maintained incrementally by appending
+    accepted docs' band rows. Flagged docs are candidates: route them to
+    the batch exact-Jaccard verifier, don't drop on the screen alone.
+
+    Returns a streaming frame (id, <ts_col>, n_hit_bands, is_suspect)."""
+    from crawl4ai_scraper_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    rows_per_band = n_hashes // n_bands
+    src = docs_stream
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    base = src.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    probes = base.select(
+        "id",
+        ts_col,
+        F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b"),
+    ).select("id", ts_col, F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    bank = banked_bands.select("band", "bhash").distinct().withColumn("m", F.lit(1))
+    joined = probes.join(bank, ["band", "bhash"], "left")
+    return (
+        joined.groupBy("id", ts_col)
+        .agg(F.sum(F.coalesce(F.col("m"), F.lit(0))).alias("n_hit_bands"))
+        .select(
+            "id",
+            ts_col,
+            F.col("n_hit_bands").cast("int").alias("n_hit_bands"),
+            (F.col("n_hit_bands") > 0).alias("is_suspect"),
+        )
+    )

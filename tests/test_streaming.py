@@ -383,3 +383,52 @@ def test_transitions_stream_matches_batch_across_drains(spark):
     # the second drain really contributed (boundary pairs included)
     assert sum(got.values()) > n1
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_near_dup_flags_stream_vs_bank(spark):
+    """Streaming near-dup screen: arriving docs probe the banked corpus's
+    band table via a stream-static join; near-dups of banked docs flag, new
+    content passes clean."""
+    import shutil
+    from datetime import datetime
+
+    from crawl4ai_scraper_spark.operators.dedup import band_table
+    from crawl4ai_scraper_spark.streaming.ingest import near_dup_flags_stream
+
+    TMP2 = TMP / "neardup"
+    shutil.rmtree(TMP2, ignore_errors=True)
+    docs_dir = str(TMP2 / "docs")
+
+    banked_text = ("the quick brown fox jumps over the lazy dog while the band "
+                   "plays on and the crowd cheers loudly tonight")
+    bank = spark.createDataFrame(
+        [(0, banked_text)], "doc_id long, text string"
+    )
+    banked_bands = band_table(bank, "text", "doc_id")
+
+    arriving = spark.createDataFrame(
+        [
+            (100, banked_text, datetime(2024, 1, 2)),          # verbatim re-post
+            (101, banked_text[10:], datetime(2024, 1, 2)),     # lightly edited
+            (102, "completely unrelated words about spark structured "
+                  "streaming and parquet sinks tonight", datetime(2024, 1, 2)),
+        ],
+        "doc_id long, text string, warc_ts timestamp",
+    )
+    arriving.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, warc_ts timestamp"
+    ).parquet(docs_dir)
+    flags = near_dup_flags_stream(stream, banked_bands)
+    q = (
+        flags.writeStream.format("memory").queryName("neardup_flags")
+        .outputMode("complete")  # append would hold rows until the watermark passes
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM neardup_flags").collect()}
+    assert rows[100]["is_suspect"] is True and rows[100]["n_hit_bands"] >= 1
+    assert rows[101]["is_suspect"] is True
+    assert rows[102]["is_suspect"] is False and rows[102]["n_hit_bands"] == 0
+    shutil.rmtree(TMP2, ignore_errors=True)
