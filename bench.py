@@ -221,6 +221,10 @@ QUERY_NAMES = [
     "ann_ivf_multiprobe",
     "url_history_scd2",
     "link_degree_stats",
+    "wat_roundtrip_links",
+    "script_stats",
+    "page_meta_hygiene",
+    "table_extraction",
 ]
 
 

@@ -6799,6 +6799,165 @@ def wat_roundtrip_links_q(spark, sf):
     )
 
 
+@_q(
+    "script_stats",
+    r"""WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN replace(text, 'e', 'е')
+                  WHEN doc_id % 17 = 0 THEN text || ' 漢字漢字'
+                  ELSE text END AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\p{Latin}')) AS n_latin,
+             len(regexp_extract_all(text, '\p{Cyrillic}')) AS n_cyrillic,
+             len(regexp_extract_all(text, '\p{Han}')) AS n_han,
+             len(regexp_extract_all(text, '\p{Arabic}')) AS n_arabic
+      FROM corpus
+    )
+    SELECT doc_id AS id,
+           CAST(n_latin AS BIGINT) AS n_latin,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_han AS BIGINT) AS n_han,
+           CAST(n_arabic AS BIGINT) AS n_arabic,
+           CASE WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_han
+                     AND n_latin >= n_arabic THEN 'latin'
+                WHEN n_cyrillic > 0 AND n_cyrillic >= n_han
+                     AND n_cyrillic >= n_arabic THEN 'cyrillic'
+                WHEN n_han > 0 AND n_han >= n_arabic THEN 'han'
+                WHEN n_arabic > 0 THEN 'arabic'
+                ELSE 'none' END AS script
+    FROM c""",
+)
+def script_stats_q(spark, sf):
+    """Unicode script profile over a corpus with PLANTED Cyrillic
+    (homoglyph 'е' for every 11th doc) and Han (appended ideographs for
+    every 17th): per-script char counts via regexp_count at scan speed —
+    Java \\p{IsX} and RE2 \\p{X} script tables agree on these ranges."""
+    from crawl4ai_scraper_spark.operators.textops import script_stats
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.replace(F.col("text"), F.lit("e"), F.lit("е"))
+        )
+        .when(F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" 漢字漢字")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_stats(corpus)
+
+
+@_q(
+    "page_meta_hygiene",
+    """WITH pg AS (
+      SELECT 'https://' || source || '.example/d' || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 4 = 1
+                  THEN 'https://' || source || '.example/d' || CAST(doc_id - 1 AS VARCHAR)
+                  ELSE 'https://' || source || '.example/d' || CAST(doc_id AS VARCHAR)
+             END AS canonical,
+             doc_id % 5 = 0 AS noindex,
+             (doc_id % 5 = 0) OR (doc_id % 7 = 0) AS nofollow
+      FROM documents WHERE doc_id < 400
+    ), surv AS (
+      SELECT canonical, url AS survivor_url FROM pg
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY canonical
+                                 ORDER BY (url <> canonical), url) = 1
+    )
+    SELECT pg.url, s.survivor_url, pg.url = s.survivor_url AS is_survivor,
+           NOT pg.noindex AS indexable, NOT pg.nofollow AS followable
+    FROM pg JOIN surv s ON s.canonical = pg.canonical""",
+)
+def page_meta_hygiene_q(spark, sf):
+    """Canonical-collapse + meta-robots gating over REAL HTML built
+    deterministically from the documents table (every 4k+1 doc declares
+    rel=canonical to its 4k sibling; every 5th is noindex+nofollow, every
+    7th nofollow-only): the html parse, relative-canonical resolution, and
+    survivor groupBy are all load-bearing — the output only matches the
+    oracle (which derives the expected flags directly) if the parser and
+    the collapse rule are faithful."""
+    from crawl4ai_scraper_spark.operators.webmeta import index_hygiene
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    canon_frag = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(
+            F.lit('<link rel="canonical" href="/d'),
+            (F.col("doc_id") - 1).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    robots_frag = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0, F.lit('<meta name="robots" content="nofollow">')
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/d"), did).alias(
+            "url"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                canon_frag,
+                robots_frag,
+                F.lit("</head><body><p>content</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return index_hygiene(pages)
+
+
+@_q(
+    "table_extraction",
+    """SELECT 'https://' || source || '.example/t' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(0 AS INT) AS table_idx, CAST(r.r - 1 AS INT) AS row_idx,
+           [CAST(doc_id AS VARCHAR), CAST(doc_id * r.r AS VARCHAR)] AS cells
+    FROM documents, UNNEST(range(1, doc_id % 3 + 2)) AS r(r)
+    WHERE doc_id < 300""",
+)
+def table_extraction_q(spark, sf):
+    """Structured <table> scrape over deterministically-rendered HTML
+    (1 + doc_id%3 rows of two cells per doc): the stdlib table parser and
+    the row/cell assembly are load-bearing — output (url, table_idx,
+    row_idx, cells) matches the oracle's direct derivation only if the
+    grid parse is faithful."""
+    from crawl4ai_scraper_spark.operators.webmeta import extract_tables
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    rows_html = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+            lambda r: F.concat(
+                F.lit("<tr><td>"), did, F.lit("</td><td>"),
+                (F.col("doc_id") * r).cast("string"), F.lit("</td></tr>"),
+            ),
+        ),
+        "",
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/t"), did).alias(
+            "url"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><table>"), rows_html, F.lit("</table></body></html>")
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extract_tables(pages)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

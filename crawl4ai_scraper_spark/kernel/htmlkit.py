@@ -500,3 +500,76 @@ def page_meta_robots(html: str) -> Dict[str, bool]:
         "noindex": "noindex" in toks or "none" in toks,
         "nofollow": "nofollow" in toks or "none" in toks,
     }
+
+
+class _TableParser(HTMLParser):
+    """Minimal stdlib table collector (no bs4/lxml in this environment —
+    the htmlkit convention): tables in document order of their <table> open
+    tag, rows/cells assigned to the INNERMOST open table, cell text
+    whitespace-collapsed. Tolerates unclosed td/tr/table (closed implicitly
+    by the next opener or EOF) — real web tables are routinely malformed."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: List[List[List[str]]] = []
+        self._stack: List[List[List[str]]] = []  # open tables
+        self._rows: List[List[List[str]]] = []  # open row per stack level
+        self._cells: List[Optional[List[str]]] = []  # open cell per level
+
+    def _close_cell(self):
+        if self._stack and self._cells[-1] is not None:
+            txt = " ".join("".join(self._cells[-1]).split())
+            self._rows[-1].append(txt)
+            self._cells[-1] = None
+
+    def _close_row(self):
+        self._close_cell()
+        if self._stack and self._rows[-1] is not None and self._rows[-1] != []:
+            self._stack[-1].append(self._rows[-1])
+        if self._stack:
+            self._rows[-1] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            t: List[List[str]] = []
+            self.tables.append(t)
+            self._stack.append(t)
+            self._rows.append([])
+            self._cells.append(None)
+        elif tag == "tr" and self._stack:
+            self._close_row()
+        elif tag in ("td", "th") and self._stack:
+            self._close_cell()
+            self._cells[-1] = []
+
+    def handle_endtag(self, tag):
+        if tag == "table" and self._stack:
+            self._close_row()
+            self._stack.pop()
+            self._rows.pop()
+            self._cells.pop()
+        elif tag == "tr" and self._stack:
+            self._close_row()
+        elif tag in ("td", "th") and self._stack:
+            self._close_cell()
+
+    def handle_data(self, data):
+        if self._stack and self._cells[-1] is not None:
+            self._cells[-1].append(data)
+
+
+def page_tables(html) -> List[List[List[str]]]:
+    """All <table> grids of a page as [table][row][cell] text — the
+    structured-scrape surface next to the selector engine (a user scraping
+    price/specs tables gets rows, not a text blob). Document order, nested
+    tables reported separately (their cells excluded from the parent's)."""
+    p = _TableParser()
+    try:
+        p.feed(decode_html(html))
+        p.close()
+    except Exception:
+        pass
+    # EOF-close any unclosed tables
+    while p._stack:
+        p.handle_endtag("table")
+    return [t for t in p.tables if t]

@@ -1572,3 +1572,43 @@ def mojibake_stats(
         ).alias("bad_ratio"),
         (n_bad == 0).alias("is_clean"),
     )
+
+
+# --- Unicode script profile -------------------------------------------------------
+
+def script_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode SCRIPT profile per document — the writing-system complement
+    of lang_id (which only separates Latin-script languages): counts of
+    Latin / Cyrillic / Han / Arabic script characters and the dominant
+    script. A multilingual pipeline routes documents to per-script
+    tokenizers and filters on this, and mixed-script anomalies (Latin text
+    stuffed with Cyrillic look-alikes) are a spam signal.
+
+    Pure regexp_count column math over the scan — Java regex script
+    properties (\\p{IsLatin} …), zero shuffles, codegen'd. Ties in the
+    dominant-script argmax break in fixed order (latin > cyrillic > han >
+    arabic), 'none' when no scripted character occurs.
+    Returns (id, n_latin, n_cyrillic, n_han, n_arabic, script)."""
+    t = F.col(text_col)
+    n_lat = F.regexp_count(t, F.lit(r"\p{IsLatin}"))
+    n_cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}"))
+    n_han = F.regexp_count(t, F.lit(r"\p{IsHan}"))
+    n_ara = F.regexp_count(t, F.lit(r"\p{IsArabic}"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_lat.cast("bigint").alias("n_latin"),
+        n_cyr.cast("bigint").alias("n_cyrillic"),
+        n_han.cast("bigint").alias("n_han"),
+        n_ara.cast("bigint").alias("n_arabic"),
+        F.when(
+            (n_lat > 0) & (n_lat >= n_cyr) & (n_lat >= n_han) & (n_lat >= n_ara),
+            F.lit("latin"),
+        )
+        .when((n_cyr > 0) & (n_cyr >= n_han) & (n_cyr >= n_ara), F.lit("cyrillic"))
+        .when((n_han > 0) & (n_han >= n_ara), F.lit("han"))
+        .when(n_ara > 0, F.lit("arabic"))
+        .otherwise(F.lit("none"))
+        .alias("script"),
+    )

@@ -99,3 +99,59 @@ def robots_meta_gate(meta: DataFrame) -> DataFrame:
         (~F.col("noindex")).alias("indexable"),
         (~F.col("nofollow")).alias("followable"),
     )
+
+
+def index_hygiene(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """The one-stop page-hygiene view an exporter consults: canonical-group
+    survivor labels + meta-robots gates per URL, from ONE Arrow metadata
+    pass over (url, html) followed by the survivor groupBy and a co-keyed
+    url join. A page reaches the index/export iff ``is_survivor AND
+    indexable``; the frontier consults ``followable`` before expanding its
+    outlinks. Returns (url, survivor_url, is_survivor, indexable,
+    followable)."""
+    meta = page_meta(pages, url_col, html_col).localCheckpoint(eager=False)
+    collapsed = canonical_collapse(meta)
+    gate = robots_meta_gate(meta)
+    return collapsed.join(gate, "url").select(
+        "url", "survivor_url", "is_survivor", "indexable", "followable"
+    )
+
+
+def exportable_pages(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Filter helper over index_hygiene: the URLs that should reach the
+    markdown/WET export — canonical survivors that are not noindex'd."""
+    h = index_hygiene(pages, url_col, html_col)
+    return h.filter(F.col("is_survivor") & F.col("indexable")).select("url")
+
+
+TABLE_SCHEMA = "url string, table_idx int, row_idx int, cells array<string>"
+
+
+def _extract_table_rows(it):
+    import pandas as pd
+
+    from crawl4ai_scraper_spark.kernel.htmlkit import page_tables
+
+    for pdf in it:
+        urls, t_idx, r_idx, cells = [], [], [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for ti, table in enumerate(page_tables(html)):
+                for ri, row in enumerate(table):
+                    urls.append(url)
+                    t_idx.append(ti)
+                    r_idx.append(ri)
+                    cells.append(row)
+        yield pd.DataFrame(
+            {"url": urls, "table_idx": t_idx, "row_idx": r_idx, "cells": cells}
+        )
+
+
+def extract_tables(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Structured table scrape: every <table> grid of every page as
+    (url, table_idx, row_idx, cells) rows — the price/spec/roster tables a
+    scraping user targets, as relational rows instead of a text blob. ONE
+    Arrow pass over (url, html) (html never shuffles); downstream pivots or
+    header-keyed selects are plain DataFrame ops on the small cell rows."""
+    return pages.select(
+        F.col(url_col).alias("url"), F.col(html_col).alias("html")
+    ).mapInPandas(_extract_table_rows, TABLE_SCHEMA)

@@ -426,3 +426,74 @@ def test_degree_stats_hand_computed(spark):
     assert r["n_nodes"] == 3 and r["n_edges"] == 3
     assert r["max_outdeg"] == 2 and r["max_indeg"] == 1
     assert r["reciprocity"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_index_hygiene_export_gate(spark):
+    from crawl4ai_scraper_spark.operators.webmeta import exportable_pages, index_hygiene
+
+    def _pg(canon=None, robots=None):
+        head = ""
+        if canon:
+            head += f'<link rel="canonical" href="{canon}">'
+        if robots:
+            head += f'<meta name="robots" content="{robots}">'
+        return f"<html><head>{head}</head><body><p>c</p></body></html>".encode()
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/real", _pg()),
+            ("https://a.example/dup", _pg(canon="/real")),
+            ("https://a.example/secret", _pg(robots="noindex")),
+            ("https://a.example/ok", _pg()),
+        ],
+        "url string, html binary",
+    )
+    h = {r["url"]: r for r in index_hygiene(pages).collect()}
+    assert h["https://a.example/dup"]["is_survivor"] is False
+    assert h["https://a.example/secret"]["indexable"] is False
+    exp = {r["url"] for r in exportable_pages(pages).collect()}
+    assert exp == {"https://a.example/real", "https://a.example/ok"}
+
+
+def test_script_stats_counts_and_dominant(spark):
+    from crawl4ai_scraper_spark.operators.textops import script_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain latin text"),
+            (1, "пример текста"),          # Cyrillic
+            (2, "漢字テキスト"),            # Han + Katakana (kana not counted)
+            (3, "نص عربي"),               # Arabic
+            (4, "mixed пример"),           # latin 5 vs cyrillic 6 -> cyrillic
+            (5, "12345 ... !!!"),          # no scripted chars
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in script_stats(docs).collect()}
+    assert rows[0]["script"] == "latin" and rows[0]["n_latin"] == len("plainlatintext")
+    assert rows[1]["script"] == "cyrillic" and rows[1]["n_latin"] == 0
+    assert rows[2]["script"] == "han" and rows[2]["n_han"] == 2
+    assert rows[3]["script"] == "arabic"
+    assert rows[4]["script"] == "cyrillic"  # 6 cyr > 5 lat
+    assert rows[5]["script"] == "none"
+
+
+def test_extract_tables_grid_and_malformed(spark):
+    from crawl4ai_scraper_spark.operators.webmeta import extract_tables
+
+    html_a = (b"<html><body><table><tr><th>name</th><th>price</th></tr>"
+              b"<tr><td>widget</td><td>9.99</td></tr>"
+              b"<tr><td>gadget</td><td>19.99</td></tr></table></body></html>")
+    # malformed: unclosed td/table; entity in cell
+    html_b = b"<table><tr><td>a &amp; b<td>c</table>"
+    pages = spark.createDataFrame(
+        [("https://s.example/a", html_a), ("https://s.example/b", html_b)],
+        "url string, html binary",
+    )
+    rows = extract_tables(pages).collect()
+    a = sorted([r for r in rows if r["url"].endswith("/a")],
+               key=lambda r: (r["table_idx"], r["row_idx"]))
+    assert [r["cells"] for r in a] == [["name", "price"], ["widget", "9.99"],
+                                       ["gadget", "19.99"]]
+    b = [r for r in rows if r["url"].endswith("/b")]
+    assert len(b) == 1 and b[0]["cells"] == ["a & b", "c"]
