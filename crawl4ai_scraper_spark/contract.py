@@ -619,6 +619,20 @@ def dedup_exact_q(spark, sf):
     return D.dedup_exact(docs.unionByName(dupes), "text", "doc_id")
 
 
+def _sh3(expr: str) -> str:
+    """DuckDB SQL replaying dedup.shingles(expr, k=3): word tri-shingles,
+    with the same short-doc convention — a doc under 3 tokens yields ONE
+    whole-text shingle, never an empty list (an empty list would null the
+    minhash signature and silently drop the doc from every band join)."""
+    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    return (
+        f"CASE WHEN len({toks}) < 3"
+        f" THEN [array_to_string({toks}, ' ')]"
+        f" ELSE list_transform(range(1, len({toks}) - 1),"
+        f" i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) END"
+    )
+
+
 _VARIANT_SQL = "substr(text, 8)"  # near-duplicate: drop the first 7 chars
 
 @_q(
@@ -628,11 +642,7 @@ _VARIANT_SQL = "substr(text, 8)"  # near-duplicate: drop the first 7 chars
       UNION ALL
       SELECT doc_id + 100000, {_VARIANT_SQL} FROM documents WHERE doc_id < 60
     ), sh AS (
-      SELECT doc,
-             list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
-               i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
-                    string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
-                    string_split_regex(trim(lower(text)), '\\s+')[i+2]) AS sh
+      SELECT doc, {_sh3('text')} AS sh
       FROM corpus
     ), sig AS (
       SELECT doc, sh,
@@ -679,17 +689,13 @@ def dedup_minhash_lsh_q(spark, sf):
       UNION ALL
       SELECT doc_id + 100000, {_VARIANT_SQL} FROM documents WHERE doc_id < 60
     ), sh AS (
-      SELECT doc,
-             list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
-               i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
-                    string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
-                    string_split_regex(trim(lower(text)), '\\s+')[i+2])) AS shset
+      SELECT doc, list_distinct({_sh3('text')}) AS shset
       FROM corpus
     ), truth AS (
       SELECT a.doc AS id_a, b.doc AS id_b
       FROM sh a JOIN sh b ON a.doc < b.doc
-      WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.5
+      WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
     ), sig AS (
       SELECT doc, shset,
         [list_min(list_transform(shset, x -> md5('0:' || x))),
@@ -710,8 +716,8 @@ def dedup_minhash_lsh_q(spark, sf):
     ), found AS (
       SELECT c.id_a, c.id_b, 1 AS _in
       FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b
-      WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.5
+      WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.5
     )
     SELECT COUNT(*) AS n_true_pairs,
            CAST(COALESCE(SUM(COALESCE(f._in, 0)), 0) AS BIGINT) AS n_found_pairs,
@@ -738,14 +744,8 @@ def minhash_recall_q(spark, sf):
     "ngram_jaccard_pairs",
     f"""WITH sh AS (
       SELECT doc_id,
-        list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
-          i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
-               string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
-               string_split_regex(trim(lower(text)), '\\s+')[i+2])) AS sa,
-        list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(lower({_VARIANT_SQL})), '\\s+')) - 1, 1)),
-          i -> string_split_regex(trim(lower({_VARIANT_SQL})), '\\s+')[i] || ' ' ||
-               string_split_regex(trim(lower({_VARIANT_SQL})), '\\s+')[i+1] || ' ' ||
-               string_split_regex(trim(lower({_VARIANT_SQL})), '\\s+')[i+2])) AS sb
+        list_distinct({_sh3('text')}) AS sa,
+        list_distinct({_sh3(_VARIANT_SQL)}) AS sb
       FROM documents WHERE doc_id < 100)
     SELECT doc_id,
            ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
@@ -6422,12 +6422,7 @@ def mirror_host_pairs_q(spark, sf):
     return mirror_host_pairs(corpus, host_col="host")
 
 
-_SH3_SQL = (
-    "list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),"
-    " i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||"
-    " string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||"
-    " string_split_regex(trim(lower(text)), '\\s+')[i+2])"
-)
+_SH3_SQL = _sh3("text")
 _SIG8_SQL = (
     "[list_min(list_transform(sh, x -> md5('0:' || x))),"
     " list_min(list_transform(sh, x -> md5('1:' || x))),"

@@ -481,7 +481,10 @@ def page_canonical(html: str, base_url: str) -> Optional[str]:
     are the publisher-declared duplicate clusters (print views, tracking-
     parameter variants, m.-mirrors) that content hashing only catches after
     fetching both copies."""
-    p = _parse(html)
+    return _canonical_from(_parse(html), base_url)
+
+
+def _canonical_from(p, base_url: str) -> Optional[str]:
     if not p.canonical:
         return None
     try:
@@ -494,12 +497,28 @@ def page_meta_robots(html: str) -> Dict[str, bool]:
     """``<meta name=robots>`` directives as flags. ``none`` = noindex +
     nofollow (the HTML spec's shorthand); absent meta → both False
     (indexable, followable — the crawler default)."""
-    p = _parse(html)
-    toks = {t.strip() for t in (p.meta_robots or "").split(",")}
+    return _robots_from(_parse(html))
+
+
+def _robots_from(p) -> Dict[str, bool]:
+    # commas OR whitespace: real pages write both "noindex, nofollow" and
+    # "noindex nofollow"; every major crawler accepts either separator
+    toks = {t for t in re.split(r"[,\s]+", (p.meta_robots or "")) if t}
     return {
         "noindex": "noindex" in toks or "none" in toks,
         "nofollow": "nofollow" in toks or "none" in toks,
     }
+
+
+def page_meta_fields(html: str, base_url: str) -> Tuple[Optional[str], bool, bool]:
+    """(canonical, noindex, nofollow) from ONE parse — the hygiene Arrow
+    pass (operators/webmeta.py) wants both canonical and robots flags per
+    page, and parsing is its dominant cost, so it must not run
+    ``page_canonical`` + ``page_meta_robots`` back-to-back (two full parses
+    of every page)."""
+    p = _parse(html)
+    r = _robots_from(p)
+    return _canonical_from(p, base_url), r["noindex"], r["nofollow"]
 
 
 class _TableParser(HTMLParser):

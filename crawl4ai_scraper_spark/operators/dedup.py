@@ -21,6 +21,8 @@ replay every operator bit-for-bit in SQL.
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,10 +114,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # Threshold the UNROUNDED ratio (rounding is display-only): a true
+    # Jaccard in [threshold - 5e-5, threshold) must not pass just because
+    # it rounds up to the threshold at 4dp.
+    raw = inter.cast("double") / union
     return (
-        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        pairs.filter(raw >= jaccard_threshold)
+        .select("id_a", "id_b", F.round(raw, 4).alias("jaccard"))
     )
 
 
@@ -570,7 +575,7 @@ def minhash_recall(
     pipeline and the banded pipeline on the SAME corpus, count true pairs
     found vs missed. → one row (n_true_pairs, n_found_pairs, recall).
     Precision is 1.0 by construction (the banded path exact-verifies every
-    candidate with the same 4dp-rounded Jaccard), so recall is the only
+    candidate against the same unrounded-Jaccard threshold), so recall is the only
     quality axis; it rises with n_bands (more, smaller bands → more candidate
     collisions) at the cost of a wider band shuffle.
 
@@ -587,7 +592,7 @@ def minhash_recall(
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(F.round(inter.cast("double") / union, 4) >= jaccard_threshold)
+        .filter((inter.cast("double") / union) >= jaccard_threshold)
         .select("id_a", "id_b")
     )
     found = minhash_lsh_pairs(
@@ -938,36 +943,36 @@ def fuzzy_decontaminate(
     join-back, co-keyed on the train id. Verification is exact Jaccard.
     Returns (id, eval_id, jaccard) — one row per contaminated (train, eval)
     pair; anti-join the distinct ids to purge."""
-    rows_per_band = n_hashes // n_bands
-    t_base = train.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    e_base = evals.select(
-        F.col(eval_id_col).alias("eval_id"),
-        shingles(F.col(eval_text_col), k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-
-    t_band = t_base.select(
-        "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
-    e_band = e_base.select(
-        "eval_id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
-    ).select("eval_id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    t_band = band_table(
+        train, text_col, id_col, k=k, n_hashes=n_hashes, n_bands=n_bands
+    )
+    e_band = band_table(
+        evals, eval_text_col, eval_id_col,
+        k=k, n_hashes=n_hashes, n_bands=n_bands, id_out="eval_id",
+    )
 
     cand = (
         t_band.join(F.broadcast(e_band), ["band", "bhash"])
         .select("id", "eval_id")
         .dropDuplicates(["id", "eval_id"])
     )
-    t_sh = t_base.select("id", F.array_distinct("sh").alias("sh_t"))
-    e_sh = e_base.select("eval_id", F.array_distinct("sh").alias("sh_e"))
+    t_sh = train.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh_t"),
+    )
+    e_sh = evals.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.array_distinct(shingles(F.col(eval_text_col), k)).alias("sh_e"),
+    )
     pairs = cand.join(t_sh, "id").join(F.broadcast(e_sh), "eval_id")
     inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
     union = F.size(F.array_union(F.col("sh_t"), F.col("sh_e")))
+    # Unrounded-threshold convention (see minhash_lsh_pairs): rounding is
+    # display-only, never part of the keep/drop decision.
+    raw = inter.cast("double") / union
     return (
-        pairs.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id", "eval_id", "jaccard")
+        pairs.filter(raw >= jaccard_threshold)
+        .select("id", "eval_id", F.round(raw, 4).alias("jaccard"))
     )
 
 
@@ -978,16 +983,28 @@ def band_table(
     k: int = 3,
     n_hashes: int = 8,
     n_bands: int = 4,
+    id_out: str = "id",
+    carry: Optional[Sequence[str]] = None,
 ) -> DataFrame:
-    """(id, band, bhash) rows — the bucketed near-dup key stream shared by
-    the batch LSH pairs join, the eval decontaminator, and the streaming
-    near-dup screen. Pure column expressions (shingle → minhash → band), so
-    it works identically on batch and streaming frames; the output carries
-    three scalar columns, never the shingles."""
+    """(<id_out>, [carry...,] band, bhash) rows — the bucketed near-dup key
+    stream shared by the batch LSH pairs join, the eval decontaminator
+    (``fuzzy_decontaminate``), and the streaming near-dup screen
+    (``streaming.ingest.near_dup_flags_stream``). Pure column expressions
+    (shingle → minhash → band), so it works identically on batch and
+    streaming frames; the output carries only scalar columns, never the
+    shingles. ``carry`` passes extra columns through untouched (the stream's
+    event-time column rides along for its watermark)."""
     rows_per_band = n_hashes // n_bands
+    extra = list(carry or [])
     base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias(id_out),
+        *[F.col(c) for c in extra],
+        shingles(F.col(text_col), k).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     return base.select(
-        "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+        id_out,
+        *extra,
+        F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b"),
+    ).select(
+        id_out, *extra, F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )

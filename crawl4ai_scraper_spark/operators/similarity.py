@@ -826,25 +826,34 @@ def jl_project(
 ) -> DataFrame:
     """Sparse random projection d → out_dim for cheap near-dup screens and
     sketch feeds: proj(v)[t] = Σ_i v[i]·r(i,t) with hash-derived signs (no
-    matrix artifact, nothing to ship to executors). 2/3 of the terms are
-    exactly zero — the aggregate skips them. Per-term 12dp rounding +
-    DECIMAL sum = engine-exact. One posexplode at d× volume and one
-    (id, t)-keyed groupBy; output is out_dim rows per vector.
-    Returns (id, t, proj)."""
+    matrix artifact, nothing to ship to executors). The ~2/3 of terms whose
+    hash-derived sign is exactly 0 are FILTERED before the aggregate, so the
+    shuffle carries only the ~d/3 contributing terms per (id, t). Per-term
+    12dp rounding + DECIMAL sum = engine-exact. One posexplode at d× volume
+    and one (id, t)-keyed groupBy; output is out_dim rows per vector.
+    Returns (id, t, proj).
+
+    An (id, t) output row vanishes only if ALL d signs for that t are zero
+    — data-independent (signs hash (i, t, salt) only), p ≈ (2/3)^d per t,
+    and verified false for every t under the default (salt, out_dim, d=64).
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     rows = emb.select(F.col(id_col).alias("id"), F.posexplode(v).alias("i", "x"))
     ts = F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("t")
-    terms = rows.select(
-        "id",
-        "i",
-        "x",
-        ts,
-    ).select(
-        "id",
-        "t",
-        F.round(F.col("x") * jl_sign(F.col("i"), F.col("t"), salt), 12)
-        .cast(_GRAM_SCALE)
-        .alias("p"),
+    sign = jl_sign(F.col("i"), F.col("t"), salt)
+    terms = (
+        rows.select(
+            "id",
+            "i",
+            "x",
+            ts,
+        )
+        .filter(sign != 0)
+        .select(
+            "id",
+            "t",
+            F.round(F.col("x") * sign, 12).cast(_GRAM_SCALE).alias("p"),
+        )
     )
     return (
         terms.groupBy("id", "t")

@@ -31,22 +31,16 @@ PAGE_META_SCHEMA = "url string, canonical string, noindex boolean, nofollow bool
 def _extract_meta_rows(it):
     import pandas as pd
 
-    from crawl4ai_scraper_spark.kernel.htmlkit import (
-        decode_html,
-        page_canonical,
-        page_meta_robots,
-    )
+    from crawl4ai_scraper_spark.kernel.htmlkit import decode_html, page_meta_fields
 
     for pdf in it:
         urls, canon, noidx, nofol = [], [], [], []
         for url, html in zip(pdf["url"], pdf["html"]):
-            h = decode_html(html)
-            c = page_canonical(h, url)
-            r = page_meta_robots(h)
+            c, ni, nf = page_meta_fields(decode_html(html), url)
             urls.append(url)
             canon.append(c if c else url)  # absent declaration = self-canonical
-            noidx.append(r["noindex"])
-            nofol.append(r["nofollow"])
+            noidx.append(ni)
+            nofol.append(nf)
         yield pd.DataFrame(
             {"url": urls, "canonical": canon, "noindex": noidx, "nofollow": nofol}
         )

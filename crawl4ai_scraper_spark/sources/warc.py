@@ -137,7 +137,9 @@ def write_warc_bytes(
             + b"Content-Length: " + str(len(payload)).encode() + _HDR_END
             + payload + _CRLF + _CRLF
         )
-        out.write(gzip.compress(rec) if per_record_gzip else rec)
+        # mtime=0: gzip members carry no wall-clock — shard bytes are a pure
+        # function of the records (byte-level artifact diffing/dedup works)
+        out.write(gzip.compress(rec, mtime=0) if per_record_gzip else rec)
     return out.getvalue()
 
 

@@ -101,7 +101,9 @@ def write_wat_bytes(
     out = io.BytesIO()
     for url, ts, title, links in records:
         rec = wat_record_bytes(url, ts, title, links)
-        out.write(gzip.compress(rec) if per_record_gzip else rec)
+        # mtime=0: gzip members carry no wall-clock — shard bytes are a pure
+        # function of the records (byte-level artifact diffing/dedup works)
+        out.write(gzip.compress(rec, mtime=0) if per_record_gzip else rec)
     return out.getvalue()
 
 
@@ -199,6 +201,8 @@ def wat_shards(
                         list(links) if links is not None else [],
                     )
                 )
+        if not records:  # empty partitions yield no shard row (write_wat parity)
+            return
         blob = write_wat_bytes(records, per_record_gzip=per_record_gzip)
         yield pd.DataFrame(
             {"shard": [blob], "n_records": [len(records)], "n_bytes": [len(blob)]}

@@ -102,7 +102,9 @@ def write_wet_bytes(
         chunks.append(warcinfo_record_bytes())
     chunks.extend(wet_record_bytes(url, ts, text) for url, ts, text in records)
     for rec in chunks:
-        out.write(gzip.compress(rec) if per_record_gzip else rec)
+        # mtime=0: gzip members carry no wall-clock — shard bytes are a pure
+        # function of the records (byte-level artifact diffing/dedup works)
+        out.write(gzip.compress(rec, mtime=0) if per_record_gzip else rec)
     return out.getvalue()
 
 

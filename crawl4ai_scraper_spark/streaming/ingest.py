@@ -238,26 +238,15 @@ def near_dup_flags_stream(
     the batch exact-Jaccard verifier, don't drop on the screen alone.
 
     Returns a streaming frame (id, <ts_col>, n_hit_bands, is_suspect)."""
-    from crawl4ai_scraper_spark.operators.dedup import (
-        lsh_bands,
-        minhash_signature,
-        shingles,
-    )
+    from crawl4ai_scraper_spark.operators.dedup import band_table
 
-    rows_per_band = n_hashes // n_bands
     src = docs_stream
     if watermark is not None:
         src = src.withWatermark(ts_col, watermark)
-    base = src.select(
-        F.col(id_col).alias("id"),
-        F.col(ts_col),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    probes = base.select(
-        "id",
-        ts_col,
-        F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b"),
-    ).select("id", ts_col, F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    probes = band_table(
+        src, text_col, id_col,
+        k=k, n_hashes=n_hashes, n_bands=n_bands, carry=[ts_col],
+    )
     bank = banked_bands.select("band", "bhash").distinct().withColumn("m", F.lit(1))
     joined = probes.join(bank, ["band", "bhash"], "left")
     return (
