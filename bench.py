@@ -225,6 +225,10 @@ QUERY_NAMES = [
     "script_stats",
     "page_meta_hygiene",
     "table_extraction",
+    # session-7 additions
+    "corpus_mix_plan",
+    "corpus_mix_apply",
+    "token_budget_select",
 ]
 
 

@@ -6954,6 +6954,135 @@ def table_extraction_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Corpus mixing + token-budget selection (operators/mixing.py): the
+# data-recipe passes between dedup/filtering and tokenization. Shared
+# conventions: token weight = whitespace token count, targets are
+# binary-exact float literals (identical doubles in both engines), rates
+# quantized to 1/4096 via FLOOR on identically-ordered IEEE expressions.
+# ---------------------------------------------------------------------------
+
+_MIX_TARGET = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125}
+_MIX_TGT_SQL = (
+    "(VALUES ('de', 0.125), ('en', 0.5), ('es', 0.125), ('fr', 0.125),"
+    " ('zh', 0.125)) t(lang, target_share)"
+)
+_MIX_PLAN_SQL = f"""WITH w AS (
+      SELECT lang, COUNT(*) AS n_rows,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS weight
+      FROM documents GROUP BY lang
+    ), tgt AS (SELECT * FROM {_MIX_TGT_SQL}),
+    j AS (SELECT w.*, tgt.target_share FROM w JOIN tgt USING (lang)),
+    tt AS (SELECT MIN(CAST(weight AS DOUBLE) / target_share) AS _t FROM j),
+    g AS (SELECT CAST(SUM(weight) AS BIGINT) AS _wall FROM w),
+    r AS (
+      SELECT j.*, CAST(FLOOR(((j.target_share * tt._t)
+                 / CAST(j.weight AS DOUBLE)) * 4096) AS BIGINT) AS steps
+      FROM j, tt
+    )
+    SELECT lang, n_rows, weight,
+           ROUND(CAST(weight AS DOUBLE) / CAST(g._wall AS DOUBLE), 6) AS share,
+           ROUND(target_share, 6) AS target_share,
+           CAST(FLOOR(steps / 4096.0) AS INT) AS epochs,
+           CAST(steps % 4096 AS INT) AS rate_steps,
+           ROUND(CAST(steps AS DOUBLE) / 4096, 6) AS keep_rate
+    FROM r, g"""
+
+
+@_q("corpus_mix_plan", _MIX_PLAN_SQL)
+def corpus_mix_plan_q(spark, sf):
+    """Data-recipe mixing plan: per-language keep rates hitting target token
+    shares from whatever mix the crawl produced. Downsample-only mode — the
+    most under-represented-vs-target language keeps everything (rate 1.0)
+    and every other language is cut to match its share. One G-row groupBy +
+    broadcast target join; rates quantized to 1/4096."""
+    from crawl4ai_scraper_spark.operators.mixing import corpus_mix_plan
+
+    docs = _t(spark, sf, "documents").select(
+        "lang", F.size(F.split(F.trim("text"), "\\s+")).alias("w")
+    )
+    return corpus_mix_plan(docs, "lang", "w", _MIX_TARGET)
+
+
+@_q(
+    "corpus_mix_apply",
+    f"""WITH w AS (
+      SELECT lang, COUNT(*) AS n_rows,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS weight
+      FROM documents GROUP BY lang
+    ), tgt AS (SELECT * FROM {_MIX_TGT_SQL}),
+    j AS (SELECT w.*, tgt.target_share FROM w JOIN tgt USING (lang)),
+    r AS (
+      SELECT j.lang, CAST(FLOOR(((j.target_share * 40000.0)
+                 / CAST(j.weight AS DOUBLE)) * 4096) AS BIGINT) AS steps
+      FROM j
+    ), plan AS (
+      SELECT lang, CAST(FLOOR(steps / 4096.0) AS INT) AS epochs,
+             CAST(steps % 4096 AS INT) AS rate_steps
+      FROM r
+    ), e AS (SELECT UNNEST(range(0, 64)) AS epoch)
+    SELECT d.doc_id, d.lang, CAST(e.epoch AS INT) AS epoch
+    FROM documents d JOIN plan p USING (lang), e
+    WHERE e.epoch <= p.epochs
+      AND (e.epoch < p.epochs
+           OR CAST('0x' || substr(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 1, 3)
+                   AS INT) < p.rate_steps)""",
+)
+def corpus_mix_apply_q(spark, sf):
+    """Materialized mix at a PINNED 40k-token output (larger than the sf0.01
+    corpus → fractional-epoch UPSAMPLING: every doc keeps epochs full copies
+    plus a deterministic md5-threshold extra copy; at sf0.1 the same pin
+    downsamples instead — both regimes one explode + scan-speed digest
+    compare). Oracle's epoch range is a constant 64 — rates stay far below
+    64 epochs at every shipped sf."""
+    from crawl4ai_scraper_spark.operators.mixing import (
+        corpus_mix_apply,
+        corpus_mix_plan,
+    )
+
+    docs = _t(spark, sf, "documents")
+    weighted = docs.select(
+        "lang", F.size(F.split(F.trim("text"), "\\s+")).alias("w")
+    )
+    plan = corpus_mix_plan(weighted, "lang", "w", _MIX_TARGET, total_out=40000.0)
+    return corpus_mix_apply(
+        docs.select("doc_id", "lang"), "doc_id", "lang", plan
+    ).select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+@_q(
+    "token_budget_select",
+    """WITH q AS (
+      SELECT doc_id AS id,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS quality,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, id)
+                  - n_tokens AS BIGINT) AS cum_before
+      FROM q
+    )
+    SELECT id, quality, n_tokens, cum_before FROM c WHERE cum_before < 8000""",
+)
+def token_budget_select_q(spark, sf):
+    """Best-first selection under an 8k-token budget: docs ranked by
+    lexical-diversity quality (distinct-token fraction), kept while the
+    running token total is under budget (straddler included). The Spark
+    side never runs the oracle's whole-corpus ORDER BY window — the
+    two-phase bucketed cumsum produces the identical BIGINT prefix sums."""
+    from crawl4ai_scraper_spark.operators.mixing import token_budget_select
+
+    toks = F.split(F.trim("text"), "\\s+")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("qual"),
+        F.size(toks).alias("ntok"),
+    )
+    return token_budget_select(docs, "doc_id", "ntok", "qual", budget=8000)
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 
