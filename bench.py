@@ -229,6 +229,9 @@ QUERY_NAMES = [
     "corpus_mix_plan",
     "corpus_mix_apply",
     "token_budget_select",
+    "host_boilerplate_strip",
+    "url_path_templates",
+    "contrastive_pairs",
 ]
 
 

@@ -7083,6 +7083,149 @@ def token_budget_select_q(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Host-scoped boilerplate strip + URL template mining
+# ---------------------------------------------------------------------------
+
+@_q(
+    "host_boilerplate_strip",
+    """WITH w AS (SELECT doc_id, source AS host,
+           string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+    hd AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS host_docs FROM w GROUP BY host),
+    s AS (SELECT doc_id, host, n_segments, u.pos, u.seg FROM (
+        SELECT doc_id, host, CAST(ceil(len(w)/3.0) AS BIGINT) AS n_segments,
+               UNNEST(list_transform(range(0, CAST(ceil(len(w)/3.0) AS BIGINT)),
+                   i -> {'pos': CAST(i AS INTEGER),
+                         'seg': array_to_string(w[(i*3+1):(i*3+3)], ' ')})) AS u
+        FROM w)),
+    b AS (SELECT hl.host, hl.seg
+          FROM (SELECT host, seg, COUNT(DISTINCT doc_id) AS nd
+                FROM s GROUP BY host, seg) hl
+          JOIN hd USING (host)
+          WHERE nd >= 2 AND nd * 100 >= 8 * host_docs),
+    k AS (SELECT s.* FROM s ANTI JOIN b ON s.host = b.host AND s.seg = b.seg)
+    SELECT doc_id, host, n_segments, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           array_to_string(list(seg ORDER BY pos), ' ') AS clean_text
+    FROM k GROUP BY doc_id, host, n_segments""",
+)
+def host_boilerplate_strip_q(spark, sf):
+    """Host-conditioned boilerplate removal (CCNet/Onion "common lines per
+    site"): 3-word segments appearing in >=2 docs AND >=8% of one host's
+    documents are stripped from that host only; cross-host repeats survive
+    (vs global segment_dedup's keep-one-copy). Integer threshold math
+    (nd*100 >= pct*host_docs) keeps the gate cross-engine exact; the oracle's
+    ANTI JOIN is the same keep-join."""
+    docs = _t(spark, sf, "documents")
+    return D.host_boilerplate_strip(
+        docs, "text", "doc_id", "source", seg_words=3, min_docs=2, ratio_pct=8
+    ).withColumnRenamed("source", "host")
+
+
+# moduli COPRIME to 20 (the testdata's source = src{doc_id % 20} correlation)
+# so every host sees every URL class: ~1/7 literal /about, the rest split
+# over numeric-id / mixed-token / hex-id generated spaces.
+_TRAP_URL_SQL = (
+    "'https://' || source || '.example' || "
+    "CASE WHEN doc_id % 7 = 0 THEN '/about' "
+    "WHEN doc_id % 3 = 0 THEN '/post/' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 3 = 1 THEN '/item/a' || CAST(doc_id AS VARCHAR) || 'x' "
+    "ELSE '/s/' || md5(CAST(doc_id AS VARCHAR)) END"
+)
+
+
+def _trap_url_col() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/about"))
+        .when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/post/"), did))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/item/a"), did, F.lit("x")))
+        .otherwise(F.concat(F.lit("/s/"), F.md5(did))),
+    )
+
+
+@_q(
+    "url_path_templates",
+    """WITH u AS (SELECT DISTINCT """ + _TRAP_URL_SQL + """ AS url FROM documents),
+    t AS (SELECT
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+        '/' || array_to_string(list_transform(
+            list_filter(string_split(
+                regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+                x -> x <> ''),
+            x -> CASE WHEN regexp_matches(x, '^[0-9]+$') THEN '{d}'
+                      WHEN regexp_matches(x, '^[0-9a-f]{8,}$') THEN '{h}'
+                      WHEN regexp_matches(x, '[0-9]') THEN '{a}'
+                      ELSE x END), '/') AS template,
+        url FROM u)
+    SELECT host, template, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+           MIN(url) AS example_url,
+           COUNT(DISTINCT url) >= 5 AS trap_suspect
+    FROM t GROUP BY host, template""",
+)
+def url_path_templates_q(spark, sf):
+    """Crawler-trap detection by URL template mining: path segments
+    generalized (digits -> {d}, >=8-char hex ids -> {h}, other digit-bearing
+    tokens -> {a}), distinct-URL counts per (host, template). The planted URL
+    mix yields per host: a numeric-id template, a mixed-token template, a
+    hex-id template (~6 distinct urls each -> trap_suspect at min_urls=5) and
+    one literal /about (n_urls=1, clean). Pattern-level trap signal the
+    per-URL hygiene screens can't see (every trap URL is individually clean)."""
+    from crawl4ai_scraper_spark.operators.webmeta import url_path_templates
+
+    urls = _t(spark, sf, "documents").select(_trap_url_col().alias("url")).distinct()
+    return url_path_templates(urls, "url", min_urls=5)
+
+
+_SIG8_SQL = "[" + ",".join(
+    f"list_min(list_transform(sh, x -> md5('{i}:' || x)))" for i in range(8)
+) + "]"
+
+
+@_q(
+    "contrastive_pairs",
+    f"""WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000, {_VARIANT_SQL} FROM documents WHERE doc_id < 60
+    ), sh AS (
+      SELECT doc, {_sh3('text')} AS sh FROM corpus
+    ), sig AS (
+      SELECT doc, sh, {_SIG8_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc, b.band, md5(sig[b.band+1]) AS bhash
+      FROM sig, (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash AND l.doc < r.doc
+    ), jt AS (
+      SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+           / len(list_distinct(list_concat(list_distinct(a.sh), list_distinct(b.sh)))) AS j
+      FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b)
+    SELECT id_a, id_b, ROUND(j, 4) AS jaccard,
+           CASE WHEN j >= 0.5 THEN 'pos' ELSE 'hard_neg' END AS label
+    FROM jt WHERE (j >= 0.5 AND j < 0.95) OR j < 0.2""",
+)
+def contrastive_pairs_q(spark, sf):
+    """Contrastive pair mining over corpus + planted near-dups: single-row
+    LSH bands (collision prob per band = j) surface both true positives
+    (j in [0.5, 0.95) — exact-ish dups excluded as leaky) and hard negatives
+    (band-colliding pairs with j < 0.2) from ONE id-only candidate stream;
+    the ambiguous middle is dropped. The label windows gate the UNROUNDED
+    Jaccard in both engines."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    variants = docs.select((F.col("doc") + 100000).alias("doc"),
+                           F.expr("substr(text, 8)").alias("text"))
+    corpus = docs.unionByName(variants)
+    return D.contrastive_pairs(
+        corpus, "text", "doc", k=3, n_hashes=8, n_bands=8,
+        pos_lo=0.5, pos_hi=0.95, neg_hi=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------
 

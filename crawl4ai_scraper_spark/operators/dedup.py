@@ -72,17 +72,18 @@ def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
-def minhash_lsh_pairs(
+def lsh_candidate_jaccard(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 3,
     n_hashes: int = 8,
     n_bands: int = 4,
-    jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash, verified with exact
-    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    """(id_a, id_b, j) for every LSH band-collision candidate pair, with the
+    UNROUNDED exact shingle-set Jaccard — the shared candidate stream behind
+    ``minhash_lsh_pairs`` (threshold filter) and ``contrastive_pairs``
+    (band-window labeling)."""
     rows_per_band = n_hashes // n_bands
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -114,13 +115,74 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    # Threshold the UNROUNDED ratio (rounding is display-only): a true
-    # Jaccard in [threshold - 5e-5, threshold) must not pass just because
-    # it rounds up to the threshold at 4dp.
-    raw = inter.cast("double") / union
+    return pairs.select(
+        "id_a", "id_b", (inter.cast("double") / union).alias("j")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash, verified with exact
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Thresholds the UNROUNDED ratio (rounding is display-only): a true
+    Jaccard in [threshold - 5e-5, threshold) must not pass just because
+    it rounds up to the threshold at 4dp."""
+    cand = lsh_candidate_jaccard(df, text_col, id_col, k, n_hashes, n_bands)
     return (
-        pairs.filter(raw >= jaccard_threshold)
-        .select("id_a", "id_b", F.round(raw, 4).alias("jaccard"))
+        cand.filter(F.col("j") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 8,
+    pos_lo: float = 0.5,
+    pos_hi: float = 0.95,
+    neg_hi: float = 0.2,
+) -> DataFrame:
+    """Weak-supervision pair mining for embedding-model training (the
+    E5/GTE-style recipe run over a crawl corpus): label LSH band-collision
+    candidates by their MEASURED Jaccard —
+
+    * ``pos``      — j in [pos_lo, pos_hi): same content, different surface
+      (revisions, syndicated copies, paraphrase-ish) — exact duplicates
+      (j >= pos_hi) are excluded as trivial/leaky positives;
+    * ``hard_neg`` — j < neg_hi: docs lexically close enough to collide in a
+      band yet actually dissimilar — exactly the "retrieved but wrong"
+      negatives contrastive losses need (random negatives are too easy);
+    * the ambiguous middle (neg_hi <= j < pos_lo) is dropped.
+
+    Both classes come from ONE candidate stream (the id-only band join of
+    ``lsh_candidate_jaccard`` — no second pipeline, no all-pairs join), so
+    the mining cost at 100 TB is the near-dup pass the corpus already runs.
+    Default ``n_bands = n_hashes`` (single-row bands): collision probability
+    per band equals j itself, which is what lets genuinely-dissimilar pairs
+    surface as candidates at all (multi-row bands suppress them — right for
+    dedup, wrong for negative mining).
+
+    Output: (id_a, id_b, jaccard 4dp, label), id_a < id_b, deterministic.
+    """
+    cand = lsh_candidate_jaccard(df, text_col, id_col, k, n_hashes, n_bands)
+    label = (
+        F.when((F.col("j") >= pos_lo) & (F.col("j") < pos_hi), F.lit("pos"))
+        .when(F.col("j") < neg_hi, F.lit("hard_neg"))
+    )
+    return (
+        cand.select("id_a", "id_b", F.round("j", 4).alias("jaccard"), label.alias("label"))
+        .filter(F.col("label").isNotNull())
     )
 
 
@@ -1007,4 +1069,83 @@ def band_table(
         F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b"),
     ).select(
         id_out, *extra, F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    host_col: str,
+    seg_words: int = 3,
+    min_docs: int = 3,
+    ratio_pct: int = 10,
+) -> DataFrame:
+    """Host-scoped boilerplate removal (the CCNet / Onion "common lines per
+    site" pass): a segment is boilerplate on host H when it appears in at
+    least ``min_docs`` distinct documents of H AND in at least ``ratio_pct``
+    percent of H's documents — nav bars, cookie banners, footers repeat on
+    most pages of a site, body text does not. Flagged segments are stripped
+    from that host's documents only (the same words on another host are
+    untouched — host-conditioning is what separates this from global
+    ``segment_dedup``, which keeps ONE copy corpus-wide; here every doc loses
+    ALL copies of its host's chrome but cross-host repeats survive).
+
+    Real pipelines split on line/paragraph boundaries; the synthetic corpus
+    is single-line, so consecutive ``seg_words``-word segments stand in
+    (same convention as ``segment_dedup``).
+
+    Threshold math is integer-exact cross-engine:
+    ``nd >= min_docs AND nd * 100 >= ratio_pct * host_docs`` — no float
+    ratios, no rounding mode to disagree on.
+
+    Scale shape (the plan that survives a 100-TB corpus):
+    * segment stream keyed by (host, md5(seg)) — ONE shuffle at segment
+      volume with map-side combine (a banner repeated on 10^6 pages of one
+      host contributes one row per input partition to the shuffle);
+    * host doc counts are a |hosts|-row broadcast;
+    * the boilerplate set joins back on the SAME (host, skey) partitioning
+      (AQE reuses the exchange) as a left-anti keep-join;
+    * one doc-key shuffle reassembles survivors positionally.
+
+    Output: (<id_col>, <host_col>, n_segments, n_kept, clean_text) — docs
+    made of nothing but boilerplate vanish (0 surviving segments), matching
+    the oracle's GROUP BY over kept rows.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_words))).cast("bigint")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_words + 1, seg_words)),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(host_col),
+        n_segs.alias("n_segments"),
+        F.posexplode(seg_arr).alias("pos", "seg"),
+    ).withColumn("skey", F.md5("seg"))
+    host_docs = df.groupBy(host_col).agg(F.count(F.lit(1)).alias("host_docs"))
+    hostline = base.groupBy(host_col, "skey").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    boiler = (
+        hostline.join(F.broadcast(host_docs), host_col)
+        .where(
+            (F.col("nd") >= F.lit(min_docs))
+            & (F.col("nd") * 100 >= F.lit(ratio_pct) * F.col("host_docs"))
+        )
+        .select(host_col, "skey")
+    )
+    kept = base.join(boiler, [host_col, "skey"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.first(host_col).alias(host_col),
+        F.first("n_segments").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
     )

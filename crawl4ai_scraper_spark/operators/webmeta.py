@@ -149,3 +149,59 @@ def extract_tables(pages: DataFrame, url_col: str = "url", html_col: str = "html
     return pages.select(
         F.col(url_col).alias("url"), F.col(html_col).alias("html")
     ).mapInPandas(_extract_table_rows, TABLE_SCHEMA)
+
+
+def url_path_templates(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 10,
+) -> DataFrame:
+    """URL template mining for crawler-trap / infinite-URL-space detection:
+    generalize each URL's path segments (all-digits -> ``{d}``, long hex ids
+    -> ``{h}``, any other digit-bearing token -> ``{a}``, pure words kept
+    literally), then count distinct URLs per (host, template). A template
+    that matches thousands of URLs on one host is a generated URL space —
+    calendars, faceted search, session ids, print views — the pattern-level
+    signal the per-URL hygiene screens (plans/politeness.py hygiene_flags:
+    length / depth / param-count / path-loop) structurally cannot see,
+    because every individual URL in the trap looks clean.
+
+    The reference has no equivalent (its trap defense is max_pages +
+    max_depth only, crawler.py); this is the corpus-level statistic a
+    production frontier feeds back into scheduling: templates over
+    ``min_urls`` get rate-limited or cut.
+
+    Everything is native column math (regexp + array transform at scan
+    speed) into ONE groupBy on (host, template) with map-side combine — a
+    trap template with 10^8 URLs collapses to one row per input partition.
+    Query strings and fragments never enter the template (a trap that
+    varies only ``?page=N`` collapses via the path alone; param-name
+    templating is the hygiene screen's param-count job).
+
+    Output: (host, template, n_urls, example_url, trap_suspect), one row
+    per (host, template); ``example_url`` = lexicographic min, deterministic.
+    """
+    host = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    tsegs = F.transform(
+        segs,
+        lambda x: F.when(x.rlike("^[0-9]+$"), F.lit("{d}"))
+        .when(x.rlike("^[0-9a-f]{8,}$"), F.lit("{h}"))
+        .when(x.rlike("[0-9]"), F.lit("{a}"))
+        .otherwise(x),
+    )
+    template = F.concat(F.lit("/"), F.array_join(tsegs, "/"))
+    return (
+        urls.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("u"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("u").alias("n_urls"),
+            F.min("u").alias("example_url"),
+        )
+        .withColumn("trap_suspect", F.col("n_urls") >= F.lit(min_urls))
+    )

@@ -1,0 +1,158 @@
+"""Session-8 operators: host-scoped boilerplate stripping (operators/dedup.py)
+and URL template mining for trap detection (operators/webmeta.py)."""
+
+import pytest
+
+from crawl4ai_scraper_spark.operators.dedup import host_boilerplate_strip
+from crawl4ai_scraper_spark.operators.webmeta import url_path_templates
+
+BANNER = "accept all cookies"  # one aligned 3-word segment
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # host a: 4 docs, all opening with the banner segment; unique 3-word tails
+    rows = [
+        (i, "a", f"{BANNER} unique tail {i}") for i in range(4)
+    ] + [
+        # host b: ONE doc with the same banner words — below any threshold
+        (10, "b", f"{BANNER} body text here"),
+        (11, "b", "other content entirely distinct words"),
+        # host a: a doc that is nothing but the banner
+        (5, "a", BANNER),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+
+def test_boilerplate_stripped_only_on_flagging_host(spark, corpus):
+    out = host_boilerplate_strip(
+        corpus, "text", "doc_id", "host", seg_words=3, min_docs=3, ratio_pct=10
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # host a: banner in 5/5 docs ≥ min_docs=3 and ≥10% → stripped
+    for i in range(4):
+        assert rows[i]["clean_text"] == f"unique tail {i}"
+        assert rows[i]["n_kept"] == 1 and rows[i]["n_segments"] == 2
+    # host b keeps the banner (only 1/2 docs there contain it)
+    assert rows[10]["clean_text"] == f"{BANNER} body text here"
+    assert rows[10]["n_kept"] == 2
+
+
+def test_all_boilerplate_doc_vanishes(spark, corpus):
+    out = host_boilerplate_strip(
+        corpus, "text", "doc_id", "host", seg_words=3, min_docs=3, ratio_pct=10
+    )
+    assert 5 not in {r["doc_id"] for r in out.collect()}
+
+
+def test_min_docs_gate_holds(spark, corpus):
+    # min_docs=6 > the 5 banner carriers on host a → nothing stripped anywhere
+    out = host_boilerplate_strip(
+        corpus, "text", "doc_id", "host", seg_words=3, min_docs=6, ratio_pct=10
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["clean_text"] == f"{BANNER} unique tail 0"
+    assert rows[5]["clean_text"] == BANNER
+
+
+def test_ratio_gate_holds(spark):
+    # segment in 2 of 10 docs: passes min_docs=2 but fails a 30% ratio gate
+    rows = [(i, "h", f"shared promo line word{i} word{i} word{i}") for i in range(2)]
+    rows += [(i, "h", f"solo text {i} pad pad pad") for i in range(2, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    kept = host_boilerplate_strip(
+        df, "text", "doc_id", "host", seg_words=3, min_docs=2, ratio_pct=30
+    )
+    r0 = {r["doc_id"]: r for r in kept.collect()}[0]
+    assert r0["clean_text"].startswith("shared promo line")
+    # at 20% the 2/10 segment flags
+    strip = host_boilerplate_strip(
+        df, "text", "doc_id", "host", seg_words=3, min_docs=2, ratio_pct=20
+    )
+    s0 = {r["doc_id"]: r for r in strip.collect()}[0]
+    assert not s0["clean_text"].startswith("shared promo line")
+
+
+def _templates(spark, urls, min_urls=2):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {
+        (r["host"], r["template"]): r
+    for r in url_path_templates(df, "url", min_urls=min_urls).collect()}
+
+
+def test_url_template_classes(spark):
+    t = _templates(
+        spark,
+        [
+            "https://h.example/post/123",
+            "https://h.example/post/456",
+            "https://h.example/x/deadbeefcafe1234",
+            "https://h.example/a/v2page",
+            "https://h.example/about",
+        ],
+    )
+    assert t[("h.example", "/post/{d}")]["n_urls"] == 2
+    assert t[("h.example", "/post/{d}")]["trap_suspect"] is True
+    assert t[("h.example", "/post/{d}")]["example_url"] == "https://h.example/post/123"
+    assert t[("h.example", "/x/{h}")]["n_urls"] == 1
+    assert t[("h.example", "/a/{a}")]["n_urls"] == 1
+    assert t[("h.example", "/about")]["trap_suspect"] is False
+
+
+def test_url_template_ignores_query_and_fragment(spark):
+    t = _templates(
+        spark,
+        [
+            "https://h.example/post/7?page=9",
+            "https://h.example/post/7#frag",
+            "https://h.example/post/8/",
+        ],
+    )
+    assert set(t) == {("h.example", "/post/{d}")}
+    # three DISTINCT url strings share the template
+    assert t[("h.example", "/post/{d}")]["n_urls"] == 3
+
+
+def test_url_template_host_scoped(spark):
+    t = _templates(
+        spark,
+        ["https://a.example/p/1", "https://b.example/p/2"],
+    )
+    assert t[("a.example", "/p/{d}")]["n_urls"] == 1
+    assert t[("b.example", "/p/{d}")]["n_urls"] == 1
+
+
+def test_contrastive_pairs_labels(spark):
+    from crawl4ai_scraper_spark.operators.dedup import (
+        contrastive_pairs,
+        ngram_jaccard,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 → excluded (j = 1 ≥ pos_hi)
+        (3, base + " extra tail words here"),  # near-dup of 1 → pos
+        (4, "totally different content about ships and harbors and tides"),
+        (5, "ships and harbors appear here with other unrelated words too"),
+    ]
+    df = spark.createDataFrame(rows, "doc long, text string")
+    out = contrastive_pairs(df, "text", "doc").collect()
+    labels = {(r["id_a"], r["id_b"]): r["label"] for r in out}
+    assert labels.get((1, 3)) == "pos"
+    assert (1, 2) not in labels  # exact dup excluded
+    # every emitted label agrees with the brute-force jaccard window
+    brute = df.alias("a").crossJoin(df.alias("b")).filter(
+        F.col("a.doc") < F.col("b.doc")
+    ).select(
+        F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+        ngram_jaccard(F.col("a.text"), F.col("b.text")).alias("j"),
+    ).collect()
+    jmap = {(r["id_a"], r["id_b"]): r["j"] for r in brute}
+    for (a, b), lab in labels.items():
+        j = jmap[(a, b)]
+        if lab == "pos":
+            assert 0.5 <= j < 0.95
+        else:
+            assert j < 0.2
