@@ -232,6 +232,8 @@ QUERY_NAMES = [
     "host_boilerplate_strip",
     "url_path_templates",
     "contrastive_pairs",
+    "template_dup_stats",
+    "revision_drift",
 ]
 
 

@@ -7225,6 +7225,99 @@ def contrastive_pairs_q(spark, sf):
     )
 
 
+@_q(
+    "template_dup_stats",
+    """WITH pages AS (
+      SELECT """ + _TRAP_URL_SQL + """ AS url,
+             CASE WHEN doc_id % 7 = 0 THEN 'about page content'
+                  WHEN doc_id % 3 = 0 THEN 'generated calendar content'
+                  ELSE text END AS text
+      FROM documents),
+    t AS (SELECT
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+        '/' || array_to_string(list_transform(
+            list_filter(string_split(
+                regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+                x -> x <> ''),
+            x -> CASE WHEN regexp_matches(x, '^[0-9]+$') THEN '{d}'
+                      WHEN regexp_matches(x, '^[0-9a-f]{8,}$') THEN '{h}'
+                      WHEN regexp_matches(x, '[0-9]') THEN '{a}'
+                      ELSE x END), '/') AS template,
+        url, md5(text) AS th FROM pages),
+    a AS (SELECT host, template,
+                 CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                 CAST(COUNT(DISTINCT th) AS BIGINT) AS n_texts
+          FROM t GROUP BY host, template)
+    SELECT host, template, n_urls, n_texts,
+           ROUND(1.0 - CAST(n_texts AS DOUBLE) / n_urls, 4) AS dup_ratio,
+           n_urls >= 5 AND n_texts * 2 <= n_urls AS generated_suspect
+    FROM a""",
+)
+def template_dup_stats_q(spark, sf):
+    """Duplicate-content rate per URL template (the trap-mining follow-up:
+    many urls is only a problem when they serve the SAME content). Planted
+    mix: the /post/{d} space serves one identical calendar page (dup_ratio
+    near 1, generated_suspect), /item/{a} and /s/{h} serve real per-doc
+    texts (dup_ratio 0), /about is a single url. Text never shuffles — only
+    md5; integer suspect gate, one double expression for dup_ratio."""
+    from crawl4ai_scraper_spark.operators.webmeta import template_dup_stats
+
+    pages = _t(spark, sf, "documents").select(
+        _trap_url_col().alias("url"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("about page content"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("generated calendar content"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return template_dup_stats(pages, "url", "text", min_urls=5)
+
+
+@_q(
+    "revision_drift",
+    f"""WITH revs AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, 1 AS ts, text FROM documents
+      UNION ALL
+      SELECT 'u' || CAST(doc_id AS VARCHAR), 2, substr(text, 8) FROM documents
+      UNION ALL
+      SELECT 'u' || CAST(doc_id AS VARCHAR), 3, upper(substr(text, 8)) FROM documents
+    ), sh AS (
+      SELECT url, ts, list_distinct({_sh3('text')}) AS sh FROM revs
+    ), p AS (
+      SELECT url, ts AS ts_prev, lead(ts) OVER w AS ts_next,
+             sh, lead(sh) OVER w AS sh_next
+      FROM sh WINDOW w AS (PARTITION BY url ORDER BY ts)
+    )
+    SELECT url, ts_prev, ts_next,
+           ROUND(CAST(len(list_intersect(sh, sh_next)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sh, sh_next))), 4) AS jaccard,
+           CAST(len(list_intersect(sh, sh_next)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh, sh_next))) < 1.0 AS changed
+    FROM p WHERE ts_next IS NOT NULL""",
+)
+def revision_drift_q(spark, sf):
+    """Per-url content drift between consecutive revisions: rev2 drops the
+    first 7 chars (0 < jaccard < 1, changed), rev3 only changes case —
+    shingles lowercase, so jaccard = 1 and changed = false (set-based
+    change detection ignores cosmetic edits). One lead() window keyed by
+    url; the shingle sets ride the same shuffle."""
+    from crawl4ai_scraper_spark.operators.temporal import revision_drift
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    revs = (
+        docs.select(url.alias("url"), F.lit(1).alias("ts"), "text")
+        .unionByName(
+            docs.select(url.alias("url"), F.lit(2).alias("ts"),
+                        F.expr("substr(text, 8)").alias("text"))
+        )
+        .unionByName(
+            docs.select(url.alias("url"), F.lit(3).alias("ts"),
+                        F.upper(F.expr("substr(text, 8)")).alias("text"))
+        )
+    )
+    return revision_drift(revs, "url", "ts", "text", k=3)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

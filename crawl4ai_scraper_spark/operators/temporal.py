@@ -295,3 +295,55 @@ def scd2_history(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def revision_drift(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Content drift between CONSECUTIVE revisions of the same URL: the
+    shingle-set Jaccard of each revision against the next one. This is the
+    magnitude signal behind recrawl scheduling — ``recrawl_stats`` counts
+    HOW OFTEN a page's hash flips, this measures HOW MUCH the content moves
+    per flip (a news front page rewrites wholesale, a docs page edits one
+    paragraph), and the two together calibrate revisit frequency and
+    "re-extract vs keep" decisions in an incremental crawl.
+
+    One shuffle: the lead() window partitions by the url key (per-url
+    revision counts are small and bounded by crawl policy, so no skewed
+    window partitions), and the shingle sets ride the SAME shuffle — no
+    self-join of the revision table, no second pass over the text.
+
+    Output: (<key>, ts_prev, ts_next, jaccard 4dp, changed) — one row per
+    consecutive revision pair; single-revision urls emit nothing. ``changed``
+    is set-based (jaccard < 1), byte-identical texts are never "changed".
+    """
+    from crawl4ai_scraper_spark.operators.dedup import shingles
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    base = df.select(
+        F.col(key),
+        F.col(ts_col),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    nxt = base.select(
+        F.col(key),
+        F.col(ts_col).alias("ts_prev"),
+        F.lead(ts_col).over(w).alias("ts_next"),
+        F.col("_sh"),
+        F.lead("_sh").over(w).alias("_sh_next"),
+    ).filter(F.col("ts_next").isNotNull())
+    j = (
+        F.size(F.array_intersect("_sh", "_sh_next")).cast("double")
+        / F.size(F.array_union("_sh", "_sh_next"))
+    )
+    return nxt.select(
+        F.col(key),
+        "ts_prev",
+        "ts_next",
+        F.round(j, 4).alias("jaccard"),
+        (j < 1.0).alias("changed"),
+    )

@@ -151,6 +151,26 @@ def extract_tables(pages: DataFrame, url_col: str = "url", html_col: str = "html
     ).mapInPandas(_extract_table_rows, TABLE_SCHEMA)
 
 
+def url_template_cols(url: "F.Column"):
+    """(host, template) column pair — the shared URL-generalization used by
+    ``url_path_templates`` (trap mining) and ``template_dup_stats``
+    (duplicate-content-by-template): path segments become ``{d}`` (all
+    digits), ``{h}`` (>=8-char hex id), ``{a}`` (any other digit-bearing
+    token) or stay literal; query string and fragment never enter."""
+    host = F.regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    tsegs = F.transform(
+        segs,
+        lambda x: F.when(x.rlike("^[0-9]+$"), F.lit("{d}"))
+        .when(x.rlike("^[0-9a-f]{8,}$"), F.lit("{h}"))
+        .when(x.rlike("[0-9]"), F.lit("{a}"))
+        .otherwise(x),
+    )
+    template = F.concat(F.lit("/"), F.array_join(tsegs, "/"))
+    return host, template
+
+
 def url_path_templates(
     urls: DataFrame,
     url_col: str = "url",
@@ -181,17 +201,7 @@ def url_path_templates(
     Output: (host, template, n_urls, example_url, trap_suspect), one row
     per (host, template); ``example_url`` = lexicographic min, deterministic.
     """
-    host = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
-    path = F.regexp_extract(F.col(url_col), "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    segs = F.filter(F.split(path, "/"), lambda x: x != "")
-    tsegs = F.transform(
-        segs,
-        lambda x: F.when(x.rlike("^[0-9]+$"), F.lit("{d}"))
-        .when(x.rlike("^[0-9a-f]{8,}$"), F.lit("{h}"))
-        .when(x.rlike("[0-9]"), F.lit("{a}"))
-        .otherwise(x),
-    )
-    template = F.concat(F.lit("/"), F.array_join(tsegs, "/"))
+    host, template = url_template_cols(F.col(url_col))
     return (
         urls.select(
             host.alias("host"),
@@ -204,4 +214,57 @@ def url_path_templates(
             F.min("u").alias("example_url"),
         )
         .withColumn("trap_suspect", F.col("n_urls") >= F.lit(min_urls))
+    )
+
+
+def template_dup_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 5,
+) -> DataFrame:
+    """Duplicate-content rate per URL template — the follow-up question to
+    ``url_path_templates``: a template with many URLs is only a PROBLEM if
+    those URLs serve the same content (calendar pages, session-id mirrors,
+    print views). Templates with many urls AND high text duplication are
+    "generated spaces": cut them from the frontier and the corpus loses
+    nothing. Templates with many urls but distinct content (real article
+    ids) must NOT be cut — this operator is what tells them apart.
+
+    Cost: the text column never shuffles — only its md5 does; one groupBy
+    on (host, template) with two distinct-counts (Spark expands the
+    multi-distinct into an Expand at 2× the hash rows, still map-side
+    combined and uniform).
+
+    ``dup_ratio`` = 1 - n_texts/n_urls as ONE double expression (identical
+    in both engines); ``generated_suspect`` gates on integers only:
+    n_urls >= min_urls AND 2*n_texts <= n_urls (over half the urls are
+    content-duplicates).
+
+    Output: (host, template, n_urls, n_texts, dup_ratio, generated_suspect).
+    """
+    host, template = url_template_cols(F.col(url_col))
+    base = pages.select(
+        host.alias("host"),
+        template.alias("template"),
+        F.col(url_col).alias("u"),
+        F.md5(F.col(text_col).cast("binary")).alias("th"),
+    )
+    agg = base.groupBy("host", "template").agg(
+        F.countDistinct("u").alias("n_urls"),
+        F.countDistinct("th").alias("n_texts"),
+    )
+    dup_ratio = F.round(
+        F.lit(1.0) - F.col("n_texts").cast("double") / F.col("n_urls"), 4
+    )
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_texts",
+        dup_ratio.alias("dup_ratio"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("n_texts") * 2 <= F.col("n_urls"))
+        ).alias("generated_suspect"),
     )

@@ -156,3 +156,39 @@ def test_contrastive_pairs_labels(spark):
             assert 0.5 <= j < 0.95
         else:
             assert j < 0.2
+
+
+def test_revision_drift_windows(spark):
+    from crawl4ai_scraper_spark.operators.temporal import revision_drift
+
+    rows = [
+        ("A", 1, "one two three four five"),
+        ("A", 2, "one two three four five six"),
+        ("A", 3, "ONE TWO THREE FOUR FIVE SIX"),  # case-only edit
+        ("B", 1, "lonely single revision page"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts int, text string")
+    out = {(r["url"], r["ts_prev"]): r for r in revision_drift(df, "url", "ts", "text").collect()}
+    assert set(out) == {("A", 1), ("A", 2)}  # B emits nothing
+    r12 = out[("A", 1)]
+    assert r12["ts_next"] == 2 and r12["changed"] is True
+    assert 0.0 < r12["jaccard"] < 1.0
+    # shingles of 5 tokens: 3; of 6 tokens: 4; intersect 3, union 4
+    assert r12["jaccard"] == 0.75
+    r23 = out[("A", 2)]
+    assert r23["jaccard"] == 1.0 and r23["changed"] is False
+
+
+def test_template_dup_stats_flags_generated_spaces(spark):
+    from crawl4ai_scraper_spark.operators.webmeta import template_dup_stats
+
+    rows = [(f"https://h.example/cal/{i}", "same calendar page") for i in range(4)]
+    rows += [(f"https://h.example/art/{i}", f"real article {i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r["template"]: r for r in template_dup_stats(df, "url", "text", min_urls=3).collect()}
+    cal = out["/cal/{d}"]
+    assert cal["n_urls"] == 4 and cal["n_texts"] == 1
+    assert cal["dup_ratio"] == 0.75 and cal["generated_suspect"] is True
+    art = out["/art/{d}"]
+    assert art["n_urls"] == 3 and art["n_texts"] == 3
+    assert art["dup_ratio"] == 0.0 and art["generated_suspect"] is False
