@@ -234,6 +234,7 @@ QUERY_NAMES = [
     "contrastive_pairs",
     "template_dup_stats",
     "revision_drift",
+    "politeness_audit",
 ]
 
 

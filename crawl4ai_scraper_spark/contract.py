@@ -7318,6 +7318,45 @@ def revision_drift_q(spark, sf):
     return revision_drift(revs, "url", "ts", "text", k=3)
 
 
+@_q(
+    "politeness_audit",
+    """WITH v AS (
+      SELECT source AS host, doc_id AS r,
+             CAST((doc_id // 20) AS DOUBLE)
+               * (CASE WHEN (doc_id % 20) % 3 = 0 THEN 0.5 ELSE 1.5 END) AS ts
+      FROM documents),
+    g AS (SELECT host, ts - lag(ts) OVER (PARTITION BY host ORDER BY r) AS gap FROM v),
+    a AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_visits,
+                 MAX(ts) - MIN(ts) AS span FROM v GROUP BY host),
+    gg AS (SELECT host, MIN(gap) AS min_gap,
+                  SUM(CASE WHEN gap < 1.0 - 1e-9 THEN 1 ELSE 0 END) AS viol
+           FROM g WHERE gap IS NOT NULL GROUP BY host)
+    SELECT a.host, n_visits, 1.0 AS crawl_delay,
+           ROUND(min_gap, 4) AS min_gap,
+           CAST(COALESCE(viol, 0) AS BIGINT) AS violations,
+           ROUND(span, 4) AS span_sec,
+           COALESCE(viol, 0) = 0 AS ok
+    FROM a LEFT JOIN gg USING (host)""",
+)
+def politeness_audit_q(spark, sf):
+    """Schedule-compliance audit over a planted visit log: every third host
+    is scheduled at 0.5 s gaps (violating the 1.0 s default delay), the rest
+    at 1.5 s. The Spark side audits with the skew-proof bucketed rank +
+    (host, rank+1) self-join; the oracle's lag() window is the naive
+    equivalent. Identical double products both sides, 1e-9 epsilon keeps
+    exact-delay schedules green."""
+    from crawl4ai_scraper_spark.plans.politeness import politeness_audit
+
+    docs = _t(spark, sf, "documents")
+    gap = F.when((F.col("doc_id") % 20) % 3 == 0, F.lit(0.5)).otherwise(F.lit(1.5))
+    visits = docs.select(
+        F.col("source").alias("host"),
+        F.col("doc_id").alias("arrival_rank"),
+        (F.expr("doc_id div 20").cast("double") * gap).alias("sched_ts"),
+    )
+    return politeness_audit(visits, None, 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -641,3 +641,80 @@ def template_blocklist_filter(
         "left_anti",
     )
     return out.drop("_tpl")
+
+
+def politeness_audit(
+    visits: DataFrame,
+    host_rules: Optional[DataFrame],
+    default_delay: float,
+    host_col: str = "host",
+    ts_col: str = "sched_ts",
+    order_col: str = "arrival_rank",
+    bucket_size: int = 1 << 16,
+) -> DataFrame:
+    """Post-hoc politeness compliance audit of a visit schedule: per host,
+    the minimum gap between consecutive visits, how many gaps undercut the
+    host's crawl-delay, and the host's serial span — the report that proves
+    (or disproves) a round's schedule honored robots crawl-delays, run over
+    the schedule table instead of trusting the scheduler.
+
+    ``order_col`` must be a dense unique numeric visit order consistent with
+    ``ts_col`` per host (arrival_rank in this engine). Gaps come from a
+    self-join on (host, rank+1) — rank via the skew-proof ``bucketed_rank``,
+    so a hot host's 10^8-visit round never sorts in one window partition;
+    the join is co-partitioned with the rank's own shuffle. Violations gate
+    with a 1e-9 epsilon so an exact-delay schedule (gap == delay in the
+    same double arithmetic) never flags.
+
+    Output: (host, n_visits, crawl_delay, min_gap, violations, span_sec,
+    ok) — single-visit hosts have NULL min_gap, zero violations, ok=true.
+    """
+    base = visits.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(order_col).alias("_o"),
+    )
+    ranked = bucketed_rank(base, "host", "_o", bucket_size=bucket_size, out_col="_r")
+    nxt = ranked.select(
+        "host", (F.col("_r") - 1).alias("_r"), F.col("_ts").alias("_ts_next")
+    )
+    gaps = ranked.join(nxt, ["host", "_r"]).select(
+        "host", (F.col("_ts_next") - F.col("_ts")).alias("_gap")
+    )
+    if host_rules is not None:
+        delays = F.broadcast(
+            host_rules.select(F.col("host"), F.col("crawl_delay"))
+        )
+    else:
+        delays = None
+    per_host = visits.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias("span_sec"),
+    )
+    if delays is not None:
+        per_host = per_host.join(delays, "host", "left")
+        per_host = per_host.withColumn(
+            "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(default_delay))
+        )
+    else:
+        per_host = per_host.withColumn("crawl_delay", F.lit(default_delay))
+    gagg = (
+        gaps.join(F.broadcast(per_host.select("host", "crawl_delay")), "host")
+        .groupBy("host")
+        .agg(
+            F.min("_gap").alias("min_gap"),
+            F.sum(
+                F.when(F.col("_gap") < F.col("crawl_delay") - F.lit(1e-9), 1).otherwise(0)
+            ).alias("violations"),
+        )
+    )
+    out = per_host.join(gagg, "host", "left")
+    return out.select(
+        "host",
+        "n_visits",
+        "crawl_delay",
+        F.round("min_gap", 4).alias("min_gap"),
+        F.coalesce(F.col("violations"), F.lit(0)).cast("bigint").alias("violations"),
+        F.round("span_sec", 4).alias("span_sec"),
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("ok"),
+    )

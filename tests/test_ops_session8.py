@@ -192,3 +192,38 @@ def test_template_dup_stats_flags_generated_spaces(spark):
     art = out["/art/{d}"]
     assert art["n_urls"] == 3 and art["n_texts"] == 3
     assert art["dup_ratio"] == 0.0 and art["generated_suspect"] is False
+
+
+def test_politeness_audit(spark):
+    from crawl4ai_scraper_spark.plans.politeness import politeness_audit
+
+    rows = [
+        # host fast: 0.4s gaps — violates the 1.0 default
+        ("fast", 0, 0.0), ("fast", 1, 0.4), ("fast", 2, 0.8),
+        # host ok: exactly-1.0 gaps — epsilon keeps it green
+        ("ok", 3, 0.0), ("ok", 4, 1.0), ("ok", 5, 2.0),
+        # host solo: single visit — NULL min_gap, ok
+        ("solo", 6, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "host string, arrival_rank long, sched_ts double")
+    out = {r["host"]: r for r in politeness_audit(df, None, 1.0).collect()}
+    assert out["fast"]["violations"] == 2 and out["fast"]["ok"] is False
+    assert out["fast"]["min_gap"] == 0.4
+    assert out["ok"]["violations"] == 0 and out["ok"]["ok"] is True
+    assert out["ok"]["min_gap"] == 1.0 and out["ok"]["span_sec"] == 2.0
+    assert out["solo"]["min_gap"] is None and out["solo"]["ok"] is True
+    assert out["solo"]["n_visits"] == 1
+
+
+def test_politeness_audit_uses_host_rules_delay(spark):
+    from crawl4ai_scraper_spark.plans.politeness import politeness_audit
+
+    df = spark.createDataFrame(
+        [("h", 0, 0.0), ("h", 1, 1.2), ("u", 2, 0.0), ("u", 3, 1.2)],
+        "host string, arrival_rank long, sched_ts double",
+    )
+    rules = spark.createDataFrame([("h", 2.0)], "host string, crawl_delay double")
+    out = {r["host"]: r for r in politeness_audit(df, rules, 1.0).collect()}
+    # h's robots delay is 2.0 → the 1.2 gap violates; u falls back to 1.0 → fine
+    assert out["h"]["crawl_delay"] == 2.0 and out["h"]["violations"] == 1
+    assert out["u"]["crawl_delay"] == 1.0 and out["u"]["violations"] == 0
