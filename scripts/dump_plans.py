@@ -438,6 +438,47 @@ def main():
         plan_of(contract.queries()["redirect_resolution"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Host boilerplate strip — tiny boilerplate set broadcast into an anti-join",
+        "dedup.host_boilerplate_strip (host_boilerplate_strip): the flagging "
+        "side (segments in >=min_docs and >=pct% of a host's docs) is small by "
+        "construction, so AQE turns the keep-join into a broadcast LeftAnti "
+        "against the full segment stream — the segment text itself shuffles "
+        "once for the (host, md5(seg)) count agg (map-side combined) and once "
+        "for doc reassembly; host doc counts ride a |hosts|-row broadcast.",
+        plan_of(contract.queries()["host_boilerplate_strip"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "URL template mining — scan-speed templating into one grouped count",
+        "webmeta.url_path_templates (url_path_templates): host/path regexes "
+        "and the per-segment generalization run inside the scan projection "
+        "(no Generate, no UDF); the only exchanges are the two-phase "
+        "distinct-count on (host, template) — a trap template with 10^8 urls "
+        "collapses map-side.",
+        plan_of(contract.queries()["url_path_templates"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Contrastive pair mining — id-only band join feeding Jaccard label windows",
+        "dedup.contrastive_pairs (contrastive_pairs): single-row LSH bands "
+        "(collision probability per band = j) keep hard negatives reachable; "
+        "the band self-join carries (band, bhash, doc) only, shingle arrays "
+        "re-join AFTER pair dedup — same scale shape as dedup_minhash_lsh, "
+        "one extra CASE for the label.",
+        plan_of(contract.queries()["contrastive_pairs"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Politeness audit — skew-proof rank + co-partitioned (host, rank+1) gap join",
+        "plans/politeness.politeness_audit (politeness_audit): consecutive-"
+        "visit gaps come from bucketed_rank (bounded window partitions even "
+        "for a 10^8-visit host) and an equi-join on (host, rank+1) that "
+        "reuses the rank's own hash partitioning; per-host delay defaults "
+        "join in as a broadcast.",
+        plan_of(contract.queries()["politeness_audit"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
