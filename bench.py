@@ -235,6 +235,7 @@ QUERY_NAMES = [
     "template_dup_stats",
     "revision_drift",
     "politeness_audit",
+    "quota_sample",
 ]
 
 

@@ -7357,6 +7357,26 @@ def politeness_audit_q(spark, sf):
     return politeness_audit(visits, None, 1.0)
 
 
+@_q(
+    "quota_sample",
+    """SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('q1:' || CAST(doc_id AS VARCHAR)), 1, 12),
+                        doc_id) AS rn
+      FROM documents) t WHERE rn <= 10""",
+)
+def quota_sample_q(spark, sf):
+    """Exact 10-docs-per-language quota sample: the Spark side runs the
+    screen-then-trim plan (per-group digest threshold at scan speed, exact
+    row_number only over the ~overshoot×quota candidates, rescue union for
+    undershooting groups); the oracle IS the naive hot-group window the
+    plan avoids — output must be identical."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return T.quota_sample(docs, "doc_id", "lang", 10, salt="q1")
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

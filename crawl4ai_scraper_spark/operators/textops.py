@@ -1612,3 +1612,78 @@ def script_stats(
         .otherwise(F.lit("none"))
         .alias("script"),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    quota: int,
+    salt: str = "q1",
+    overshoot: int = 4,
+) -> DataFrame:
+    """EXACT deterministic N-per-group sampling (eval-set quotas, per-language
+    dev slices, balanced audits): the output is precisely
+
+        ROW_NUMBER() OVER (PARTITION BY group
+                           ORDER BY md5digest(key), key) <= quota
+
+    — repeatable across runs, engines, partitionings — but computed WITHOUT
+    the naive plan's fatal flaw: a hot group (one language = 80% of a 100-TB
+    corpus) makes that window sort 10^9 rows in ONE partition.
+
+    Two-phase screen-then-trim instead:
+    1. per-group row counts (a |groups|-row broadcast) set a per-group hex
+       threshold keeping ~``overshoot``×quota expected candidates — a pure
+       pushed-down digest filter at scan speed (the same 48-bit md5-prefix
+       protocol as DSIR/weighted_sample);
+    2. the exact row_number trim runs over the bounded candidate set only
+       (window partitions ≈ overshoot×quota rows, never the group).
+
+    The screen cannot create wrong answers, only (astronomically rarely)
+    too few candidates: a group whose candidate count undershoots
+    min(quota, n) — binomial tail P ≈ exp(-quota·(overshoot-1)²/(2·overshoot))
+    per group, and deterministic for a given corpus — is detected by
+    counting candidates and rescued with its full row set (the naive path,
+    paid only by the failing group). Groups with n ≤ quota·overshoot skip
+    the screen entirely (keep-all threshold).
+
+    Output: df's columns + ``sample_rank`` (1-based within group).
+    """
+    from pyspark.sql import Window
+
+    dig = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 12
+    )
+    base = df.withColumn("_qdig", dig)
+    counts = base.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # steps = floor(min(1, overshoot*quota/n) * 2^48); keep-all when the
+    # overshoot budget covers the whole group (avoids the 13-hex edge case)
+    keep_all = F.col("_n") <= F.lit(quota * overshoot)
+    steps = F.floor(
+        (F.lit(float(quota * overshoot)) / F.col("_n")) * F.lit(281474976710656.0)
+    ).cast("bigint")
+    thresh = F.lower(F.lpad(F.conv(steps.cast("string"), 10, 16), 12, "0"))
+    gates = F.broadcast(
+        counts.select(
+            group_col, "_n", keep_all.alias("_all"), thresh.alias("_th")
+        )
+    )
+    cand = base.join(gates, group_col).filter(
+        F.col("_all") | (F.col("_qdig") < F.col("_th"))
+    )
+    cand_counts = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    bad = F.broadcast(
+        cand_counts.join(counts, group_col)
+        .filter(F.col("_c") < F.least(F.lit(quota), F.col("_n")))
+        .select(group_col)
+    )
+    good = cand.join(bad, group_col, "left_anti")
+    rescue = base.join(bad, group_col, "left_semi").join(gates, group_col)
+    pool = good.unionByName(rescue)
+    w = Window.partitionBy(group_col).orderBy("_qdig", key_col)
+    return (
+        pool.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+        .select(*df.columns, "sample_rank")
+    )

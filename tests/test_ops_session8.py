@@ -227,3 +227,59 @@ def test_politeness_audit_uses_host_rules_delay(spark):
     # h's robots delay is 2.0 → the 1.2 gap violates; u falls back to 1.0 → fine
     assert out["h"]["crawl_delay"] == 2.0 and out["h"]["violations"] == 1
     assert out["u"]["crawl_delay"] == 1.0 and out["u"]["violations"] == 0
+
+
+def _naive_quota(spark, df, key, grp, quota, salt):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dig = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key).cast("string"))), 1, 12
+    )
+    w = Window.partitionBy(grp).orderBy(dig, key)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def test_quota_sample_equals_naive_on_skew(spark):
+    from crawl4ai_scraper_spark.operators.textops import quota_sample
+
+    # hot group (200 rows), mid group (30), tiny group (3 < quota)
+    rows = [(i, "hot") for i in range(200)]
+    rows += [(1000 + i, "mid") for i in range(30)]
+    rows += [(2000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = quota_sample(df, "doc_id", "lang", 5, salt="q1")
+    want = _naive_quota(spark, df, "doc_id", "lang", 5, "q1")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    by_grp = {}
+    for r in got.collect():
+        by_grp.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by_grp["hot"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_grp["tiny"]) == [1, 2, 3]  # n <= quota keeps all
+
+
+def test_quota_sample_rescue_path_exact(spark):
+    from crawl4ai_scraper_spark.operators.textops import quota_sample
+
+    # salt q5 with overshoot=1 makes the screen keep only 3 < quota=5
+    # candidates for this exact 200-row group (precomputed) — the rescue
+    # union must still produce the exact naive answer.
+    df = spark.createDataFrame([(i, "g") for i in range(200)], "doc_id long, lang string")
+    got = quota_sample(df, "doc_id", "lang", 5, salt="q5", overshoot=1)
+    want = _naive_quota(spark, df, "doc_id", "lang", 5, "q5")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 5
+
+
+def test_quota_sample_deterministic_and_salt_independent(spark):
+    from crawl4ai_scraper_spark.operators.textops import quota_sample
+
+    df = spark.createDataFrame([(i, "g") for i in range(100)], "doc_id long, lang string")
+    a = sorted(r["doc_id"] for r in quota_sample(df, "doc_id", "lang", 8, salt="qa").collect())
+    b = sorted(r["doc_id"] for r in quota_sample(df, "doc_id", "lang", 8, salt="qa").collect())
+    c = sorted(r["doc_id"] for r in quota_sample(df, "doc_id", "lang", 8, salt="qb").collect())
+    assert a == b
+    assert a != c  # different salt, different slice
