@@ -236,6 +236,7 @@ QUERY_NAMES = [
     "revision_drift",
     "politeness_audit",
     "quota_sample",
+    "grouped_topk_longest",
 ]
 
 

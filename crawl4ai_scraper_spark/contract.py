@@ -7377,6 +7377,29 @@ def quota_sample_q(spark, sf):
     return T.quota_sample(docs, "doc_id", "lang", 10, salt="q1")
 
 
+@_q(
+    "grouped_topk_longest",
+    """SELECT doc_id, lang, n_tokens, CAST(rn AS INT) AS topk_rank FROM (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM (SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents) b) t WHERE rn <= 10""",
+)
+def grouped_topk_longest_q(spark, sf):
+    """Exact top-10 longest docs per language via the learned-threshold
+    screen-then-trim plan (sampled score-quantile estimate -> scan-speed
+    candidate filter -> bounded row_number -> detected-undershoot rescue);
+    the oracle IS the naive hot-group window it avoids."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return T.grouped_topk(docs, "doc_id", "lang", "n_tokens", 10)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

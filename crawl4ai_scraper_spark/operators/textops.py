@@ -1687,3 +1687,108 @@ def quota_sample(
         .filter(F.col("sample_rank") <= quota)
         .select(*df.columns, "sample_rank")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    score_col: str,
+    k: int,
+    salt: str = "t1",
+    sample_target: int = 512,
+) -> DataFrame:
+    """EXACT top-k rows per group by score (best k pages per host by
+    PageRank, k longest docs per language, k highest-quality docs per
+    source) — output is precisely
+
+        ROW_NUMBER() OVER (PARTITION BY group
+                           ORDER BY score DESC, key) <= k
+
+    without the naive window's hot-group pathology (one group with 10^9
+    rows = one 10^9-row sort partition). Same screen-then-trim-with-rescue
+    discipline as ``quota_sample``, but the screen threshold must be
+    LEARNED (scores, unlike digests, have no known distribution):
+
+    1. per-group counts broadcast; a ~``sample_target``-row deterministic
+       digest sample per group estimates the k-th largest score as the
+       (2·k·c/n)-th largest sample score (the ×2 biases toward overshoot);
+       groups with n ≤ sample_target estimate from the FULL group (exact);
+    2. candidates = rows with score >= estimate (scan-speed pushed-down
+       filter; ties included);
+    3. exact row_number trim over the bounded candidates;
+    4. any group whose candidate count undershoots min(k, n) — estimator
+       failure, detected by counting — is rescued with its full row set.
+
+    Caveat: massive score ties at the threshold widen the candidate set
+    (all ties pass the screen); a group where ALL scores are equal
+    degenerates to the naive plan for that group — the trim stays correct,
+    only the bound weakens.
+
+    Output: df's columns + ``topk_rank`` (1-based, best first).
+    """
+    from pyspark.sql import Window
+
+    dig = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 12
+    )
+    base = df.withColumn("_tdig", dig)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    keep_all = F.col("_n") <= F.lit(sample_target)
+    steps = F.floor(
+        (F.lit(float(sample_target)) / F.col("_n")) * F.lit(281474976710656.0)
+    ).cast("bigint")
+    thresh = F.lower(F.lpad(F.conv(steps.cast("string"), 10, 16), 12, "0"))
+    gates = F.broadcast(
+        counts.select(group_col, "_n", keep_all.alias("_all"), thresh.alias("_th"))
+    )
+    samp = base.join(gates, group_col).filter(
+        F.col("_all") | (F.col("_tdig") < F.col("_th"))
+    )
+    # per-group sample size c and the target sample rank q:
+    # full groups (_all) use q = k exactly; sampled groups use 2·k·c/n
+    sw = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(key_col)
+    )
+    sc = Window.partitionBy(group_col)
+    ranked_samp = samp.select(
+        group_col, score_col,
+        F.row_number().over(sw).alias("_srn"),
+        F.count(F.lit(1)).over(sc).alias("_c"),
+        F.col("_n"), F.col("_all"),
+    )
+    q = F.when(F.col("_all"), F.least(F.lit(k), F.col("_c"))).otherwise(
+        F.least(
+            F.col("_c"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.lit(2.0 * k) * F.col("_c") / F.col("_n")).cast("int"),
+            ),
+        )
+    )
+    t_est = F.broadcast(
+        ranked_samp.filter(F.col("_srn") == q)
+        .select(group_col, F.col(score_col).alias("_test"))
+    )
+    cand = base.join(gates, group_col).join(t_est, group_col, "left").filter(
+        F.col("_test").isNull() | (F.col(score_col) >= F.col("_test"))
+    )
+    cand_counts = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cc"))
+    bad = F.broadcast(
+        cand_counts.join(counts, group_col)
+        .filter(F.col("_cc") < F.least(F.lit(k), F.col("_n")))
+        .select(group_col)
+    )
+    good = cand.join(bad, group_col, "left_anti")
+    rescue = (
+        base.join(bad, group_col, "left_semi")
+        .join(gates, group_col)
+        .withColumn("_test", F.lit(None).cast(dict(df.dtypes)[score_col]))
+    )
+    pool = good.unionByName(rescue)
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), F.col(key_col))
+    return (
+        pool.withColumn("topk_rank", F.row_number().over(w))
+        .filter(F.col("topk_rank") <= k)
+        .select(*df.columns, "topk_rank")
+    )

@@ -283,3 +283,60 @@ def test_quota_sample_deterministic_and_salt_independent(spark):
     c = sorted(r["doc_id"] for r in quota_sample(df, "doc_id", "lang", 8, salt="qb").collect())
     assert a == b
     assert a != c  # different salt, different slice
+
+
+def _naive_topk(df, key, grp, score, k):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(grp).orderBy(F.col(score).desc(), F.col(key))
+    return (
+        df.withColumn("topk_rank", F.row_number().over(w))
+        .filter(F.col("topk_rank") <= k)
+    )
+
+
+def test_grouped_topk_equals_naive_on_skew(spark):
+    from crawl4ai_scraper_spark.operators.textops import grouped_topk
+
+    rows = [(i, "hot", (i * 37) % 101) for i in range(1500)]
+    rows += [(10_000 + i, "mid", (i * 13) % 50) for i in range(40)]
+    rows += [(20_000 + i, "tiny", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, score long")
+    got = grouped_topk(df, "doc_id", "host", "score", 7)
+    want = _naive_topk(df, "doc_id", "host", "score", 7)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    by = {}
+    for r in got.collect():
+        by.setdefault(r["host"], []).append(r["topk_rank"])
+    assert sorted(by["hot"]) == list(range(1, 8))
+    assert sorted(by["tiny"]) == [1, 2, 3]  # n < k keeps all
+
+
+def test_grouped_topk_exact_across_salts_and_tiny_samples(spark):
+    from crawl4ai_scraper_spark.operators.textops import grouped_topk
+
+    # sample_target=2 over 300 rows: the estimator is deliberately starved,
+    # so some salts undershoot and exercise the rescue union — every salt
+    # must still reproduce the naive answer exactly.
+    df = spark.createDataFrame(
+        [(i, "g", (i * 7919) % 1000) for i in range(300)],
+        "doc_id long, host string, score long",
+    )
+    want = sorted(map(tuple, _naive_topk(df, "doc_id", "host", "score", 5).collect()))
+    for salt in ("s1", "s2", "s3", "s4", "s5"):
+        got = grouped_topk(df, "doc_id", "host", "score", 5, salt=salt, sample_target=2)
+        assert sorted(map(tuple, got.collect())) == want, salt
+
+
+def test_grouped_topk_all_ties(spark):
+    from crawl4ai_scraper_spark.operators.textops import grouped_topk
+
+    df = spark.createDataFrame(
+        [(i, "g", 42) for i in range(50)], "doc_id long, host string, score long"
+    )
+    got = grouped_topk(df, "doc_id", "host", "score", 5)
+    # tie-break by key: the 5 smallest doc_ids win, ranks 1..5
+    assert sorted((r["doc_id"], r["topk_rank"]) for r in got.collect()) == [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5)
+    ]
