@@ -6970,7 +6970,8 @@ _MIX_PLAN_SQL = f"""WITH w AS (
       SELECT lang, COUNT(*) AS n_rows,
              CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS weight
       FROM documents GROUP BY lang
-    ), tgt AS (SELECT * FROM {_MIX_TGT_SQL}),
+    ), tgt AS (SELECT lang, CAST(target_share AS DOUBLE) AS target_share
+               FROM {_MIX_TGT_SQL}),
     j AS (SELECT w.*, tgt.target_share FROM w JOIN tgt USING (lang)),
     tt AS (SELECT MIN(CAST(weight AS DOUBLE) / target_share) AS _t FROM j),
     g AS (SELECT CAST(SUM(weight) AS BIGINT) AS _wall FROM w),
@@ -7009,7 +7010,8 @@ def corpus_mix_plan_q(spark, sf):
       SELECT lang, COUNT(*) AS n_rows,
              CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS weight
       FROM documents GROUP BY lang
-    ), tgt AS (SELECT * FROM {_MIX_TGT_SQL}),
+    ), tgt AS (SELECT lang, CAST(target_share AS DOUBLE) AS target_share
+               FROM {_MIX_TGT_SQL}),
     j AS (SELECT w.*, tgt.target_share FROM w JOIN tgt USING (lang)),
     r AS (
       SELECT j.lang, CAST(FLOOR(((j.target_share * 40000.0)
@@ -7331,7 +7333,7 @@ def revision_drift_q(spark, sf):
     gg AS (SELECT host, MIN(gap) AS min_gap,
                   SUM(CASE WHEN gap < 1.0 - 1e-9 THEN 1 ELSE 0 END) AS viol
            FROM g WHERE gap IS NOT NULL GROUP BY host)
-    SELECT a.host, n_visits, 1.0 AS crawl_delay,
+    SELECT a.host, n_visits, CAST(1.0 AS DOUBLE) AS crawl_delay,
            ROUND(min_gap, 4) AS min_gap,
            CAST(COALESCE(viol, 0) AS BIGINT) AS violations,
            ROUND(span, 4) AS span_sec,
