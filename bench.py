@@ -237,6 +237,8 @@ QUERY_NAMES = [
     "politeness_audit",
     "quota_sample",
     "grouped_topk_longest",
+    "sitemap_coverage",
+    "near_dup_threshold_sweep",
 ]
 
 

@@ -7402,6 +7402,96 @@ def grouped_topk_longest_q(spark, sf):
     return T.grouped_topk(docs, "doc_id", "lang", "n_tokens", 10)
 
 
+_COV_URL_SQL = "'https://' || source || '.example/docs/d' || CAST(doc_id AS VARCHAR)"
+
+
+@_q(
+    "sitemap_coverage",
+    f"""WITH d AS (SELECT DISTINCT {_COV_URL_SQL} AS u FROM documents
+                  WHERE doc_id % 100 < 20),
+    v AS (SELECT DISTINCT {_COV_URL_SQL} AS u FROM documents WHERE doc_id % 3 = 0),
+    j AS (SELECT COALESCE(d.u, v.u) AS u, d.u IS NOT NULL AS ind,
+                 v.u IS NOT NULL AS inv
+          FROM d FULL JOIN v ON d.u = v.u)
+    SELECT regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+           CAST(SUM(CASE WHEN ind THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+           CAST(SUM(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS n_visited,
+           CAST(SUM(CASE WHEN ind AND inv THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN ind AND NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           CAST(SUM(CASE WHEN NOT ind AND inv THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+           CASE WHEN SUM(CASE WHEN ind THEN 1 ELSE 0 END) > 0 THEN
+             ROUND(CAST(SUM(CASE WHEN ind AND inv THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN ind THEN 1 ELSE 0 END), 4) END AS coverage
+    FROM j GROUP BY 1""",
+)
+def sitemap_coverage_q(spark, sf):
+    """Sitemap-vs-crawl coverage per host: docs with doc_id%100<20 stand in
+    for the sitemap-declared set, doc_id%3==0 for the visited set — partial
+    overlap in both directions, so n_both/n_missed/n_extra are all
+    exercised. One full-outer url join + one host groupBy."""
+    from crawl4ai_scraper_spark.plans.politeness import sitemap_coverage
+
+    docs = _t(spark, sf, "documents")
+    u = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/docs/d"),
+        F.col("doc_id").cast("string"),
+    )
+    declared = docs.filter(F.col("doc_id") % 100 < 20).select(u.alias("seed_url"))
+    visited = docs.filter(F.col("doc_id") % 3 == 0).select(u.alias("url"))
+    return sitemap_coverage(declared, visited)
+
+
+@_q(
+    "near_dup_threshold_sweep",
+    f"""WITH corpus AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 100000, {_VARIANT_SQL} FROM documents WHERE doc_id < 60
+    ), sh AS (
+      SELECT doc, {_sh3('text')} AS sh FROM corpus
+    ), sig AS (
+      SELECT doc, sh, {_SIG8_SQL} AS sig FROM sh
+    ), banded AS (
+      SELECT doc, b.band, md5(sig[b.band*2+1] || '|' || sig[b.band*2+2]) AS bhash
+      FROM sig, (SELECT UNNEST([0,1,2,3]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bhash = r.bhash AND l.doc < r.doc
+    ), jt AS (
+      SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+           / len(list_distinct(list_concat(list_distinct(a.sh), list_distinct(b.sh)))) AS j
+      FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b
+    ), th AS (SELECT UNNEST([CAST(0.3 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                             CAST(0.7 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS threshold),
+    hits AS (SELECT th.threshold, jt.id_a, jt.id_b FROM jt, th
+             WHERE jt.j >= th.threshold),
+    pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM hits GROUP BY threshold),
+    dc AS (SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM (
+             SELECT threshold, id_a AS d FROM hits
+             UNION ALL SELECT threshold, id_b FROM hits) u GROUP BY threshold)
+    SELECT th.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
+           COALESCE(dc.n_docs, 0) AS n_docs
+    FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)""",
+)
+def near_dup_threshold_sweep_q(spark, sf):
+    """Dedup-threshold planning sweep over corpus + planted near-dups: pair
+    and affected-doc counts at 5 thresholds from ONE LSH-candidate +
+    exact-Jaccard pass (the fan-out happens on verified pair rows only);
+    zero-pair thresholds still report 0."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    variants = docs.select((F.col("doc") + 100000).alias("doc"),
+                           F.expr("substr(text, 8)").alias("text"))
+    corpus = docs.unionByName(variants)
+    return D.near_dup_threshold_sweep(
+        corpus, "text", "doc", [0.3, 0.5, 0.7, 0.9, 0.99]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -1149,3 +1149,57 @@ def host_boilerplate_strip(
             ),
         ).alias("clean_text"),
     )
+
+
+def near_dup_threshold_sweep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds,
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Dedup-threshold planning in ONE near-dup pass: for every candidate
+    threshold t, how many verified pairs have Jaccard >= t and how many
+    distinct documents those pairs touch (the upper bound on what a dedup
+    at t would remove). This is the sweep a pipeline runs BEFORE committing
+    a full-corpus dedup — the pair counts fall off a cliff at the boundary
+    between "same page re-rendered" and "same template, different article",
+    and that cliff is corpus-specific.
+
+    Cost: the LSH candidate stream (id-only band join) and exact-Jaccard
+    verify are computed ONCE; the |thresholds|-way fan-out happens on the
+    verified PAIR rows (tiny relative to the corpus), never on documents.
+
+    Output: (threshold, n_pairs, n_docs), one row per threshold — zero-pair
+    thresholds still appear (counts 0).
+    """
+    cand = lsh_candidate_jaccard(df, text_col, id_col, k, n_hashes, n_bands)
+    tcol = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    hits = cand.select(tcol, "id_a", "id_b", "j").filter(
+        F.col("j") >= F.col("threshold")
+    )
+    pair_counts = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs = hits.select("threshold", F.col("id_a").alias("d")).unionByName(
+        hits.select("threshold", F.col("id_b").alias("d"))
+    )
+    doc_counts = docs.groupBy("threshold").agg(
+        F.countDistinct("d").alias("n_docs")
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        grid.join(pair_counts, "threshold", "left")
+        .join(doc_counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )

@@ -718,3 +718,56 @@ def politeness_audit(
         F.round("span_sec", 4).alias("span_sec"),
         (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("ok"),
     )
+
+
+def sitemap_coverage(
+    declared: DataFrame,
+    visited: DataFrame,
+    declared_url_col: str = "seed_url",
+    visited_url_col: str = "url",
+) -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage: of the URLs a host DECLARES in
+    its sitemaps, how many did the crawl actually visit — and how much did
+    the crawl fetch that the host never declared. The closing report of the
+    sitemap story (sitemaps_from_robots → seeds_from_sitemaps → crawl →
+    THIS): low coverage means budget/depth cut declared content (raise
+    priority for that host), a large undeclared surplus means the crawl is
+    wandering generated spaces the publisher doesn't even index (tighten
+    hygiene/templates for that host).
+
+    One full-outer equi-join on the url (co-partitioned; urls unique per
+    side after the distinct) and one groupBy host with map-side combine;
+    coverage is a single ROUND(double/double) expression.
+
+    Output: (host, n_declared, n_visited, n_both, n_missed, n_extra,
+    coverage) — ``coverage`` NULL for hosts that declared nothing.
+    """
+    d = declared.select(F.col(declared_url_col).alias("u")).distinct().withColumn(
+        "_d", F.lit(1)
+    )
+    v = visited.select(F.col(visited_url_col).alias("u")).distinct().withColumn(
+        "_v", F.lit(1)
+    )
+    j = d.join(v, "u", "full_outer")
+    host = F.regexp_extract(F.col("u"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    agg = j.groupBy(host.alias("host")).agg(
+        F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("n_declared"),
+        F.sum(F.coalesce(F.col("_v"), F.lit(0))).alias("n_visited"),
+        F.sum(
+            F.when(F.col("_d").isNotNull() & F.col("_v").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when(F.col("_d").isNotNull() & F.col("_v").isNull(), 1).otherwise(0)
+        ).alias("n_missed"),
+        F.sum(
+            F.when(F.col("_d").isNull() & F.col("_v").isNotNull(), 1).otherwise(0)
+        ).alias("n_extra"),
+    )
+    coverage = F.when(
+        F.col("n_declared") > 0,
+        F.round(F.col("n_both").cast("double") / F.col("n_declared"), 4),
+    )
+    return agg.select(
+        "host", "n_declared", "n_visited", "n_both", "n_missed", "n_extra",
+        coverage.alias("coverage"),
+    )

@@ -340,3 +340,42 @@ def test_grouped_topk_all_ties(spark):
     assert sorted((r["doc_id"], r["topk_rank"]) for r in got.collect()) == [
         (0, 1), (1, 2), (2, 3), (3, 4), (4, 5)
     ]
+
+
+def test_sitemap_coverage_counts(spark):
+    from crawl4ai_scraper_spark.plans.politeness import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [("https://a.example/1",), ("https://a.example/2",), ("https://a.example/3",),
+         ("https://b.example/x",)],
+        "seed_url string",
+    )
+    visited = spark.createDataFrame(
+        [("https://a.example/1",), ("https://a.example/9",), ("https://c.example/z",)],
+        "url string",
+    )
+    out = {r["host"]: r for r in sitemap_coverage(declared, visited).collect()}
+    a = out["a.example"]
+    assert (a["n_declared"], a["n_visited"], a["n_both"], a["n_missed"], a["n_extra"]) == (3, 2, 1, 2, 1)
+    assert abs(a["coverage"] - 0.3333) < 1e-9
+    b = out["b.example"]
+    assert b["n_declared"] == 1 and b["n_visited"] == 0 and b["coverage"] == 0.0
+    c = out["c.example"]
+    assert c["n_declared"] == 0 and c["n_extra"] == 1 and c["coverage"] is None
+
+
+def test_near_dup_threshold_sweep_monotone(spark):
+    from crawl4ai_scraper_spark.operators.dedup import near_dup_threshold_sweep
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = " ".join(base.split()[:-1])  # drop one word: j ≈ 0.909, collides
+    rows = [(1, base), (2, base), (3, near),
+            (4, "completely different words about maritime trade routes here")]
+    df = spark.createDataFrame(rows, "doc long, text string")
+    out = {r["threshold"]: r for r in
+           near_dup_threshold_sweep(df, "text", "doc", [0.3, 0.9, 1.0]).collect()}
+    assert set(out) == {0.3, 0.9, 1.0}
+    # monotone non-increasing in threshold; exact pair (1,2) survives t=1.0
+    assert out[0.3]["n_pairs"] >= out[0.9]["n_pairs"] >= out[1.0]["n_pairs"] >= 1
+    assert out[1.0]["n_docs"] == 2
+    assert out[0.3]["n_docs"] >= 3
