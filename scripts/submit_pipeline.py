@@ -14,6 +14,9 @@ Locally (this sandbox):
 Stages (each optional via flags, all composed as ONE lazy plan except the
 iterative cluster step):
 
+  0. host boilerplate strip          (--boilerplate-strip: CCNet/Onion
+     site-chrome removal — text REWRITE, so it runs before anything that
+     reads the text; all-boilerplate docs vanish)
   1. Gopher-style quality filter     (pure projection — scan speed)
   2. naive-Bayes classifier filter   (--nb-label-lang: train log-odds
      weights on the corpus, broadcast them back, keep score > threshold —
@@ -40,6 +43,9 @@ iterative cluster step):
      hashed-ngram profiles of the target slice vs the surviving corpus →
      per-doc log importance weights → Gumbel-top-k without replacement —
      distribution-matching selection, Xie et al. 2023)
+  4d. exact per-group quota          (--quota-per-group K: balanced final
+     selection — exactly K docs per --quota-group-col via the
+     screen-then-trim sampler, no hot-group window sort)
   5. enrichment: lang-ID, quality, token counts, fingerprint, repetition
      signals (pure projection)
   6. optional BPE tokenization (--bpe-merges: distributed word count +
@@ -177,6 +183,19 @@ def parse_args(argv=None):
     p.add_argument("--semdedup-id-col", default="vec_id")
     p.add_argument("--semdedup-vec-col", default="embedding")
     p.add_argument("--semdedup-dim", type=int, default=64)
+    p.add_argument("--boilerplate-strip", action="store_true",
+                   help="host-scoped boilerplate segment removal (CCNet/"
+                        "Onion site-chrome pass) BEFORE quality filters; "
+                        "needs --host-col on the input")
+    p.add_argument("--host-col", default="source")
+    p.add_argument("--boilerplate-min-docs", type=int, default=3)
+    p.add_argument("--boilerplate-ratio-pct", type=int, default=10)
+    p.add_argument("--quota-per-group", type=int, default=0, metavar="K",
+                   help="final EXACT K-docs-per-group sample (screen-then-"
+                        "trim, no hot-group window sort)")
+    p.add_argument("--quota-group-col", default="lang",
+                   help="grouping column for --quota-per-group")
+    p.add_argument("--quota-salt", default="q1")
     p.add_argument("--split", action="store_true",
                    help="append a deterministic train/validation/test column")
     p.add_argument("--val-rate", type=float, default=0.01)
@@ -197,6 +216,19 @@ def run_pipeline(spark, args):
     ic, tc = args.id_col, args.text_col
     docs = spark.read.parquet(args.input)
     summary = {"input_rows": docs.count()}
+
+    if args.boilerplate_strip:
+        # text REWRITE, so it runs before anything that reads the text:
+        # strip each host's repeated chrome, drop all-boilerplate docs
+        from crawl4ai_scraper_spark.operators.dedup import host_boilerplate_strip
+
+        cleaned = host_boilerplate_strip(
+            docs, tc, ic, args.host_col,
+            min_docs=args.boilerplate_min_docs,
+            ratio_pct=args.boilerplate_ratio_pct,
+        ).select(ic, F.col("clean_text"))
+        docs = docs.drop(tc).join(cleaned, ic).withColumnRenamed("clean_text", tc)
+        summary["after_boilerplate_strip"] = docs.count()
 
     if not args.skip_filter:
         flags = T.gopher_filter(docs, tc, ic).filter(F.col("keep")).select(ic)
@@ -382,6 +414,15 @@ def run_pipeline(spark, args):
         )
         docs = docs.join(kept.select(ic), ic)
         summary["after_weighted_sample"] = docs.count()
+
+    if args.quota_per_group:
+        # exact K per group as the LAST selection stage — balanced output
+        # regardless of how skewed the surviving corpus is
+        docs = T.quota_sample(
+            docs, ic, args.quota_group_col, args.quota_per_group,
+            salt=args.quota_salt,
+        ).drop("sample_rank")
+        summary["after_quota_sample"] = docs.count()
 
     if args.split:
         docs = T.dataset_split(docs, ic, val_rate=args.val_rate,

@@ -379,3 +379,42 @@ def test_near_dup_threshold_sweep_monotone(spark):
     assert out[0.3]["n_pairs"] >= out[0.9]["n_pairs"] >= out[1.0]["n_pairs"] >= 1
     assert out[1.0]["n_docs"] == 2
     assert out[0.3]["n_docs"] >= 3
+
+
+def test_submit_pipeline_boilerplate_and_quota_stages(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from submit_pipeline import parse_args, run_pipeline
+
+    sw = ["the", "a", "of", "and", "to", "in", "is"]
+
+    def clean_doc(prefix):
+        return " ".join(x for i in range(20) for x in (sw[i % 7], f"{prefix}{i}"))
+
+    chrome = "accept cookies banner"
+    rows = [
+        (i, "h1", f"{chrome} {clean_doc(f'u{i}x')}") for i in range(4)
+    ] + [(10 + i, "h2", clean_doc(f"v{i}x")) for i in range(4)]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+
+    args = parse_args([
+        "--input", inp, "--output", out,
+        "--boilerplate-strip", "--boilerplate-min-docs", "3",
+        "--skip-near-dup",
+        "--quota-per-group", "2", "--quota-group-col", "source",
+    ])
+    summary = run_pipeline(spark, args)
+    assert summary["after_boilerplate_strip"] == 8
+    assert summary["after_quota_sample"] == 4  # exactly 2 per host
+    kept = spark.read.parquet(out)
+    # the h1 chrome is gone from every surviving h1 doc
+    h1 = [r["text"] for r in kept.collect() if r["source"] == "h1"]
+    assert h1 and all(chrome not in t for t in h1)
+    by = {}
+    for r in kept.collect():
+        by[r["source"]] = by.get(r["source"], 0) + 1
+    assert by == {"h1": 2, "h2": 2}
