@@ -418,3 +418,33 @@ def test_submit_pipeline_boilerplate_and_quota_stages(spark, tmp_path):
     for r in kept.collect():
         by[r["source"]] = by.get(r["source"], 0) + 1
     assert by == {"h1": 2, "h2": 2}
+
+
+def test_quota_and_topk_property_random_corpora(spark):
+    """Hypothesis-style sweep (deterministic seeds, Spark-session-bound):
+    screen-then-trim sampling must equal the naive window on arbitrary
+    group-size distributions, quotas, and salts."""
+    import random
+
+    from crawl4ai_scraper_spark.operators.textops import grouped_topk, quota_sample
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = []
+        nid = 0
+        for g in range(rng.randint(1, 5)):
+            size = rng.choice([1, 2, 5, 40, 300])
+            for _ in range(size):
+                rows.append((nid, f"g{g}", rng.randint(0, 30)))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+        k = rng.randint(1, 12)
+        salt = f"s{seed}"
+        got_q = quota_sample(df, "doc_id", "grp", k, salt=salt)
+        want_q = _naive_quota(spark, df, "doc_id", "grp", k, salt)
+        assert sorted(map(tuple, got_q.collect())) == sorted(map(tuple, want_q.collect())), (
+            "quota", seed)
+        got_t = grouped_topk(df, "doc_id", "grp", "score", k, salt=salt, sample_target=8)
+        want_t = _naive_topk(df, "doc_id", "grp", "score", k)
+        assert sorted(map(tuple, got_t.collect())) == sorted(map(tuple, want_t.collect())), (
+            "topk", seed)
