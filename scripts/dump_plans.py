@@ -479,6 +479,27 @@ def main():
         plan_of(contract.queries()["politeness_audit"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Quota sample — broadcast gates, scan-speed screen, bounded trim window",
+        "textops.quota_sample (quota_sample): the per-group thresholds ride a "
+        "|groups|-row BroadcastExchange into a scan-side filter; the exact "
+        "row_number runs only over the ~overshoot×quota candidates (its "
+        "window partition is bounded, never the group), and the rescue "
+        "branch is a broadcast anti/semi pair that is empty in the common "
+        "case.",
+        plan_of(contract.queries()["quota_sample"](spark, "/root/testdata/sf0.001")),
+    ))
+
+    sections.append((
+        "Grouped top-k — learned score threshold, same bounded-trim shape",
+        "textops.grouped_topk (grouped_topk_longest): the digest sample and "
+        "its per-group quantile estimate are broadcast back as a score "
+        "threshold; candidates filter at scan speed and only they enter the "
+        "final row_number — a hot group never sorts whole unless its "
+        "screen provably undershot (detected, rescued).",
+        plan_of(contract.queries()["grouped_topk_longest"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
