@@ -239,6 +239,7 @@ QUERY_NAMES = [
     "grouped_topk_longest",
     "sitemap_coverage",
     "near_dup_threshold_sweep",
+    "corpus_shuffle_pack",
 ]
 
 

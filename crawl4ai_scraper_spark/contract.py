@@ -7492,6 +7492,39 @@ def near_dup_threshold_sweep_q(spark, sf):
     )
 
 
+@_q(
+    "corpus_shuffle_pack",
+    """WITH c AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS shuffle_key,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT doc_id, shuffle_key, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id)
+                      - n_tokens AS BIGINT) AS cum_before
+          FROM c)
+    SELECT doc_id, shuffle_key, n_tokens, cum_before,
+           CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_seq
+    FROM s""",
+)
+def corpus_shuffle_pack_q(spark, sf):
+    """Deterministic SHUFFLED sequence packing (training-order shuffle
+    without RNG state): docs laid end-to-end in 48-bit-md5-digest order
+    into 512-token sequences via the two-phase bucketed cumsum — the
+    oracle's whole-corpus ORDER BY window is exactly the plan the operator
+    avoids. Digest ties (if any) break by doc_id in both engines."""
+    from crawl4ai_scraper_spark.operators.packing import corpus_shuffle_pack
+
+    docs = _t(spark, sf, "documents")
+    return corpus_shuffle_pack(
+        docs, "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")),
+        seq_len=512, salt="sh1",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -27,11 +27,15 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     bucket_size: int = 1 << 16,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global running sum of ``value_col`` in ``order_col`` order
     (the sum of all STRICTLY EARLIER rows), without a whole-corpus
     single-partition window. ``order_col`` must be a non-negative integral
-    total order (doc ids, arrival ranks)."""
+    total order (doc ids, arrival ranks) — or, with ``tiebreak``, a
+    non-negative integral PARTIAL order made total by the tiebreak column
+    (hash order keys, where rare equal digests must still sum in one
+    well-defined engine-independent order)."""
     df = df.withColumn("_b", F.expr(f"{order_col} DIV {bucket_size}"))
     offsets = (
         df.groupBy("_b").agg(F.sum(value_col).alias("_s"))
@@ -46,9 +50,10 @@ def global_cumsum(
         )
         .select("_b", "_off")
     )
+    order_cols = [order_col] + ([tiebreak] if tiebreak else [])
     local = F.coalesce(
         F.sum(value_col).over(
-            Window.partitionBy("_b").orderBy(order_col)
+            Window.partitionBy("_b").orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, -1)
         ),
         F.lit(0),
@@ -162,4 +167,59 @@ def packed_sequences(
             F.array_sort(F.collect_list(F.struct("pos_in_seq", "token_id"))),
             lambda s: s["token_id"],
         ).alias("token_ids"),
+    )
+
+
+def corpus_shuffle_pack(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    seq_len: int,
+    salt: str = "sh1",
+    bucket_size: int = 1 << 33,
+) -> DataFrame:
+    """SHUFFLED sequence packing: the same greedy end-to-end layout as
+    ``sequence_pack``, but in deterministic PSEUDO-RANDOM order instead of
+    id order — the training-order shuffle SGD needs (id order is crawl
+    order: one host's pages would otherwise fill whole batches), computed
+    without any RNG state and identical across runs, engines, partitionings
+    and cluster sizes.
+
+    Order key = the 48-bit md5 prefix of (salt:id) as a BIGINT; the global
+    exclusive cumsum runs through the same two-phase bucketed shape as
+    ``sequence_pack`` (``bucket_size`` covers the 2^48 digest space in
+    2^15 value-range buckets — uniform digests make the per-bucket row
+    counts uniform, so every window partition stays bounded). Digest
+    collisions (P ≈ n²/2^49) are made harmless, not assumed away: the
+    in-bucket window orders by (digest, id), a total order both engines
+    agree on.
+
+    A different ``salt`` is a fresh, independent epoch shuffle — the
+    standard per-epoch reshuffle is |epochs| cheap plan re-runs, no
+    materialized permutation table.
+
+    Output: (id, shuffle_key, n_tokens, cum_before, seq_id, offset_in_seq).
+    """
+    ord48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16, 10,
+    ).cast("bigint")
+    counted = df.select(
+        F.col(id_col),
+        ord48.alias("shuffle_key"),
+        token_count.cast("long").alias("n_tokens"),
+    )
+    c = global_cumsum(
+        counted, "shuffle_key", "n_tokens",
+        bucket_size=bucket_size, tiebreak=id_col,
+    )
+    return c.select(
+        F.col(id_col),
+        "shuffle_key",
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cum_before DIV {seq_len}").alias("seq_id"),
+        (F.col("cum_before") % seq_len).alias("offset_in_seq"),
     )

@@ -448,3 +448,45 @@ def test_quota_and_topk_property_random_corpora(spark):
         want_t = _naive_topk(df, "doc_id", "grp", "score", k)
         assert sorted(map(tuple, got_t.collect())) == sorted(map(tuple, want_t.collect())), (
             "topk", seed)
+
+
+def test_corpus_shuffle_pack_is_exact_permutation_layout(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.packing import corpus_shuffle_pack
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    tc = F.size(F.split(F.trim("text"), "\\s+"))
+    out = corpus_shuffle_pack(df, "doc_id", tc, seq_len=16, salt="sA")
+    naive = (
+        df.select("doc_id", tc.cast("long").alias("n_tokens"))
+        .withColumn(
+            "shuffle_key",
+            F.conv(F.substring(F.md5(F.concat(F.lit("sA:"), F.col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint"),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.orderBy("shuffle_key", "doc_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    got = {r["doc_id"]: (r["cum_before"], r["seq_id"], r["offset_in_seq"]) for r in out.collect()}
+    want = {r["doc_id"]: r["cum_before"] for r in naive.collect()}
+    assert len(got) == 200
+    for d, cb in want.items():
+        assert got[d] == (cb, cb // 16, cb % 16), d
+    # different salt = genuinely different order
+    out_b = corpus_shuffle_pack(df, "doc_id", tc, seq_len=16, salt="sB")
+    got_b = {r["doc_id"]: r["cum_before"] for r in out_b.collect()}
+    assert got_b != {d: v[0] for d, v in got.items()}
+    # same salt = identical layout (no RNG state anywhere)
+    out_a2 = corpus_shuffle_pack(df, "doc_id", tc, seq_len=16, salt="sA")
+    assert {r["doc_id"]: r["cum_before"] for r in out_a2.collect()} == want
