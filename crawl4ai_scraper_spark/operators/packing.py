@@ -99,6 +99,7 @@ def pack_token_ids(
     bucket_size: int = 1 << 16,
     complete_only: bool = True,
     eos_id: int | None = None,
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """MATERIALIZE the training sequences ``sequence_pack`` only lays out:
     documents' token-id arrays (from ``vocab_encode`` / ``bpe_encode_ids``)
@@ -112,7 +113,12 @@ def pack_token_ids(
     drop-last of training loaders). ``eos_id`` appends a document separator
     to every doc's ids before layout (GPT-style packing; the EOS position is
     attributed to its document). Docs with empty id arrays contribute
-    nothing and never shift the layout."""
+    nothing and never shift the layout.
+
+    ``shuffle_salt`` switches the layout from id order to the
+    deterministic pseudo-random order of ``corpus_shuffle_pack`` (48-bit
+    md5 order key, (digest, id)-totalized) — the per-epoch training
+    shuffle, materialized."""
     ids = F.col(ids_col)
     if eos_id is not None:
         # only docs that contribute tokens get a separator — an empty doc
@@ -124,12 +130,29 @@ def pack_token_ids(
     counted = enc.select(
         F.col(id_col), ids.alias("_ids")
     ).withColumn("n_tokens", F.size("_ids").cast("long"))
-    c = global_cumsum(
-        counted.filter(F.col("n_tokens") > 0),
-        id_col,
-        "n_tokens",
-        bucket_size=bucket_size,
-    )
+    nonempty = counted.filter(F.col("n_tokens") > 0)
+    if shuffle_salt is not None:
+        ord48 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(shuffle_salt + ":"),
+                               F.col(id_col).cast("string"))), 1, 12
+            ),
+            16, 10,
+        ).cast("bigint")
+        c = global_cumsum(
+            nonempty.withColumn("_ord", ord48),
+            "_ord",
+            "n_tokens",
+            bucket_size=1 << 33,
+            tiebreak=id_col,
+        ).drop("_ord")
+    else:
+        c = global_cumsum(
+            nonempty,
+            id_col,
+            "n_tokens",
+            bucket_size=bucket_size,
+        )
     ex = c.select(
         F.col(id_col),
         "cum_before",

@@ -146,6 +146,10 @@ def parse_args(argv=None):
     p.add_argument("--pack-seq-len", type=int, default=0, metavar="L",
                    help="with --bpe-encode: pack the encoded corpus into "
                         "L-token training sequences (drop-last)")
+    p.add_argument("--pack-shuffle-salt", default=None, metavar="SALT",
+                   help="pack in deterministic pseudo-random (md5) order "
+                        "instead of id order — the per-epoch training "
+                        "shuffle; a different salt is a fresh shuffle")
     p.add_argument("--pack-output", metavar="DIR",
                    help="where the packed (seq_id, n_docs, token_ids) "
                         "sequences land (default <output>_sequences)")
@@ -483,7 +487,8 @@ def run_pipeline(spark, args):
                 )
 
                 packed = pack_token_ids(enc, "id", "token_ids",
-                                        seq_len=args.pack_seq_len)
+                                        seq_len=args.pack_seq_len,
+                                        shuffle_salt=args.pack_shuffle_salt)
                 packed_out = packed_sequences(packed, "id", args.pack_seq_len)
 
     if args.dry_run:

@@ -490,3 +490,31 @@ def test_corpus_shuffle_pack_is_exact_permutation_layout(spark):
     # same salt = identical layout (no RNG state anywhere)
     out_a2 = corpus_shuffle_pack(df, "doc_id", tc, seq_len=16, salt="sA")
     assert {r["doc_id"]: r["cum_before"] for r in out_a2.collect()} == want
+
+
+def test_pack_token_ids_shuffled_order(spark):
+    import hashlib
+
+    from crawl4ai_scraper_spark.operators.packing import (
+        pack_token_ids,
+        packed_sequences,
+    )
+
+    # doc i carries tokens [i*10, i*10+1]; one big sequence captures the order
+    rows = [(i, [i * 10, i * 10 + 1]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    packed = pack_token_ids(df, "doc_id", "token_ids", seq_len=12,
+                            shuffle_salt="sX")
+    seq = packed_sequences(packed, "doc_id", 12).collect()
+    assert len(seq) == 1 and seq[0]["n_docs"] == 6
+    got = seq[0]["token_ids"]
+    order = sorted(range(6), key=lambda i: (
+        hashlib.md5(f"sX:{i}".encode()).hexdigest()[:12], i))
+    want = [t for i in order for t in (i * 10, i * 10 + 1)]
+    assert got == want
+    # id-order layout differs (unless the digest order happens to be 0..5)
+    plain = packed_sequences(
+        pack_token_ids(df, "doc_id", "token_ids", seq_len=12), "doc_id", 12
+    ).collect()[0]["token_ids"]
+    assert plain == [t for i in range(6) for t in (i * 10, i * 10 + 1)]
+    assert got != plain
