@@ -240,6 +240,7 @@ QUERY_NAMES = [
     "sitemap_coverage",
     "near_dup_threshold_sweep",
     "corpus_shuffle_pack",
+    "curriculum_shuffle_pack",
 ]
 
 

@@ -7525,6 +7525,42 @@ def corpus_shuffle_pack_q(spark, sf):
     )
 
 
+@_q(
+    "curriculum_shuffle_pack",
+    """WITH c AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('cu1:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS shuffle_key
+      FROM documents),
+    b AS (SELECT *,
+             CAST(CASE WHEN n_tokens >= 60 THEN 0
+                       WHEN n_tokens >= 30 THEN 1 ELSE 2 END AS BIGINT) AS band
+          FROM c),
+    s AS (SELECT doc_id, band, shuffle_key, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY band, shuffle_key, doc_id)
+                      - n_tokens AS BIGINT) AS cum_before
+          FROM b)
+    SELECT doc_id, band, shuffle_key, n_tokens, cum_before,
+           CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_seq
+    FROM s""",
+)
+def curriculum_shuffle_pack_q(spark, sf):
+    """Curriculum training order: long/clean docs (band 0) pack first,
+    short-tail bands later, md5-shuffled WITHIN each band — one composite
+    BIGINT order key through the two-phase bucketed cumsum; the oracle's
+    whole-corpus (band, digest, id) window is the plan avoided."""
+    from crawl4ai_scraper_spark.operators.packing import curriculum_shuffle_pack
+
+    docs = _t(spark, sf, "documents")
+    nt = F.size(F.split(F.trim("text"), "\\s+"))
+    band = F.when(nt >= 60, F.lit(0)).when(nt >= 30, F.lit(1)).otherwise(F.lit(2))
+    return curriculum_shuffle_pack(
+        docs, "doc_id", nt, band, seq_len=512, salt="cu1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

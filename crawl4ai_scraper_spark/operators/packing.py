@@ -246,3 +246,61 @@ def corpus_shuffle_pack(
         F.expr(f"cum_before DIV {seq_len}").alias("seq_id"),
         (F.col("cum_before") % seq_len).alias("offset_in_seq"),
     )
+
+
+def curriculum_shuffle_pack(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    quality_band: Column,
+    seq_len: int,
+    salt: str = "cu1",
+    bucket_size: int = 1 << 33,
+) -> DataFrame:
+    """Curriculum packing: sequences fill in QUALITY-BAND-major order —
+    band 0 (e.g. highest-quality ntile) first, then band 1, ... — with the
+    deterministic md5 shuffle of ``corpus_shuffle_pack`` WITHIN each band.
+    This is the curriculum-learning data order (easy/clean first, noisy
+    tail last) without sacrificing the in-band shuffle SGD needs; an
+    anti-curriculum or staged-mix is just a different band expression.
+
+    Order key = band * 2^48 + digest48 — one BIGINT (bands < 2^15 keep it
+    inside 63 bits), so the same two-phase bucketed cumsum machinery
+    applies unchanged: band boundaries fall on bucket boundaries
+    (``bucket_size`` divides 2^48), per-bucket counts stay uniform within
+    each band, ties totalized by (key, id) in both engines.
+
+    ``quality_band`` must be a non-negative integral column expression
+    (e.g. ``F.ntile`` output minus 1, or a CASE over score cuts) that is
+    itself deterministic.
+
+    Output: (id, band, shuffle_key, n_tokens, cum_before, seq_id,
+    offset_in_seq).
+    """
+    dig48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16, 10,
+    ).cast("bigint")
+    band = quality_band.cast("bigint")
+    counted = df.select(
+        F.col(id_col),
+        band.alias("band"),
+        dig48.alias("shuffle_key"),
+        token_count.cast("long").alias("n_tokens"),
+    ).withColumn(
+        "_ord", F.col("band") * F.lit(281474976710656) + F.col("shuffle_key")
+    )
+    c = global_cumsum(
+        counted, "_ord", "n_tokens", bucket_size=bucket_size, tiebreak=id_col
+    ).drop("_ord")
+    return c.select(
+        F.col(id_col),
+        "band",
+        "shuffle_key",
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cum_before DIV {seq_len}").alias("seq_id"),
+        (F.col("cum_before") % seq_len).alias("offset_in_seq"),
+    )

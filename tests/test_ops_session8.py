@@ -518,3 +518,31 @@ def test_pack_token_ids_shuffled_order(spark):
     ).collect()[0]["token_ids"]
     assert plain == [t for i in range(6) for t in (i * 10, i * 10 + 1)]
     assert got != plain
+
+
+def test_curriculum_shuffle_pack_band_major(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.packing import curriculum_shuffle_pack
+
+    # bands: docs 0-2 -> band 0, docs 3-5 -> band 1; 2 tokens each
+    rows = [(i, 2, i // 3) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, nt long, band long")
+    out = curriculum_shuffle_pack(
+        df, "doc_id", F.col("nt"), F.col("band"), seq_len=4, salt="cuT"
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    # every band-0 doc packs strictly before every band-1 doc
+    max0 = max(got[i]["cum_before"] for i in range(3))
+    min1 = min(got[i]["cum_before"] for i in range(3, 6))
+    assert max0 < min1
+    # within a band the order is the md5 digest order
+    def dig(i):
+        return hashlib.md5(f"cuT:{i}".encode()).hexdigest()[:12]
+    order0 = sorted(range(3), key=lambda i: (dig(i), i))
+    cums0 = [got[i]["cum_before"] for i in order0]
+    assert cums0 == sorted(cums0)
+    # layout is gapless: cum_before values are 0,2,4,...,10
+    assert sorted(r["cum_before"] for r in out) == [0, 2, 4, 6, 8, 10]
