@@ -500,6 +500,18 @@ def main():
         plan_of(contract.queries()["grouped_topk_longest"](spark, "/root/testdata/sf0.001")),
     ))
 
+    sections.append((
+        "Shuffled packing — global pseudo-random cumsum without a whole-corpus window",
+        "packing.corpus_shuffle_pack (corpus_shuffle_pack): the 48-bit md5 "
+        "order key is a scan-side projection; the exclusive cumsum is the "
+        "two-phase bucketed shape — ONE tiny window over value-range bucket "
+        "ids plus bounded (digest, id)-ordered in-bucket windows — so the "
+        "training-order shuffle of a 10^10-doc corpus never sorts in one "
+        "partition. curriculum_shuffle_pack reuses the identical plan with "
+        "a band-composited key.",
+        plan_of(contract.queries()["corpus_shuffle_pack"](spark, "/root/testdata/sf0.001")),
+    ))
+
     out = [
         "# PLANS — captured physical plans (evidence for the optimization claims)",
         "",
