@@ -241,6 +241,7 @@ QUERY_NAMES = [
     "near_dup_threshold_sweep",
     "corpus_shuffle_pack",
     "curriculum_shuffle_pack",
+    "layout_adjacency",
 ]
 
 

@@ -7561,6 +7561,60 @@ def curriculum_shuffle_pack_q(spark, sf):
     )
 
 
+@_q(
+    "layout_adjacency",
+    """WITH d AS (SELECT doc_id, source,
+           CAST(substr(source, 4) AS BIGINT) AS hi,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents),
+    hg AS (SELECT source, lag(source) OVER (ORDER BY hi * 1000000 + doc_id) AS p
+           FROM d WHERE n > 0),
+    sh AS (SELECT source, lag(source) OVER (
+             ORDER BY CAST('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                      AS BIGINT), doc_id) AS p
+           FROM d WHERE n > 0)
+    SELECT 'host_grouped' AS layout, CAST(COUNT(p) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p = source THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           ROUND(CAST(SUM(CASE WHEN p = source THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(p), 4) AS same_ratio
+    FROM hg WHERE p IS NOT NULL
+    UNION ALL
+    SELECT 'shuffled', CAST(COUNT(p) AS BIGINT),
+           CAST(SUM(CASE WHEN p = source THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(CAST(SUM(CASE WHEN p = source THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(p), 4)
+    FROM sh WHERE p IS NOT NULL""",
+)
+def layout_adjacency_q(spark, sf):
+    """Shuffle-quality evidence: same-host fraction of adjacent doc pairs
+    under a host-grouped layout (crawl order surrogate — near 1) vs the
+    md5-shuffled layout (near 1/|hosts|). The Spark side derives adjacency
+    from each layout's cum_before offsets via the windowless equi-join; the
+    oracle's lag() over the same total orders is the naive equivalent."""
+    from crawl4ai_scraper_spark.operators.packing import (
+        corpus_shuffle_pack,
+        layout_adjacency_stats,
+        sequence_pack,
+    )
+
+    docs = _t(spark, sf, "documents")
+    nt = F.size(F.split(F.trim("text"), "\\s+"))
+    hi = F.regexp_extract("source", "^src([0-9]+)$", 1).cast("bigint")
+    hg_docs = docs.select(
+        (hi * 1000000 + F.col("doc_id")).alias("sid"),
+        nt.alias("nt"), F.col("source"),
+    )
+    hg = layout_adjacency_stats(
+        sequence_pack(hg_docs, "sid", F.col("nt"), seq_len=512),
+        hg_docs.select("sid", "source"), "sid", "source", "host_grouped",
+    )
+    sh = layout_adjacency_stats(
+        corpus_shuffle_pack(docs, "doc_id", nt, seq_len=512, salt="sh1"),
+        docs.select("doc_id", "source"), "doc_id", "source", "shuffled",
+    )
+    return hg.unionByName(sh)
+
+
 # ---------------------------------------------------------------------------
 # Public registry
 # ---------------------------------------------------------------------------

@@ -304,3 +304,49 @@ def curriculum_shuffle_pack(
         F.expr(f"cum_before DIV {seq_len}").alias("seq_id"),
         (F.col("cum_before") % seq_len).alias("offset_in_seq"),
     )
+
+
+def layout_adjacency_stats(
+    plan: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    attr_col: str,
+    label: str,
+) -> DataFrame:
+    """Shuffle-quality diagnostic for a packing layout: of all ADJACENT
+    document pairs in the training order, what fraction shares the same
+    attribute (host, language, source shard)? Crawl order feeds whole runs
+    of one host into consecutive batches (same_ratio near 1 for a
+    host-grouped layout); a good shuffle drives it to ~1/|attr values|.
+    Run over both layouts, the two rows are the before/after evidence the
+    data-order stage ships with.
+
+    The trick: NO global window. A doc's successor in the layout is the
+    row whose ``cum_before`` equals this row's ``cum_before + n_tokens``
+    (strictly increasing when every doc has tokens — zero-token docs are
+    excluded, they'd self-pair), so adjacency is ONE co-partitioned
+    equi-join on the offset key, at any corpus size.
+
+    Output: one row (layout, n_pairs, n_same, same_ratio 4dp).
+    """
+    a = (
+        plan.select(F.col(id_col), "cum_before", "n_tokens")
+        .filter(F.col("n_tokens") > 0)
+        .join(attrs.select(F.col(id_col), F.col(attr_col).alias("_attr")), id_col)
+    )
+    left = a.select(
+        (F.col("cum_before") + F.col("n_tokens")).alias("k"),
+        F.col("_attr").alias("attr_a"),
+    )
+    right = a.select(F.col("cum_before").alias("k"), F.col("_attr").alias("attr_b"))
+    pairs = left.join(right, "k")
+    same = F.sum(F.when(F.col("attr_a") == F.col("attr_b"), 1).otherwise(0))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            same.cast("bigint").alias("n_same"),
+            F.round(same.cast("double") / F.count(F.lit(1)), 4).alias("same_ratio"),
+        )
+        .withColumn("layout", F.lit(label))
+        .select("layout", "n_pairs", "n_same", "same_ratio")
+    )

@@ -546,3 +546,31 @@ def test_curriculum_shuffle_pack_band_major(spark):
     assert cums0 == sorted(cums0)
     # layout is gapless: cum_before values are 0,2,4,...,10
     assert sorted(r["cum_before"] for r in out) == [0, 2, 4, 6, 8, 10]
+
+
+def test_layout_adjacency_stats_discriminates_orders(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.packing import (
+        corpus_shuffle_pack,
+        layout_adjacency_stats,
+        sequence_pack,
+    )
+
+    # 4 hosts × 25 docs, ids grouped by host → id order IS host-grouped
+    rows = [(h * 100 + i, f"h{h}", 3) for h in range(4) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, nt long")
+    grouped = layout_adjacency_stats(
+        sequence_pack(df, "doc_id", F.col("nt"), seq_len=16),
+        df.select("doc_id", "host"), "doc_id", "host", "grouped",
+    ).collect()[0]
+    shuffled = layout_adjacency_stats(
+        corpus_shuffle_pack(df, "doc_id", F.col("nt"), seq_len=16, salt="sL"),
+        df.select("doc_id", "host"), "doc_id", "host", "shuffled",
+    ).collect()[0]
+    assert grouped["n_pairs"] == 99 and shuffled["n_pairs"] == 99
+    # grouped: only 3 host boundaries → 96/99 same-host
+    assert grouped["n_same"] == 96
+    # shuffle destroys host runs: same-host adjacency ≈ 1/4, far below
+    assert shuffled["n_same"] < 50
+    assert shuffled["same_ratio"] < grouped["same_ratio"]
