@@ -12,8 +12,10 @@ forms a user would pass through ``soup.select()`` / lxml:
   pseudo-classes ``:first-child`` ``:last-child``
   ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
   of-type variants ``:first-of-type`` ``:last-of-type`` ``:only-of-type``
-  ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, ``:not(compound[, …])``
-  (combinators inside the argument stay unsupported → invalid-skip), and
+  ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, ``:not(selector list)``
+  with full COMPLEX selector arguments (combinators allowed; the subject is
+  the rightmost compound — leading/relative combinators stay invalid, CSS
+  reserves those for :has()), and
   ``:has(relative selector[, …])`` with soupsieve semantics (arguments may
   lead with ``>`` / ``+`` / ``~``, anchored at the subject element);
   combinators: descendant, ``>``, ``+``, ``~``; comma groups.
@@ -21,7 +23,12 @@ forms a user would pass through ``soup.select()`` / lxml:
   predicates ``[@attr='v']`` ``[@attr]`` ``[contains(@attr,'v')]``
   ``[contains(text(),'v')]`` ``[starts-with(@attr,'v')]``
   ``[starts-with(text(),'v')]`` ``[text()='v']`` ``[N]`` ``[last()]``
-  ``[position() OP N]``; explicit axes ``following-sibling::``
+  ``[position() OP N]``, ``!=`` forms ``[@attr!='v']`` / ``[text()!='v']``
+  (node-set semantics: an absent attribute never matches ``!=``),
+  ``[normalize-space()='v']`` / ``[normalize-space(text())='v']`` /
+  ``[normalize-space(@a)='v']`` (and ``!=``),
+  ``[string-length(ARG) OP N]`` and ``[count(tag|*|text()) OP N]``
+  with OP ∈ ``= != < <= > >=``; explicit axes ``following-sibling::``
   ``preceding-sibling::`` ``parent::`` ``ancestor(-or-self)::``
   ``self::`` ``descendant(-or-self)::`` ``following::`` ``preceding::``
   (positional predicates count in axis order per context node,
@@ -52,10 +59,14 @@ matches the reference exactly:
 * validate_* (selector_utils.py:214-248): parse probe on dummy HTML.
 * the five literal selector templates (selector_utils.py:21-54).
 
-Known deviation (documented, not observable with the template selectors):
-element equality here is OBJECT identity, while bs4 Tag equality is
-structural — the reference's ``list.remove`` could drop a different but
-structurally-identical element.
+Equality semantics match the per-engine reference exactly: the CSS exclusion
+path removes under bs4 STRUCTURAL equality (``_struct_eq`` — tag, attrs,
+contents recursively; ``list.remove`` drops the FIRST structurally-equal
+element), while the XPath path removes by object identity — which is what
+lxml's default ``_Element`` equality is. (Either way the output text cannot
+differ: structural equality implies identical extracted text, so removing
+the first-equal vs the identical element yields the same text sequence —
+but the removal now mirrors each engine's mechanics, not just its output.)
 """
 
 from __future__ import annotations
@@ -280,16 +291,25 @@ class _Compound:
                     a, b = _parse_nth(arg.rstrip(")"))
                     self.pseudos.append((name, a, b))
                 elif name == "not" and arg:
-                    # CSS4 :not(selector list) — compounds only (no
-                    # combinators inside the argument, like CSS3/soupsieve's
-                    # common subset); a failed inner parse propagates and the
-                    # whole selector is skipped as invalid
+                    # CSS4 :not(selector list) — arguments are full COMPLEX
+                    # selectors (combinators allowed, soupsieve semantics:
+                    # the subject is the rightmost compound and the chain to
+                    # its left must be satisfiable in the real DOM); a failed
+                    # inner parse propagates and the whole selector is
+                    # skipped as invalid. Leading combinators (relative
+                    # selectors) stay invalid — CSS only allows those in
+                    # :has().
                     body = arg[:-1] if arg.endswith(")") else arg  # ONE paren:
                     # rstrip would eat the closer of a nested :nth-child(2)
-                    inner = [
-                        _Compound(s.strip())
-                        for s in _split_top_level(body, ",") if s.strip()
-                    ]
+                    inner: List = []
+                    for s in _split_top_level(body, ","):
+                        s = s.strip()
+                        if not s:
+                            continue
+                        if len(_tokenize_selector(s)) > 1:  # has combinators
+                            inner.append(CssSelector(s))
+                        else:
+                            inner.append(_Compound(s))
                     if not inner:
                         raise ValueError(f"empty :not() argument: {part!r}")
                     self.pseudos.append(("not", inner))
@@ -587,6 +607,20 @@ _PRED_TEXT_EQ = re.compile(r"^text\(\)\s*=\s*([\"'])(.*?)\1$")
 _PRED_POS_N = re.compile(r"^(\d+)$")
 _PRED_POS_LAST = re.compile(r"^last\(\)$")
 _PRED_POS_CMP = re.compile(r"^position\(\)\s*(<=|>=|<|>|=)\s*(\d+)$")
+# -- round-4 widening: !=, normalize-space(), string-length(), count() --
+_PRED_ATTR_NEQ = re.compile(r"^@([\w-]+)\s*!=\s*([\"'])(.*?)\2$")
+_PRED_TEXT_NEQ = re.compile(r"^text\(\)\s*!=\s*([\"'])(.*?)\1$")
+# normalize-space(ARG) OP 'literal' — ARG empty (string(.)), text(), or @attr
+_PRED_NSP_CMP = re.compile(
+    r"^normalize-space\(\s*(text\(\)|@[\w-]+)?\s*\)\s*(!=|=)\s*([\"'])(.*?)\3$"
+)
+_PRED_STRLEN_CMP = re.compile(
+    r"^string-length\(\s*(text\(\)|@[\w-]+)?\s*\)\s*(!=|<=|>=|<|>|=)\s*(\d+)$"
+)
+# count(node-test) OP N — child-axis node tests: tag, *, text()
+_PRED_COUNT_CMP = re.compile(
+    r"^count\(\s*([\w-]+|\*|text\(\))\s*\)\s*(!=|<=|>=|<|>|=)\s*(\d+)$"
+)
 _STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 
@@ -654,6 +688,22 @@ class _XStep:
                 self.preds.append(("pos", "last", 0))
             elif (mm := _PRED_POS_CMP.match(body)):
                 self.preds.append(("pos", mm.group(1), int(mm.group(2))))
+            elif (mm := _PRED_ATTR_NEQ.match(body)):
+                self.preds.append(("attr!=", mm.group(1), mm.group(3)))
+            elif (mm := _PRED_TEXT_NEQ.match(body)):
+                self.preds.append(("text!=", mm.group(2)))
+            elif (mm := _PRED_NSP_CMP.match(body)):
+                self.preds.append(
+                    ("nsp", mm.group(1) or "", mm.group(2), mm.group(4))
+                )
+            elif (mm := _PRED_STRLEN_CMP.match(body)):
+                self.preds.append(
+                    ("strlen", mm.group(1) or "", mm.group(2), int(mm.group(3)))
+                )
+            elif (mm := _PRED_COUNT_CMP.match(body)):
+                self.preds.append(
+                    ("count", mm.group(1), mm.group(2), int(mm.group(3)))
+                )
             else:
                 raise ValueError(f"unsupported XPath predicate: [{body}]")
         if self.name == "text()" and self.preds:
@@ -701,6 +751,48 @@ def _node_own_text(node: Node) -> str:
     return "".join(c for c in node.children if isinstance(c, str))
 
 
+def _node_string_value(node: Node) -> str:
+    """XPath ``string(.)``: every descendant text node concatenated, verbatim,
+    in document order."""
+    parts: List[str] = []
+
+    def rec(n: Node) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                rec(c)
+
+    rec(node)
+    return "".join(parts)
+
+
+def _xp_string_arg(node: Node, arg: str) -> str:
+    """The string a normalize-space()/string-length() argument evaluates to:
+    '' → string(.); 'text()' → first text-node child (lxml: string() of a
+    node-set takes the first node, '' when empty); '@name' → attribute value
+    ('' when absent, per string() of an empty node-set)."""
+    if not arg:
+        return _node_string_value(node)
+    if arg == "text()":
+        for c in node.children:
+            if isinstance(c, str):
+                return c
+        return ""
+    return node.attrs.get(arg[1:]) or ""
+
+
+def _num_cmp(n: int, op: str, val: int) -> bool:
+    return (
+        n == val if op == "="
+        else n != val if op == "!="
+        else n < val if op == "<"
+        else n <= val if op == "<="
+        else n > val if op == ">"
+        else n >= val
+    )
+
+
 def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
     kind = pred[0]
     if kind == "attr=":
@@ -719,6 +811,30 @@ def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
     if kind == "text=":
         # XPath text()='v' is true when ANY text node equals v
         return any(isinstance(c, str) and c == pred[1] for c in node.children)
+    if kind == "attr!=":
+        # node-set != string: true iff the attribute EXISTS with a different
+        # value (an absent attribute is an empty node-set → false)
+        actual = node.attrs.get(pred[1])
+        return actual is not None and actual != pred[2]
+    if kind == "text!=":
+        return any(isinstance(c, str) and c != pred[1] for c in node.children)
+    if kind == "nsp":
+        s = " ".join(_xp_string_arg(node, pred[1]).split())
+        return s == pred[3] if pred[2] == "=" else s != pred[3]
+    if kind == "strlen":
+        return _num_cmp(len(_xp_string_arg(node, pred[1])), pred[2], pred[3])
+    if kind == "count":
+        test = pred[1]
+        if test == "text()":
+            n = sum(1 for c in node.children if isinstance(c, str))
+        elif test == "*":
+            n = sum(1 for c in node.children if isinstance(c, Node))
+        else:
+            n = sum(
+                1 for c in node.children
+                if isinstance(c, Node) and c.tag == test
+            )
+        return _num_cmp(n, pred[2], pred[3])
     raise AssertionError(kind)
 
 
@@ -919,6 +1035,31 @@ def _xpath_select_path(scope: Node, expr: str) -> List:
 # Extraction (O-42/O-43/O-44) — reference composition semantics
 # ---------------------------------------------------------------------------
 
+def _struct_eq(a, b) -> bool:
+    """bs4 Tag equality: same tag, same attrs, same contents recursively
+    (NavigableStrings compare as strings). The reference's CSS exclusion
+    path removes via ``list.remove`` under THIS equality — a structurally
+    identical earlier element is the one bs4 drops."""
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    if a is b:
+        return True
+    if a.tag != b.tag or a.attrs != b.attrs:
+        return False
+    if len(a.children) != len(b.children):
+        return False
+    return all(_struct_eq(ca, cb) for ca, cb in zip(a.children, b.children))
+
+
+def _remove_first_structeq(lst: List[Node], el: Node) -> None:
+    """``list.remove(el)`` under bs4 structural equality: drop the FIRST
+    element structurally equal to ``el`` (bs4's Tag.__eq__ semantics)."""
+    for i, cand in enumerate(lst):
+        if _struct_eq(cand, el):
+            del lst[i]
+            return
+
+
 def extract_by_css(html: str, selectors: List[str],
                    exclude_selectors: Optional[List[str]] = None) -> str:
     """≙ SelectorExtractor.extract_by_css (selector_utils.py:56-108)."""
@@ -936,14 +1077,19 @@ def extract_by_css(html: str, selectors: List[str],
             for exclude in exclude_selectors:
                 try:
                     # descendant matches the exclusion → drop (bs4 select_one
-                    # searches descendants only)
+                    # searches descendants only). Removal is by bs4
+                    # STRUCTURAL equality, exactly like the reference's
+                    # ``extracted.remove(element)`` on Tag objects.
                     if css_select(element, exclude):
-                        extracted.remove(element)
+                        _remove_first_structeq(extracted, element)
                         break
                     # the element ITSELF matches, probed via the parent scope
                     parent = element.parent
-                    if parent is not None and element in css_select(parent, exclude):
-                        extracted.remove(element)
+                    if parent is not None and any(
+                        _struct_eq(element, m)
+                        for m in css_select(parent, exclude)
+                    ):
+                        _remove_first_structeq(extracted, element)
                         break
                 except Exception:
                     continue

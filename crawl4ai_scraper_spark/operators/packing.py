@@ -97,6 +97,7 @@ def pack_token_ids(
     ids_col: str,
     seq_len: int,
     bucket_size: int = 1 << 16,
+    shuffle_bucket_size: int = 1 << 33,
     complete_only: bool = True,
     eos_id: int | None = None,
     shuffle_salt: str | None = None,
@@ -118,7 +119,9 @@ def pack_token_ids(
     ``shuffle_salt`` switches the layout from id order to the
     deterministic pseudo-random order of ``corpus_shuffle_pack`` (48-bit
     md5 order key, (digest, id)-totalized) — the per-epoch training
-    shuffle, materialized."""
+    shuffle, materialized.  The shuffle path buckets the 2^48 digest space
+    with ``shuffle_bucket_size`` (must divide 2^48); ``bucket_size`` only
+    applies to the id-order path, where keys are dense doc ids."""
     ids = F.col(ids_col)
     if eos_id is not None:
         # only docs that contribute tokens get a separator — an empty doc
@@ -143,7 +146,7 @@ def pack_token_ids(
             nonempty.withColumn("_ord", ord48),
             "_ord",
             "n_tokens",
-            bucket_size=1 << 33,
+            bucket_size=shuffle_bucket_size,
             tiebreak=id_col,
         ).drop("_ord")
     else:
@@ -283,7 +286,19 @@ def curriculum_shuffle_pack(
         ),
         16, 10,
     ).cast("bigint")
-    band = quality_band.cast("bigint")
+    band_raw = quality_band.cast("bigint")
+    # band * 2^48 + digest must fit 63 bits: fail loudly on band outside
+    # [0, 2^15) instead of silently overflowing to a negative order key.
+    band = F.when(
+        (band_raw >= 0) & (band_raw < 32768), band_raw
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("curriculum_shuffle_pack: quality_band out of [0, 32768): "),
+                band_raw.cast("string"),
+            )
+        )
+    )
     counted = df.select(
         F.col(id_col),
         band.alias("band"),
@@ -340,12 +355,20 @@ def layout_adjacency_stats(
     )
     right = a.select(F.col("cum_before").alias("k"), F.col("_attr").alias("attr_b"))
     pairs = left.join(right, "k")
-    same = F.sum(F.when(F.col("attr_a") == F.col("attr_b"), 1).otherwise(0))
+    # coalesce: a layout with <2 nonzero-token docs has no pairs — report an
+    # explicit 0-count row (n_same=0, same_ratio NULL-gated), not NULLs.
+    same = F.coalesce(
+        F.sum(F.when(F.col("attr_a") == F.col("attr_b"), 1).otherwise(0)),
+        F.lit(0),
+    )
+    n_pairs = F.count(F.lit(1))
     return (
         pairs.agg(
-            F.count(F.lit(1)).alias("n_pairs"),
+            n_pairs.alias("n_pairs"),
             same.cast("bigint").alias("n_same"),
-            F.round(same.cast("double") / F.count(F.lit(1)), 4).alias("same_ratio"),
+            F.when(
+                n_pairs > 0, F.round(same.cast("double") / n_pairs, 4)
+            ).alias("same_ratio"),
         )
         .withColumn("layout", F.lit(label))
         .select("layout", "n_pairs", "n_same", "same_ratio")

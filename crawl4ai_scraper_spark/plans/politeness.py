@@ -651,6 +651,8 @@ def politeness_audit(
     ts_col: str = "sched_ts",
     order_col: str = "arrival_rank",
     bucket_size: int = 1 << 16,
+    rules_host_col: str = "host",
+    rules_delay_col: str = "crawl_delay",
 ) -> DataFrame:
     """Post-hoc politeness compliance audit of a visit schedule: per host,
     the minimum gap between consecutive visits, how many gaps undercut the
@@ -665,6 +667,10 @@ def politeness_audit(
     the join is co-partitioned with the rank's own shuffle. Violations gate
     with a 1e-9 epsilon so an exact-delay schedule (gap == delay in the
     same double arithmetic) never flags.
+
+    ``host_rules`` (optional) supplies per-host delays; name its columns
+    with ``rules_host_col``/``rules_delay_col`` (aliased internally, so a
+    renamed rules table works). Hosts without a rule use ``default_delay``.
 
     Output: (host, n_visits, crawl_delay, min_gap, violations, span_sec,
     ok) — single-visit hosts have NULL min_gap, zero violations, ok=true.
@@ -683,7 +689,10 @@ def politeness_audit(
     )
     if host_rules is not None:
         delays = F.broadcast(
-            host_rules.select(F.col("host"), F.col("crawl_delay"))
+            host_rules.select(
+                F.col(rules_host_col).alias("host"),
+                F.col(rules_delay_col).alias("crawl_delay"),
+            )
         )
     else:
         delays = None

@@ -574,3 +574,67 @@ def test_layout_adjacency_stats_discriminates_orders(spark):
     # shuffle destroys host runs: same-host adjacency ≈ 1/4, far below
     assert shuffled["n_same"] < 50
     assert shuffled["same_ratio"] < grouped["same_ratio"]
+
+
+def test_politeness_audit_renamed_rule_columns(spark):
+    from crawl4ai_scraper_spark.plans.politeness import politeness_audit
+
+    df = spark.createDataFrame(
+        [("h", 0, 0.0), ("h", 1, 1.2), ("u", 2, 0.0), ("u", 3, 1.2)],
+        "host string, arrival_rank long, sched_ts double",
+    )
+    rules = spark.createDataFrame(
+        [("h", 2.0)], "rule_host string, delay_sec double"
+    )
+    out = {
+        r["host"]: r
+        for r in politeness_audit(
+            df, rules, 1.0,
+            rules_host_col="rule_host", rules_delay_col="delay_sec",
+        ).collect()
+    }
+    assert out["h"]["crawl_delay"] == 2.0 and out["h"]["violations"] == 1
+    assert out["u"]["crawl_delay"] == 1.0 and out["u"]["violations"] == 0
+
+
+def test_curriculum_shuffle_pack_rejects_bad_band(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.packing import curriculum_shuffle_pack
+
+    df = spark.createDataFrame(
+        [(0, 2, -1), (1, 2, 0)], "doc_id long, nt long, band long"
+    )
+    with pytest.raises(Exception) as ei:
+        curriculum_shuffle_pack(
+            df, "doc_id", F.col("nt"), F.col("band"), seq_len=4, salt="cuB"
+        ).collect()
+    assert "quality_band out of [0, 32768)" in str(ei.value)
+
+    big = spark.createDataFrame(
+        [(0, 2, 32768)], "doc_id long, nt long, band long"
+    )
+    with pytest.raises(Exception):
+        curriculum_shuffle_pack(
+            big, "doc_id", F.col("nt"), F.col("band"), seq_len=4, salt="cuB"
+        ).collect()
+
+
+def test_layout_adjacency_stats_empty_layout(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_scraper_spark.operators.packing import (
+        layout_adjacency_stats,
+        sequence_pack,
+    )
+
+    # one nonzero-token doc → zero adjacent pairs → explicit 0-count row
+    df = spark.createDataFrame([(1, "h", 3)], "doc_id long, host string, nt long")
+    row = layout_adjacency_stats(
+        sequence_pack(df, "doc_id", F.col("nt"), seq_len=16),
+        df.select("doc_id", "host"), "doc_id", "host", "solo",
+    ).collect()[0]
+    assert row["n_pairs"] == 0 and row["n_same"] == 0
+    assert row["same_ratio"] is None and row["layout"] == "solo"
