@@ -2478,14 +2478,86 @@ def _pil_available() -> bool:
 
 
 def test_real_decode_unavailable_raises_cleanly():
-    """Without pillow, _real_decode must raise NotImplementedError (the
-    documented stub contract) — not ImportError or a silent fallback."""
+    """Without pillow, _real_decode on NON-PNG bytes must raise
+    NotImplementedError (the documented stub contract) — not ImportError or
+    a silent fallback. PNG bytes now decode via the stdlib codec instead."""
     from crawl4ai_scraper_spark.operators import multimodal as M
 
     if _pil_available():
         pytest.skip("PIL installed — covered by test_real_decode_with_pil")
     with pytest.raises(NotImplementedError):
+        M._real_decode(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+    # a truncated PNG is a decode error, not a missing-library error
+    with pytest.raises(ValueError):
         M._real_decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """The stdlib PNG codec: every scanline filter type and color type
+    round-trips; stats match a direct pixel computation."""
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 5, 7
+        def px(x, y, c):
+            return (13 * x + 11 * y + 7 * c) % 256
+        for f in range(5):  # each single filter type
+            blob = M.png_encode(w, h, px, color_type=ctype,
+                                filter_for_row=lambda y, f=f: f)
+            meta = M.png_decode(blob)
+            vals = [px(x, y, c) for y in range(h) for x in range(w)
+                    for c in range(ch)]
+            assert meta == {
+                "width": w, "height": h, "channels": ch, "bit_depth": 8,
+                "px_sum": sum(vals), "px_min": min(vals), "px_max": max(vals),
+            }, (ctype, f)
+        # mixed filters per row
+        blob = M.png_encode(w, h, px, color_type=ctype,
+                            filter_for_row=lambda y: y % 5)
+        assert M.png_decode(blob)["px_sum"] == sum(
+            px(x, y, c) for y in range(h) for x in range(w) for c in range(ch)
+        )
+
+
+def test_png_decode_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError):
+        M.png_decode(b"GIF89a not a png")
+
+    def png_with_ihdr(bit, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit, color, 0, 0, interlace)
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        return (M._PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(ValueError):  # 16-bit
+        M.png_decode(png_with_ihdr(16, 0, 0))
+    with pytest.raises(ValueError):  # Adam7 interlace
+        M.png_decode(png_with_ihdr(8, 0, 1))
+
+
+def test_real_decode_png_without_pil(spark):
+    """PNG real-decode works with no pillow anywhere in the env, including
+    through the Arrow decode_media_real pass."""
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    png = M.png_encode(37, 21, lambda x, y, c: (x + y) % 256, color_type=2)
+    meta = M._real_decode(png)
+    assert (meta["width"], meta["height"]) == (37, 21)
+    assert meta["n_bytes"] == len(png)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image")], "media_id long, blob binary, kind string"
+    )
+    out = df.mapInPandas(M.decode_media_real, M.MEDIA_META_SCHEMA).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (37, 21)
 
 
 @pytest.mark.skipif(not _pil_available(), reason="pillow not installed")
