@@ -173,6 +173,114 @@ def _parquet_dir_stats(path: str, max_cols: Tuple[str, ...] = ()) -> Tuple[int, 
     return total, maxes
 
 
+class RoundCommit:
+    """Handle for a round commit whose heavy delta writes overlap the next
+    round's computation (``commit_round_start``). ``finalize`` joins the
+    in-flight writes, merges ``meta_late`` into the manifest, and writes the
+    atomic manifest marker — until then the round is UNcommitted, so a crash
+    mid-overlap resumes from the previous manifest and replays exactly one
+    round (the same replay-on-crash model as the synchronous path, shifted
+    one round later)."""
+
+    def __init__(self, chk_dir: str, rnd: int, meta: Dict, futures, pool):
+        self._chk_dir = chk_dir
+        self._rnd = rnd
+        self._meta = meta
+        self._futures = futures
+        self._pool = pool
+
+    def finalize(self, meta_late: Optional[Callable[[], Dict]] = None) -> None:
+        try:
+            for f in self._futures:
+                f.result()  # surface the first failure; manifest never lands
+        finally:
+            self._pool.shutdown(wait=True)
+        manifest = dict(self._meta)
+        if meta_late is not None:
+            manifest.update(meta_late())
+        manifest["round"] = self._rnd
+        manifest["format"] = CHECKPOINT_FORMAT
+        base = round_dir(self._chk_dir, self._rnd)
+        tmp = os.path.join(base, ".manifest.tmp")
+        os.makedirs(base, exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(base, "manifest.json"))
+
+    def abort(self) -> None:
+        """Drain the in-flight writes WITHOUT writing the manifest — the
+        round stays uncommitted (resume replays it). For error paths."""
+        self._pool.shutdown(wait=True)
+
+
+def commit_round_start(
+    chk_dir: str,
+    rnd: int,
+    frontier_next: DataFrame,
+    deltas: Dict[str, DataFrame],
+    meta: Dict,
+    sizes: Optional[Dict[str, int]] = None,
+    heavy: Tuple[str, ...] = ("visited",),
+) -> RoundCommit:
+    """Two-phase variant of ``commit_round`` for the hot round loop: the
+    frontier (the NEXT round's input) and the light deltas are written
+    before returning, while the ``heavy`` deltas (the fused visited table —
+    ~1 KB of markdown per row, the bulk of the commit wall) keep writing in
+    the background. The caller overlaps the next round's scan with those
+    writes and calls ``finalize`` when it needs the manifest (or the
+    visited-footer scalars) — cutting the per-round serial share that caps
+    N→4N scaling efficiency (VERDICT r3 next-round #2/#5).
+
+    Persisted frames feeding the heavy deltas must stay cached until
+    ``finalize`` returns."""
+    spark = frontier_next.sparkSession
+    sizes = sizes or {}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    base = round_dir(chk_dir, rnd)
+
+    def _write_delta(name: str, df: DataFrame) -> None:
+        (
+            _coalesced(df, sizes.get(name))
+            .withColumn("round", F.lit(rnd))
+            .write.mode("overwrite")
+            .partitionBy("round")
+            .parquet(_state_dir(chk_dir, name))
+        )
+
+    def _write_frontier() -> None:
+        (
+            _coalesced(frontier_next, sizes.get("frontier"))
+            .withColumn("round", F.lit(rnd))
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "frontier"))
+        )
+
+    pool = ThreadPoolExecutor(max_workers=len(deltas) + 1)
+    heavy_futs = [
+        pool.submit(_write_delta, n, df) for n, df in deltas.items() if n in heavy
+    ]
+    light_futs = [
+        pool.submit(_write_delta, n, df)
+        for n, df in deltas.items()
+        if n not in heavy
+    ]
+    light_futs.append(pool.submit(_write_frontier))
+    try:
+        for f in light_futs:
+            f.result()
+    except Exception:
+        pool.shutdown(wait=True)  # drain heavy writes before propagating
+        raise
+    return RoundCommit(chk_dir, rnd, dict(meta), heavy_futs, pool)
+
+
+def frontier_rows(chk_dir: str, rnd: int) -> int:
+    """Row count of round ``rnd``'s written frontier, from parquet footers
+    (no Spark job) — available as soon as ``commit_round_start`` returns."""
+    n, _ = _parquet_dir_stats(os.path.join(round_dir(chk_dir, rnd), "frontier"))
+    return n
+
+
 def round_write_stats(chk_dir: str, rnd: int) -> Tuple[int, Optional[float]]:
     """Post-commit scalars for round ``rnd`` from parquet footers (no Spark
     job): (frontier_out rows, max visited sched_ts). ``sched_ts`` max is None

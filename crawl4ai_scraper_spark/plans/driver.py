@@ -36,7 +36,9 @@ from crawl4ai_scraper_spark.plans.bloom import (
 )
 from crawl4ai_scraper_spark.plans.checkpoint import (
     commit_round,
+    commit_round_start,
     check_format,
+    frontier_rows,
     latest_round,
     load_manifest,
     read_edges,
@@ -200,6 +202,35 @@ def run_crawl(
         if trap_templates
         else None
     )
+    # Deferred-commit state: round N's heavy visited write overlaps round
+    # N+1's scan; finalized (manifest written, round_vt learned, caches
+    # freed) right after that scan returns, before anything needs it.
+    pending: list = []  # 0 or 1 dicts
+
+    def _finalize_pending() -> None:
+        nonlocal round_vt
+        if not pending:
+            return
+        st = pending.pop()
+
+        def _late() -> Dict:
+            _, vt_max = round_write_stats(chk_dir, st["rnd"])
+            st["vt_out"] = (
+                vt_max if vt_max is not None else st["vt_in"]
+            ) + cfg.delay_between_requests
+            return {
+                "counts": st["counts"],
+                "frontier_n": st["f_n"],
+                "enqueued_n": st["enq_before"] + st["f_n"],
+                "round_vt": st["vt_out"],
+                "done": st["done"],
+            }
+
+        st["commit"].finalize(_late)
+        round_vt = st["vt_out"]
+        for cached in st["caches"]:  # round state is on disk now
+            cached.unpersist()
+
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
         if max_rounds is not None and rnd > max_rounds:
             break
@@ -251,6 +282,10 @@ def run_crawl(
             blocked_templates=blocked_templates,
         )
         timer.lap("run_round (one action: combined count agg)")
+        # The PREVIOUS round's visited write has been overlapping this scan;
+        # join it now — virtual_schedule below needs its round_vt.
+        _finalize_pending()
+        timer.lap("finalize previous commit (overlapped with scan)")
         visits = virtual_schedule(
             rr.visits, host_rules, cfg.delay_between_requests, round_vt
         )
@@ -289,53 +324,63 @@ def run_crawl(
                 )
             timer.lap("trap screen")
 
-        late_box: Dict = {}
-
-        def _late_meta(rnd=rnd, rr=rr, enq=enqueued_n, vt_in=round_vt) -> Dict:
-            f_n, vt_max = round_write_stats(chk_dir, rnd)
-            counts = dict(rr.counts)
-            counts["frontier_out"] = f_n
-            late_box["frontier_n"] = f_n
-            late_box["round_vt"] = (
-                vt_max if vt_max is not None else vt_in
-            ) + cfg.delay_between_requests
-            late_box["done"] = rr.truncated or f_n == 0
-            return {"counts": counts, "frontier_n": f_n, "enqueued_n": enq + f_n,
-                    "round_vt": late_box["round_vt"], "done": late_box["done"]}
-
-        commit_round(
-            chk_dir, rnd, rr.new_frontier,
-            {
-                "visited": visits.select("url", "host", "depth", "seq", "success",
-                                         "matched", "sched_ts", "arrival_rank", *doc_cols),
-                "lineage": rr.lineage,
-            },
-            {"seq_base": seq_base, "discovered": discovered_n, "fused": fused,
-             "trap_templates": sorted(trap_templates)},
-            # fused visited rows carry ~1 KB of markdown each: weight them
-            # 16x so the snapshot writer's rows//250k file heuristic lands
-            # near one write task per core for the heavy text-encode rounds
-            # (a 500k-row fused round was 9 files = 9 busy cores of 32).
-            # frontier size is unknown pre-write now — links emitted this
-            # round (pre-dedup) is its upper bound, close enough for the
-            # rows//250k file-count heuristic.
-            sizes={"frontier": rr.counts.get("links_total", 0),
-                   "visited": rr.counts["visited"] * (16 if fused else 1),
-                   "lineage": 0},
-            meta_late=_late_meta,
-        )
-        frontier_n = late_box["frontier_n"]
+        # ---- deferred snapshot commit: the frontier (next round's input)
+        # and lineage land NOW; the heavy visited write (fused rows carry
+        # ~1 KB of markdown each) overlaps the NEXT round's scan; the
+        # manifest lands at finalize, so a crash mid-overlap replays this
+        # round from the previous manifest. Loop-control scalars
+        # (frontier_n, done) come from the frontier's parquet footers,
+        # available immediately; round_vt (max visited sched_ts) is learned
+        # at finalize, just before the next round's virtual_schedule needs
+        # it.
+        try:
+            commit = commit_round_start(
+                chk_dir, rnd, rr.new_frontier,
+                {
+                    "visited": visits.select(
+                        "url", "host", "depth", "seq", "success",
+                        "matched", "sched_ts", "arrival_rank", *doc_cols),
+                    "lineage": rr.lineage,
+                },
+                {"seq_base": seq_base, "discovered": discovered_n, "fused": fused,
+                 "trap_templates": sorted(trap_templates)},
+                # fused visited rows are weighted 16x so the snapshot
+                # writer's rows//250k file heuristic lands near one write
+                # task per core for the heavy text-encode rounds; frontier
+                # size is unknown pre-write — links emitted this round
+                # (pre-dedup) is its upper bound, close enough.
+                sizes={"frontier": rr.counts.get("links_total", 0),
+                       "visited": rr.counts["visited"] * (16 if fused else 1),
+                       "lineage": 0},
+                heavy=("visited",),
+            )
+        except Exception:
+            for cached in rr.caches:
+                cached.unpersist()
+            raise
+        frontier_n = frontier_rows(chk_dir, rnd)
+        counts = dict(rr.counts)
+        counts["frontier_out"] = frontier_n
+        done = rr.truncated or frontier_n == 0
+        pending.append({
+            "commit": commit, "rnd": rnd, "counts": counts,
+            "f_n": frontier_n, "enq_before": enqueued_n,
+            "vt_in": round_vt, "done": done, "caches": rr.caches,
+        })
         enqueued_n += frontier_n
-        round_vt = late_box["round_vt"]
-        done = late_box["done"]
-        timer.lap("commit_round (3 overlapped parquet writes + footer stats)")
-        for cached in rr.caches:  # round state is on disk now — free the memory
-            cached.unpersist()
+        timer.lap("commit start (frontier+lineage written; visited deferred)")
         last = rnd
         rnd += 1
         frontier = read_frontier(spark, chk_dir, last)
         enqueued = read_enqueued(spark, chk_dir, last)
 
+    # join the last round's deferred write + manifest before reading state
+    try:
+        _finalize_pending()
+    except BaseException:
+        if pending:
+            pending.pop()["commit"].abort()
+        raise
     visited = read_state(spark, chk_dir, "visited", last)
     edges = read_edges(spark, chk_dir, last)
     lineage = read_state(spark, chk_dir, "lineage", last)

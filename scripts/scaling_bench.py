@@ -89,8 +89,10 @@ def measure_span(n: int, reps_small: int, reps_big: int) -> dict:
         "hw_efficiency_ceiling": round(hw_ratio / 4.0, 3),
         "normalized_efficiency": round((thr(big) / thr(small)) / hw_ratio, 3),
         "visited": big[0]["crawl"]["crawl_visited"],
-        "runs_small": [r["crawl"] for r in small],
-        "runs_big": [r["crawl"] for r in big],
+        # each run carries its own host-load telemetry (bench.py "load"
+        # snapshots) so window quality is adjudicable per measurement
+        "runs_small": [{**r["crawl"], "load": r.get("load")} for r in small],
+        "runs_big": [{**r["crawl"], "load": r.get("load")} for r in big],
     }
 
 
