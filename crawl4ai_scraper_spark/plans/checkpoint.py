@@ -256,9 +256,10 @@ def commit_round_start(
         )
 
     pool = ThreadPoolExecutor(max_workers=len(deltas) + 1)
-    heavy_futs = [
-        pool.submit(_write_delta, n, df) for n, df in deltas.items() if n in heavy
-    ]
+    # Light writes run FIRST and alone — under FIFO job scheduling an
+    # already-submitted heavy write would hog the task slots and serialize
+    # phase A behind it. The heavy writes start only once the light ones
+    # land, so their whole cost falls inside the next round's scan.
     light_futs = [
         pool.submit(_write_delta, n, df)
         for n, df in deltas.items()
@@ -269,8 +270,11 @@ def commit_round_start(
         for f in light_futs:
             f.result()
     except Exception:
-        pool.shutdown(wait=True)  # drain heavy writes before propagating
+        pool.shutdown(wait=True)
         raise
+    heavy_futs = [
+        pool.submit(_write_delta, n, df) for n, df in deltas.items() if n in heavy
+    ]
     return RoundCommit(chk_dir, rnd, dict(meta), heavy_futs, pool)
 
 

@@ -491,6 +491,51 @@ def test_commit_round_footer_stats_and_late_meta(spark, tmp_path):
     assert f_n == 0 and vt is None
 
 
+def test_commit_round_start_defers_manifest(spark, tmp_path):
+    """commit_round_start: the frontier is readable (and footer-countable)
+    as soon as the call returns, but the manifest only lands at finalize —
+    and abort() drains writes without committing."""
+    import json
+    import os
+
+    from crawl4ai_scraper_spark.plans.checkpoint import (
+        commit_round_start,
+        frontier_rows,
+        round_dir,
+        round_write_stats,
+    )
+
+    chk = str(tmp_path / "chk")
+    frontier = spark.createDataFrame(
+        [(f"https://h/{i}", 1) for i in range(9)], "url string, depth int"
+    )
+    visits = spark.createDataFrame(
+        [(f"https://h/{i}", 1, 50.0 + i) for i in range(4)],
+        "url string, depth int, sched_ts double",
+    )
+    lineage = spark.createDataFrame([(0, 1)], "pid int, n int")
+
+    h = commit_round_start(chk, 0, frontier,
+                           {"visited": visits, "lineage": lineage},
+                           {"seq_base": 3}, heavy=("visited",))
+    # phase A: frontier written + countable, manifest NOT committed yet
+    assert frontier_rows(chk, 0) == 9
+    assert not os.path.exists(os.path.join(round_dir(chk, 0), "manifest.json"))
+
+    h.finalize(lambda: {"frontier_n": round_write_stats(chk, 0)[0],
+                        "round_vt": round_write_stats(chk, 0)[1]})
+    man = json.load(open(os.path.join(round_dir(chk, 0), "manifest.json")))
+    assert man["frontier_n"] == 9 and man["round_vt"] == 53.0
+    assert man["seq_base"] == 3 and man["round"] == 0
+
+    # abort path: writes drain, no manifest
+    h2 = commit_round_start(chk, 1, frontier.limit(0),
+                            {"visited": visits.limit(0), "lineage": lineage},
+                            {"seq_base": 9}, heavy=("visited",))
+    h2.abort()
+    assert not os.path.exists(os.path.join(round_dir(chk, 1), "manifest.json"))
+
+
 def test_semdedup_plan_no_cartesian_cell_key_join(spark):
     """semdedup's candidate generation must be an equi-join on the cell key
     (hash shuffle bounded by cell population) — never a cartesian/broadcast
