@@ -100,6 +100,31 @@ def test_resume_from_checkpoint(spark, pages3, web3, chk_dir):
     assert_parity(resumed, oracle_crawl(fetch, SEED, cfg))
 
 
+def test_resume_replays_round_with_missing_manifest(spark, pages3, web3, chk_dir):
+    """Crash in the deferred-commit overlap window: round k's data dirs are
+    (partially) written but its manifest never landed. Resume must take the
+    k-1 manifest, REPLAY round k (overwriting the orphan data), and converge
+    to the oracle-exact final state."""
+    import os
+    import shutil
+
+    from crawl4ai_scraper_spark.plans.checkpoint import round_dir
+
+    _, _, fetch = web3
+    cfg = CrawlJobConfig(max_depth=3, max_pages=40)
+    partial = run_crawl(spark, pages3, SEED, cfg, chk_dir, max_rounds=2, extract=False,
+                        use_bloom=False)
+    assert partial.rounds == 2
+    # simulate the crash window: round-2 data on disk, manifest gone
+    os.remove(os.path.join(round_dir(chk_dir, 2), "manifest.json"))
+    # and make its frontier dir a half-written orphan to prove overwrite
+    fdir = os.path.join(round_dir(chk_dir, 2), "frontier")
+    assert os.path.isdir(fdir)
+    resumed = run_crawl(spark, pages3, SEED, cfg, chk_dir, resume=True, use_bloom=False)
+    assert_parity(resumed, oracle_crawl(fetch, SEED, cfg))
+    shutil.rmtree(chk_dir, ignore_errors=True)
+
+
 def test_robots_rules_prune_before_enqueue(spark, pages3, web3, chk_dir):
     """Our politeness extension (north_rule): disallow prefixes keep URLs out
     of the frontier entirely; with empty rules behavior is reference-exact
