@@ -15,7 +15,10 @@ forms a user would pass through ``soup.select()`` / lxml:
   ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, ``:not(selector list)``
   with full COMPLEX selector arguments (combinators allowed; the subject is
   the rightmost compound — leading/relative combinators stay invalid, CSS
-  reserves those for :has()), and
+  reserves those for :has()), ``:is()`` / ``:where()`` (+ the legacy
+  ``:matches()`` alias, all soupsieve-supported) with the same
+  complex-selector argument grammar (matches when ANY argument matches),
+  and
   ``:has(relative selector[, …])`` with soupsieve semantics (arguments may
   lead with ``>`` / ``+`` / ``~``, anchored at the subject element);
   combinators: descendant, ``>``, ``+``, ``~``; comma groups.
@@ -27,8 +30,9 @@ forms a user would pass through ``soup.select()`` / lxml:
   (node-set semantics: an absent attribute never matches ``!=``),
   ``[normalize-space()='v']`` / ``[normalize-space(text())='v']`` /
   ``[normalize-space(@a)='v']`` (and ``!=``),
-  ``[string-length(ARG) OP N]`` and ``[count(tag|*|text()) OP N]``
-  with OP ∈ ``= != < <= > >=``; explicit axes ``following-sibling::``
+  ``[string-length(ARG) OP N]``, ``[count(tag|*|text()) OP N]``
+  with OP ∈ ``= != < <= > >=``, and ``contains``/``starts-with`` over a
+  ``normalize-space()`` inner call; explicit axes ``following-sibling::``
   ``preceding-sibling::`` ``parent::`` ``ancestor(-or-self)::``
   ``self::`` ``descendant(-or-self)::`` ``following::`` ``preceding::``
   (positional predicates count in axis order per context node,
@@ -313,6 +317,25 @@ class _Compound:
                     if not inner:
                         raise ValueError(f"empty :not() argument: {part!r}")
                     self.pseudos.append(("not", inner))
+                elif name in ("is", "where", "matches") and arg:
+                    # CSS4 :is()/:where() (and the legacy :matches() alias,
+                    # all soupsieve-supported): matches when ANY argument
+                    # matches — the dual of :not(); same complex-selector
+                    # argument grammar, same specificity-free matching
+                    # (specificity never matters for select()).
+                    body = arg[:-1] if arg.endswith(")") else arg
+                    inner = []
+                    for s in _split_top_level(body, ","):
+                        s = s.strip()
+                        if not s:
+                            continue
+                        if len(_tokenize_selector(s)) > 1:
+                            inner.append(CssSelector(s))
+                        else:
+                            inner.append(_Compound(s))
+                    if not inner:
+                        raise ValueError(f"empty :{name}() argument: {part!r}")
+                    self.pseudos.append(("is", inner))
                 elif name == "has" and arg:
                     # CSS4 :has(relative selector list) — soupsieve semantics:
                     # each argument may lead with > / + / ~ (descendant when
@@ -420,6 +443,10 @@ class _Compound:
             kind = pseudo[0]
             if kind == "not":
                 if any(c.matches(node) for c in pseudo[1]):
+                    return False
+                continue
+            if kind == "is":
+                if not any(c.matches(node) for c in pseudo[1]):
                     return False
                 continue
             if kind == "has":
@@ -621,6 +648,11 @@ _PRED_STRLEN_CMP = re.compile(
 _PRED_COUNT_CMP = re.compile(
     r"^count\(\s*([\w-]+|\*|text\(\))\s*\)\s*(!=|<=|>=|<|>|=)\s*(\d+)$"
 )
+# contains/starts-with over a normalize-space() inner call
+_PRED_NSP_FN = re.compile(
+    r"^(contains|starts-with)\(\s*normalize-space\(\s*(text\(\)|@[\w-]+)?\s*\)"
+    r"\s*,\s*([\"'])(.*?)\3\s*\)$"
+)
 _STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 
@@ -703,6 +735,10 @@ class _XStep:
             elif (mm := _PRED_COUNT_CMP.match(body)):
                 self.preds.append(
                     ("count", mm.group(1), mm.group(2), int(mm.group(3)))
+                )
+            elif (mm := _PRED_NSP_FN.match(body)):
+                self.preds.append(
+                    ("nspfn", mm.group(1), mm.group(2) or "", mm.group(4))
                 )
             else:
                 raise ValueError(f"unsupported XPath predicate: [{body}]")
@@ -823,6 +859,9 @@ def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
         return s == pred[3] if pred[2] == "=" else s != pred[3]
     if kind == "strlen":
         return _num_cmp(len(_xp_string_arg(node, pred[1])), pred[2], pred[3])
+    if kind == "nspfn":
+        s = " ".join(_xp_string_arg(node, pred[2]).split())
+        return pred[3] in s if pred[1] == "contains" else s.startswith(pred[3])
     if kind == "count":
         test = pred[1]
         if test == "text()":

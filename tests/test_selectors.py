@@ -610,3 +610,47 @@ class TestRound4Extensions:
                 assert validate_css_selector(s)[0], s
             for x in tpl["xpath"] + tpl["exclude_xpath"]:
                 assert validate_xpath(x)[0], x
+
+
+class TestIsWhereAndNspFns:
+    """Round-4 follow-on residue: :is()/:where()/:matches() and
+    contains/starts-with over normalize-space()."""
+
+    DOC = ("<article><p id='p1'>one</p></article>"
+           "<aside><p id='p2'>two</p></aside>"
+           "<div class='k'><p id='p3'>three</p></div>"
+           "<span id='s1'>x</span>")
+
+    def test_is_matches_any_argument(self):
+        root = parse_dom(self.DOC)
+        got = _ids(css_select(root, ":is(article, aside) p"))
+        assert got == ["p1", "p2"]
+        got = _ids(css_select(root, "p:is(article p, .k > p)"))
+        assert got == ["p1", "p3"]
+
+    def test_where_and_matches_aliases(self):
+        root = parse_dom(self.DOC)
+        assert _ids(css_select(root, "p:where(aside p)")) == ["p2"]
+        assert _ids(css_select(root, "p:matches(#p1, #p3)")) == ["p1", "p3"]
+
+    def test_is_composes_with_not(self):
+        root = parse_dom(self.DOC)
+        got = _ids(css_select(root, "p:not(:is(article p, aside p))"))
+        assert got == ["p3"]
+
+    def test_is_empty_is_invalid(self):
+        assert not validate_css_selector("p:is()")[0]
+        assert not validate_css_selector("p:where(> p)")[0]
+
+    def test_xpath_contains_normalize_space(self):
+        root = parse_dom("<div><p id='a'>  big   deal </p>"
+                         "<p id='b'>ordeal</p></div>")
+        got = xpath_select(root, "//p[contains(normalize-space(), 'big deal')]")
+        assert [n.attrs["id"] for n in got] == ["a"]
+        got = xpath_select(root, "//p[starts-with(normalize-space(text()), 'big')]")
+        assert [n.attrs["id"] for n in got] == ["a"]
+
+    def test_xpath_nsp_fn_attr_form(self):
+        root = parse_dom("<a id='x' t='  v 1 '>.</a><a id='y' t='w 1'>.</a>")
+        got = xpath_select(root, "//a[contains(normalize-space(@t), 'v 1')]")
+        assert [n.attrs["id"] for n in got] == ["x"]
