@@ -116,17 +116,20 @@ def png_decode(blob: bytes) -> dict:
     if not blob.startswith(_PNG_MAGIC):
         raise ValueError("not a PNG")
     pos, ihdr, idat = len(_PNG_MAGIC), None, []
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos:pos + 4])
-        ctype = blob[pos + 4:pos + 8]
-        data = blob[pos + 8:pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + CRC
+    try:
+        while pos + 8 <= len(blob):
+            (length,) = struct.unpack(">I", blob[pos:pos + 4])
+            ctype = blob[pos + 4:pos + 8]
+            data = blob[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + CRC
+    except struct.error as exc:  # chunk header/IHDR shorter than declared
+        raise ValueError(f"truncated PNG chunk: {exc}") from exc
     if ihdr is None or not idat:
         raise ValueError("truncated PNG")
     width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
@@ -134,7 +137,10 @@ def png_decode(blob: bytes) -> dict:
         raise ValueError("unsupported PNG variant")
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     px_sum, px_min, px_max = 0, 255, 0
@@ -188,13 +194,24 @@ def _real_decode(blob: bytes) -> dict:
     Same output contract as ``_fake_decode``: n_bytes / content sha /
     width / height."""
     if blob.startswith(_PNG_MAGIC):
-        meta = png_decode(blob)
-        return {
-            "n_bytes": len(blob),
-            "sha": hashlib.md5(blob).hexdigest(),
-            "width": meta["width"],
-            "height": meta["height"],
-        }
+        try:
+            meta = png_decode(blob)
+        except ValueError as decode_err:
+            # variant outside the stdlib codec (16-bit, Adam7, malformed):
+            # fall through to PIL when available; re-raise the DECODE error
+            # otherwise so the caller sees a decode failure, not a
+            # missing-library error
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError:
+                raise decode_err
+        else:
+            return {
+                "n_bytes": len(blob),
+                "sha": hashlib.md5(blob).hexdigest(),
+                "width": meta["width"],
+                "height": meta["height"],
+            }
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env has no PIL

@@ -285,6 +285,17 @@ def frontier_rows(chk_dir: str, rnd: int) -> int:
     return n
 
 
+def visited_vt_max(chk_dir: str, rnd: int) -> Optional[float]:
+    """Max visited ``sched_ts`` for round ``rnd`` from the visited delta's
+    parquet footers alone (the frontier half of ``round_write_stats`` is
+    already known at commit start — no need to re-scan it at finalize)."""
+    _, vmax = _parquet_dir_stats(
+        os.path.join(_state_dir(chk_dir, "visited"), f"round={rnd}"), ("sched_ts",)
+    )
+    v = vmax.get("sched_ts")
+    return float(v) if v is not None else None
+
+
 def round_write_stats(chk_dir: str, rnd: int) -> Tuple[int, Optional[float]]:
     """Post-commit scalars for round ``rnd`` from parquet footers (no Spark
     job): (frontier_out rows, max visited sched_ts). ``sched_ts`` max is None

@@ -46,7 +46,7 @@ from crawl4ai_scraper_spark.plans.checkpoint import (
     read_frontier,
     read_state,
     reset_checkpoint,
-    round_write_stats,
+    visited_vt_max,
 )
 from crawl4ai_scraper_spark.plans.frontier import run_round
 from crawl4ai_scraper_spark.plans.politeness import template_trap_stats, virtual_schedule
@@ -214,7 +214,7 @@ def run_crawl(
         st = pending.pop()
 
         def _late() -> Dict:
-            _, vt_max = round_write_stats(chk_dir, st["rnd"])
+            vt_max = visited_vt_max(chk_dir, st["rnd"])
             st["vt_out"] = (
                 vt_max if vt_max is not None else st["vt_in"]
             ) + cfg.delay_between_requests
@@ -226,10 +226,15 @@ def run_crawl(
                 "done": st["done"],
             }
 
-        st["commit"].finalize(_late)
+        try:
+            st["commit"].finalize(_late)
+        finally:
+            # unpersist even when the overlapped write failed — the caller's
+            # designed recovery (catch + resume=True) runs in the same
+            # SparkSession and must not inherit pinned executor memory
+            for cached in st["caches"]:
+                cached.unpersist()
         round_vt = st["vt_out"]
-        for cached in st["caches"]:  # round state is on disk now
-            cached.unpersist()
 
     while not done and discovered_n < cfg.max_pages and cfg.max_depth >= 0:
         if max_rounds is not None and rnd > max_rounds:
@@ -283,8 +288,15 @@ def run_crawl(
         )
         timer.lap("run_round (one action: combined count agg)")
         # The PREVIOUS round's visited write has been overlapping this scan;
-        # join it now — virtual_schedule below needs its round_vt.
-        _finalize_pending()
+        # join it now — virtual_schedule below needs its round_vt. On a
+        # finalize failure, free this round's caches too before propagating
+        # (they were persisted by run_round and are not yet tracked).
+        try:
+            _finalize_pending()
+        except BaseException:
+            for cached in rr.caches:
+                cached.unpersist()
+            raise
         timer.lap("finalize previous commit (overlapped with scan)")
         visits = virtual_schedule(
             rr.visits, host_rules, cfg.delay_between_requests, round_vt
@@ -375,12 +387,9 @@ def run_crawl(
         enqueued = read_enqueued(spark, chk_dir, last)
 
     # join the last round's deferred write + manifest before reading state
-    try:
-        _finalize_pending()
-    except BaseException:
-        if pending:
-            pending.pop()["commit"].abort()
-        raise
+    # (_finalize_pending cleans up after itself on failure; the round simply
+    # stays uncommitted and a resume replays it)
+    _finalize_pending()
     visited = read_state(spark, chk_dir, "visited", last)
     edges = read_edges(spark, chk_dir, last)
     lineage = read_state(spark, chk_dir, "lineage", last)

@@ -2541,6 +2541,16 @@ def test_png_decode_rejects_unsupported_variants():
         M.png_decode(png_with_ihdr(16, 0, 0))
     with pytest.raises(ValueError):  # Adam7 interlace
         M.png_decode(png_with_ihdr(8, 0, 1))
+    # malformed inputs keep the documented ValueError contract — a caller
+    # catching ValueError to fall back must never see struct/zlib errors
+    with pytest.raises(ValueError):  # chunk header claims more than present
+        M.png_decode(M._PNG_MAGIC + struct.pack(">I", 13) + b"IHDR" + b"\x00\x01")
+    good = M.png_encode(3, 2, lambda x, y, c: x)
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 4:idat_at + 10] = b"\xff" * 6  # trash the zlib stream
+    with pytest.raises(ValueError):
+        M.png_decode(bytes(corrupt))
 
 
 def test_real_decode_png_without_pil(spark):
