@@ -95,6 +95,20 @@ def parse_args(argv=None):
     p.add_argument("--blocked-hosts", default=None,
                    help="host blocklist: parquet path (first column = host) "
                         "or a .txt file with one host per line")
+    # Priority frontier (our extension; north_star "BFS-with-priority"):
+    p.add_argument("--priority-signal", default=None,
+                   help="parquet path of a (url, priority) or (host, priority) "
+                        "signal frame — pagerank, host reputation, sitemap "
+                        "lastmod…; switches frontier_order to 'priority'")
+    p.add_argument("--recrawl-from", default=None, metavar="HISTORY",
+                   help="REFRESH crawl: parquet revision history "
+                        "(url, fetched_at, content-hashable column) → "
+                        "per-url change-rate priorities (Cho/Garcia-Molina) "
+                        "feed the frontier; switches frontier_order to "
+                        "'priority'")
+    p.add_argument("--history-key", default="url")
+    p.add_argument("--history-ts", default="fetched_at")
+    p.add_argument("--history-content", default="content")
     return p.parse_args(argv)
 
 
@@ -202,6 +216,21 @@ def main(argv=None):
         else:
             blocked_hosts = spark.read.parquet(args.blocked_hosts)
 
+    priority_col = None
+    if args.priority_signal:
+        # caller-supplied (url|host, priority) frame; persist — the round
+        # loop consumes it once per round
+        priority_col = spark.read.parquet(args.priority_signal).persist()
+        cfg.frontier_order = "priority"
+    elif args.recrawl_from:
+        from crawl4ai_scraper_spark.operators.temporal import recrawl_priorities
+
+        history = spark.read.parquet(args.recrawl_from)
+        priority_col = recrawl_priorities(
+            history, args.history_key, args.history_ts, args.history_content
+        ).persist()
+        cfg.frontier_order = "priority"
+
     if len(args.seed) > 1:
         discovered = run_multi_seed(spark, pages, args.seed, cfg, args.checkpoint,
                                     host_rules=host_rules, n_buckets=n_buckets,
@@ -212,7 +241,7 @@ def main(argv=None):
     res = run_crawl(spark, pages, args.seed[0], cfg, args.checkpoint,
                     host_rules=host_rules, resume=args.resume,
                     extract=not args.dry_run, n_buckets=n_buckets,
-                    blocked_hosts=blocked_hosts)
+                    blocked_hosts=blocked_hosts, priority_col=priority_col)
     out = {"rounds": res.rounds, **res.summary}
     if args.dry_run:
         # ≙ crawl_with_discovery dry-run payload (reference crawler.py:620-637)

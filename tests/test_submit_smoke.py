@@ -54,3 +54,91 @@ def test_spark_submit_py_files_crawl(spark, tmp_path):
     summary = json.loads((chk / "outputs" / "crawl_summary.json").read_text())
     assert summary["total_urls"] > 0
     assert summary["successful"] > 0
+
+
+def _load_submit_crawl():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_crawl_mod", REPO / "scripts" / "submit_crawl.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_submit_recrawl_priority_in_process(spark, tmp_path, capsys):
+    """--recrawl-from: a revision history turns into per-url change-rate
+    priorities (Cho/Garcia-Molina) feeding the priority frontier — the
+    REFRESH-crawl loop as one CLI invocation. In-process (no spark-submit
+    JVM): main() reuses the session via getOrCreate."""
+    import datetime as dt
+    import json
+
+    from crawl4ai_scraper_spark.sources.pages import synthesize_pages
+
+    pages = str(tmp_path / "pages")
+    synthesize_pages(spark, pages, n_hosts=2, max_secs=3, max_pages=4, n_buckets=8)
+
+    # revision history: /sec0 changed every observation, /sec1 never
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(4):
+        rows.append(("https://site0.example/sec0", t0 + dt.timedelta(days=i), f"v{i}"))
+        rows.append(("https://site0.example/sec1", t0 + dt.timedelta(days=i), "same"))
+    hist = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp, content string"
+    )
+    hist_path = str(tmp_path / "history")
+    hist.write.parquet(hist_path)
+
+    chk = str(tmp_path / "chk")
+    mod = _load_submit_crawl()
+    mod.main([
+        "--pages", pages, "--seed", "https://site0.example/",
+        "--checkpoint", chk, "--config-dir", str(tmp_path / "conf"),
+        "--max-depth", "2", "--max-pages", "200", "--dry-run",
+        "--recrawl-from", hist_path,
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rounds"] >= 2 and out["discovered"] > 0
+
+    # the changed URL outranks the unchanged one in round-2 queue order
+    vis = spark.read.parquet(f"{chk}/state/visited").orderBy("seq").collect()
+    order = [r["url"] for r in vis]
+    assert order.index("https://site0.example/sec0") < order.index(
+        "https://site0.example/sec1"
+    )
+
+
+def test_submit_priority_signal_in_process(spark, tmp_path, capsys):
+    """--priority-signal: a caller-supplied (url, priority) frame reorders
+    the frontier."""
+    import json
+
+    from crawl4ai_scraper_spark.sources.pages import synthesize_pages
+
+    pages = str(tmp_path / "pages")
+    synthesize_pages(spark, pages, n_hosts=2, max_secs=3, max_pages=4, n_buckets=8)
+    sig = spark.createDataFrame(
+        [("https://site0.example/sec2", 100.0)], "url string, priority double"
+    )
+    sig_path = str(tmp_path / "signal")
+    sig.write.parquet(sig_path)
+
+    chk = str(tmp_path / "chk2")
+    mod = _load_submit_crawl()
+    mod.main([
+        "--pages", pages, "--seed", "https://site0.example/",
+        "--checkpoint", chk, "--config-dir", str(tmp_path / "conf"),
+        "--max-depth", "2", "--max-pages", "200", "--dry-run",
+        "--priority-signal", sig_path,
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["discovered"] > 0
+    vis = spark.read.parquet(f"{chk}/state/visited").orderBy("seq").collect()
+    order = [r["url"] for r in vis]
+    sec2 = order.index("https://site0.example/sec2")
+    others = [order.index(u) for u in order
+              if u.startswith("https://site0.example/sec") and u != "https://site0.example/sec2"]
+    assert others and sec2 < min(others)
