@@ -323,14 +323,18 @@ def bench_crawl(spark) -> dict:
 
 
 def _cpu_jiffies():
-    """(busy, total) jiffies from /proc/stat's aggregate cpu line."""
+    """(busy, total, steal) jiffies from /proc/stat's aggregate cpu line.
+    ``steal`` is reported separately: on a shared VM, hypervisor steal
+    counts as 'busy' in the aggregate yet delivers zero cycles to the job —
+    exactly the contention mode loadavg cannot show."""
     try:
         fields = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
         vals = [int(v) for v in fields]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
-        return sum(vals) - idle, sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals) - idle, sum(vals), steal
     except (OSError, ValueError, IndexError):
-        return None, None
+        return None, None, None
 
 
 def _load_snapshot():
@@ -344,9 +348,10 @@ def _load_snapshot():
         snap["loadavg"] = [float(la[0]), float(la[1]), float(la[2])]
     except (OSError, ValueError, IndexError):
         snap["loadavg"] = None
-    busy, total = _cpu_jiffies()
+    busy, total, steal = _cpu_jiffies()
     snap["cpu_busy_jiffies"] = busy
     snap["cpu_total_jiffies"] = total
+    snap["cpu_steal_jiffies"] = steal
     return snap
 
 
@@ -357,6 +362,18 @@ def _cpu_busy_frac(before, after):
         db = after["cpu_busy_jiffies"] - before["cpu_busy_jiffies"]
         dt = after["cpu_total_jiffies"] - before["cpu_total_jiffies"]
         return round(db / dt, 4) if dt > 0 else None
+    except (TypeError, KeyError):
+        return None
+
+
+def _cpu_steal_frac(before, after):
+    """Hypervisor-steal fraction across the window — cycles the VM was
+    denied. High steal with moderate busy = a host-level neighbor, the
+    contention loadavg can't see."""
+    try:
+        ds = after["cpu_steal_jiffies"] - before["cpu_steal_jiffies"]
+        dt = after["cpu_total_jiffies"] - before["cpu_total_jiffies"]
+        return round(ds / dt, 4) if dt > 0 else None
     except (TypeError, KeyError):
         return None
 
@@ -402,6 +419,7 @@ def main():
             "before": load_before,
             "after": load_after,
             "cpu_busy_frac": _cpu_busy_frac(load_before, load_after),
+            "cpu_steal_frac": _cpu_steal_frac(load_before, load_after),
         },
     }
     line = json.dumps(out)
