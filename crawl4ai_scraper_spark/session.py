@@ -62,7 +62,11 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Scan-task granularity: smaller splits smooth the task-tail (a
+        # 32-task stage on 32 cores idles cores behind its slowest task);
+        # overridable for measurement via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
