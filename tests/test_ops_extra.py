@@ -3220,3 +3220,42 @@ def test_chunk_sentences_invariants(spark):
             assert starts[r["chunk_id"]] // 60 == r["chunk_id"]
             assert r["n_chars"] == len(r["chunk_text"])
             assert r["n_sentences"] >= 1
+
+
+def test_png_codec_roundtrip_property():
+    """Property: for ANY dimensions, color type, per-row filter choice and
+    pixel function, decode(encode(...)) recovers the exact header fields and
+    pixel stats — the codec pair is a true inverse over its whole domain."""
+    from hypothesis import given, settings, strategies as st
+
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        ctype=st.sampled_from([0, 2, 4, 6]),
+        a=st.integers(0, 255),
+        b=st.integers(0, 255),
+        c=st.integers(0, 255),
+        fseed=st.integers(0, 10**6),
+    )
+    def check(w, h, ctype, a, b, c, fseed):
+        ch = M._PNG_CHANNELS[ctype]
+
+        def px(x, y, cc):
+            return (a * x + b * y + c * cc + a) % 256
+
+        blob = M.png_encode(
+            w, h, px, color_type=ctype,
+            filter_for_row=lambda y: (fseed + 31 * y) % 5,
+        )
+        meta = M.png_decode(blob)
+        vals = [px(x, y, cc) for y in range(h) for x in range(w)
+                for cc in range(ch)]
+        assert meta == {
+            "width": w, "height": h, "channels": ch, "bit_depth": 8,
+            "px_sum": sum(vals), "px_min": min(vals), "px_max": max(vals),
+        }
+
+    check()

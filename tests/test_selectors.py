@@ -654,3 +654,49 @@ class TestIsWhereAndNspFns:
         root = parse_dom("<a id='x' t='  v 1 '>.</a><a id='y' t='w 1'>.</a>")
         got = xpath_select(root, "//a[contains(normalize-space(@t), 'v 1')]")
         assert [n.attrs["id"] for n in got] == ["x"]
+
+
+class TestValidatorTotality:
+    """Property: the validators NEVER raise — any string, however mangled,
+    maps to (ok, reason). That is the invalid-skip contract the extraction
+    layer relies on (an exception escaping validate_* would crash the Arrow
+    pass instead of skipping the selector)."""
+
+    def test_css_validator_total_over_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        frag = st.sampled_from(
+            ["div", "p", "*", ".k", "#i", ">", "+", "~", " ", ",", ":not(",
+             ":is(", ":has(", ":nth-child(2n+1", ")", "[a=b", "]", "[a=b i]",
+             ":first-child", "::before", "'", '"', "\\", "|", "$", "@", "(",
+             ":where(p, div > a)", "article:has(> img)"])
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=8))
+        def check(parts):
+            sel = "".join(parts)
+            ok, reason = validate_css_selector(sel)
+            assert isinstance(ok, bool)
+            if not ok:
+                assert isinstance(reason, str)
+
+        check()
+
+    def test_xpath_validator_total_over_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        frag = st.sampled_from(
+            ["//", "/", "div", "*", "text()", "@href", "[", "]", "[1]",
+             "[last()]", "[@a='v']", "[@a!='v']", "[contains(@a,'v')]",
+             "[normalize-space()='x']", "[count(p)=2]", "[string-length()>3]",
+             "following-sibling::", "ancestor::", "|", "(", ")", "'", '"',
+             "::", "..", "."])
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=8))
+        def check(parts):
+            expr = "".join(parts)
+            ok, reason = validate_xpath(expr)
+            assert isinstance(ok, bool)
+
+        check()
