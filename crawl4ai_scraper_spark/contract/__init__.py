@@ -59,11 +59,36 @@ _DRIVER_SAMPLED_R1_R3 = frozenset({
 })
 
 
+def _driver_sampled() -> frozenset:
+    """Union of every query the driver has ever cross-validated, read from
+    the CORRECTNESS_r*.json artifacts at the repo root when present — so the
+    rotation below is SELF-MAINTAINING: each round's new sample is excluded
+    from the next round's head automatically. Falls back to the static
+    r1-r3 union when the artifacts are absent (e.g. an installed copy of
+    the package outside the build repo)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    seen: set = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh).keys())
+            found = True
+        except (OSError, ValueError):
+            continue
+    return frozenset(seen) if found else _DRIVER_SAMPLED_R1_R3
+
+
 def _export_order() -> list:
     """Registry keys with never-driver-sampled queries first (each block in
     registration order)."""
-    fresh = [n for n in _REGISTRY if n not in _DRIVER_SAMPLED_R1_R3]
-    seen = [n for n in _REGISTRY if n in _DRIVER_SAMPLED_R1_R3]
+    sampled = _driver_sampled()
+    fresh = [n for n in _REGISTRY if n not in sampled]
+    seen = [n for n in _REGISTRY if n in sampled]
     return fresh + seen
 
 
