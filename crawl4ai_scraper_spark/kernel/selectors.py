@@ -10,7 +10,9 @@ forms a user would pass through ``soup.select()`` / lxml:
   ``[attr=v]`` ``[attr^=v]`` ``[attr$=v]`` ``[attr*=v]`` ``[attr~=v]``
   ``[attr|=v]``, CSS4 case flags ``[attr=v i]`` / ``[attr=v s]``,
   pseudo-classes ``:first-child`` ``:last-child``
-  ``:only-child`` ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
+  ``:only-child`` ``:empty`` (no children at all — any text node, even
+  whitespace, disqualifies) ``:root`` (parent is the document node)
+  ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
   of-type variants ``:first-of-type`` ``:last-of-type`` ``:only-of-type``
   ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, ``:not(selector list)``
   with full COMPLEX selector arguments (combinators allowed; the subject is
@@ -288,7 +290,8 @@ class _Compound:
                 name, _, arg = part[1:].partition("(")
                 name = name.lower()
                 if name in ("first-child", "last-child", "only-child",
-                            "first-of-type", "last-of-type", "only-of-type"):
+                            "first-of-type", "last-of-type", "only-of-type",
+                            "empty", "root"):
                     self.pseudos.append((name,))
                 elif name in ("nth-child", "nth-last-child",
                               "nth-of-type", "nth-last-of-type") and arg:
@@ -447,6 +450,17 @@ class _Compound:
                 continue
             if kind == "is":
                 if not any(c.matches(node) for c in pseudo[1]):
+                    return False
+                continue
+            if kind == "empty":
+                # CSS :empty — no children at all; ANY text node (even
+                # whitespace) disqualifies, per Selectors L4 / soupsieve
+                if node.children:
+                    return False
+                continue
+            if kind == "root":
+                parent = node.parent
+                if parent is None or parent.tag != "[document]":
                     return False
                 continue
             if kind == "has":

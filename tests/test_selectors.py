@@ -700,3 +700,20 @@ class TestValidatorTotality:
             assert isinstance(ok, bool)
 
         check()
+
+
+class TestEmptyAndRoot:
+    def test_empty(self):
+        root = parse_dom("<div id='a'></div><div id='b'> </div>"
+                         "<div id='c'><span></span></div><br id='d'>")
+        got = _ids(css_select(root, "div:empty"))
+        assert got == ["a"]  # whitespace text disqualifies b; child disqualifies c
+        assert _ids(css_select(root, "br:empty")) == ["d"]  # void tag = empty
+        assert _ids(css_select(root, "div:not(:empty)")) == ["b", "c"]
+
+    def test_root(self):
+        root = parse_dom("<html><body><p id='p'>x</p></body></html>")
+        assert [n.tag for n in css_select(root, ":root")] == ["html"]
+        assert css_select(root, "p:root") == []
+        # :root composes with descendant combinators
+        assert _ids(css_select(root, ":root p")) == ["p"]
