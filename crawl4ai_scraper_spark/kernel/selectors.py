@@ -12,7 +12,9 @@ forms a user would pass through ``soup.select()`` / lxml:
   pseudo-classes ``:first-child`` ``:last-child``
   ``:only-child`` ``:empty`` (no children at all — any text node, even
   whitespace, disqualifies) ``:root`` (parent is the document node)
-  ``:nth-child(an+b|odd|even|N)`` ``:nth-last-child(…)``,
+  ``:nth-child(an+b|odd|even|N [of S])`` ``:nth-last-child(… [of S])``
+  (CSS4 ``of S``: index counted among siblings matching the selector
+  list S),
   of-type variants ``:first-of-type`` ``:last-of-type`` ``:only-of-type``
   ``:nth-of-type(…)`` ``:nth-last-of-type(…)``, ``:not(selector list)``
   with full COMPLEX selector arguments (combinators allowed; the subject is
@@ -295,8 +297,28 @@ class _Compound:
                     self.pseudos.append((name,))
                 elif name in ("nth-child", "nth-last-child",
                               "nth-of-type", "nth-last-of-type") and arg:
-                    a, b = _parse_nth(arg.rstrip(")"))
-                    self.pseudos.append((name, a, b))
+                    body = arg[:-1] if arg.endswith(")") else arg
+                    # CSS4 `An+B of S` (nth-child family only): the index
+                    # counts among siblings MATCHING the selector list S
+                    of_list = None
+                    low = body.lower()
+                    if name in ("nth-child", "nth-last-child") and " of " in low:
+                        cut = low.index(" of ")
+                        nth_part, of_part = body[:cut], body[cut + 4:]
+                        of_list = []
+                        for s in _split_top_level(of_part, ","):
+                            s = s.strip()
+                            if not s:
+                                continue
+                            if len(_tokenize_selector(s)) > 1:
+                                of_list.append(CssSelector(s))
+                            else:
+                                of_list.append(_Compound(s))
+                        if not of_list:
+                            raise ValueError(f"empty 'of' list: {part!r}")
+                        body = nth_part
+                    a, b = _parse_nth(body.strip())
+                    self.pseudos.append((name, a, b, of_list))
                 elif name == "not" and arg:
                     # CSS4 :not(selector list) — arguments are full COMPLEX
                     # selectors (combinators allowed, soupsieve semantics:
@@ -473,6 +495,14 @@ class _Compound:
             if kind.endswith("of-type"):
                 # of-type variants index within same-tag siblings only
                 sibs = [s for s in sibs if s.tag == node.tag]
+            elif (kind in ("nth-child", "nth-last-child")
+                  and len(pseudo) > 3 and pseudo[3]):
+                # `An+B of S`: index among siblings matching S; a subject
+                # not matching S itself can never match
+                sibs = [s for s in sibs
+                        if any(c.matches(s) for c in pseudo[3])]
+                if not any(s is node for s in sibs):
+                    return False
             idx = next(i for i, s in enumerate(sibs) if s is node)
             if kind in ("first-child", "first-of-type"):
                 if idx != 0:

@@ -717,3 +717,40 @@ class TestEmptyAndRoot:
         assert css_select(root, "p:root") == []
         # :root composes with descendant combinators
         assert _ids(css_select(root, ":root p")) == ["p"]
+
+
+class TestNthChildOf:
+    DOC = ("<ul><li id='a' class='x'>1</li><li id='b'>2</li>"
+           "<li id='c' class='x'>3</li><li id='d'>4</li>"
+           "<li id='e' class='x'>5</li></ul>")
+
+    def test_nth_child_of_selector(self):
+        root = parse_dom(self.DOC)
+        # odd among the .x subset: a (1st of .x), e (3rd of .x)
+        got = _ids(css_select(root, "li:nth-child(odd of .x)"))
+        assert got == ["a", "e"]
+        got = _ids(css_select(root, "li:nth-child(2 of .x)"))
+        assert got == ["c"]
+        # a non-matching subject never matches
+        assert css_select(root, "#b:nth-child(1 of .x)") == []
+
+    def test_nth_last_child_of(self):
+        root = parse_dom(self.DOC)
+        got = _ids(css_select(root, "li:nth-last-child(1 of .x)"))
+        assert got == ["e"]
+        got = _ids(css_select(root, ":nth-last-child(2 of li.x)"))
+        assert got == ["c"]
+
+    def test_of_with_complex_selector(self):
+        html = ("<div><section><p id='p1'>i</p></section>"
+                "<p id='p2'>ii</p><p id='p3'>iii</p></div>")
+        root = parse_dom(html)
+        # of-list with a complex selector: p that are DIRECT children of div
+        got = _ids(css_select(root, "p:nth-child(1 of div > p)"))
+        assert got == ["p2"]
+
+    def test_of_errors_invalid(self):
+        assert not validate_css_selector("li:nth-child(2 of )")[0]
+        assert not validate_css_selector("li:nth-child(of .x)")[0]
+        # plain nth-child still fine
+        assert validate_css_selector("li:nth-child(2n+1)")[0]
