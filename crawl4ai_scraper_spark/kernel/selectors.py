@@ -22,7 +22,9 @@ forms a user would pass through ``soup.select()`` / lxml:
   reserves those for :has()), ``:is()`` / ``:where()`` (+ the legacy
   ``:matches()`` alias, all soupsieve-supported) with the same
   complex-selector argument grammar (matches when ANY argument matches),
-  and
+  soupsieve's ``:-soup-contains("s"[, …])`` / ``:-soup-contains-own`` (+
+  the deprecated ``:contains`` alias; case-sensitive, ANY-of over the
+  full descendant text / own text nodes), and
   ``:has(relative selector[, …])`` with soupsieve semantics (arguments may
   lead with ``>`` / ``+`` / ``~``, anchored at the subject element);
   combinators: descendant, ``>``, ``+``, ``~``; comma groups.
@@ -35,8 +37,12 @@ forms a user would pass through ``soup.select()`` / lxml:
   ``[normalize-space()='v']`` / ``[normalize-space(text())='v']`` /
   ``[normalize-space(@a)='v']`` (and ``!=``),
   ``[string-length(ARG) OP N]``, ``[count(tag|*|text()) OP N]``
-  with OP ∈ ``= != < <= > >=``, and ``contains``/``starts-with`` over a
-  ``normalize-space()`` inner call; explicit axes ``following-sibling::``
+  with OP ∈ ``= != < <= > >=``, ``contains``/``starts-with`` over a
+  ``normalize-space()`` inner call, existence tests ``[tag]`` / ``[*]``
+  (child element) / ``[text()]`` (text-node child) / ``[@*]`` (any
+  attribute), and ``not(...)`` around any scalar predicate (positional
+  forms inside not() stay unsupported); explicit axes
+  ``following-sibling::``
   ``preceding-sibling::`` ``parent::`` ``ancestor(-or-self)::``
   ``self::`` ``descendant(-or-self)::`` ``following::`` ``preceding::``
   (positional predicates count in axis order per context node,
@@ -342,6 +348,27 @@ class _Compound:
                     if not inner:
                         raise ValueError(f"empty :not() argument: {part!r}")
                     self.pseudos.append(("not", inner))
+                elif name in ("-soup-contains", "-soup-contains-own",
+                              "contains") and arg:
+                    # soupsieve's scraping staple: matches when the element's
+                    # text contains ANY of the argument strings —
+                    # :-soup-contains over the full descendant text (bs4
+                    # Tag.text), :-soup-contains-own over the element's own
+                    # text nodes; ``:contains()`` is the deprecated alias.
+                    # Case-sensitive, like soupsieve's default.
+                    body = arg[:-1] if arg.endswith(")") else arg
+                    needles = []
+                    for s in _split_top_level(body, ","):
+                        s = s.strip()
+                        if len(s) >= 2 and s[0] in "\"'" and s[-1] == s[0]:
+                            s = s[1:-1]
+                        if s:
+                            needles.append(s)
+                    if not needles:
+                        raise ValueError(f"empty :{name}() argument: {part!r}")
+                    self.pseudos.append(
+                        ("soup-contains", name.endswith("-own"), needles)
+                    )
                 elif name in ("is", "where", "matches") and arg:
                     # CSS4 :is()/:where() (and the legacy :matches() alias,
                     # all soupsieve-supported): matches when ANY argument
@@ -478,6 +505,12 @@ class _Compound:
                 # CSS :empty — no children at all; ANY text node (even
                 # whitespace) disqualifies, per Selectors L4 / soupsieve
                 if node.children:
+                    return False
+                continue
+            if kind == "soup-contains":
+                text = (_node_own_text(node) if pseudo[1]
+                        else _node_string_value(node))
+                if not any(n in text for n in pseudo[2]):
                     return False
                 continue
             if kind == "root":
@@ -697,6 +730,56 @@ _PRED_NSP_FN = re.compile(
     r"^(contains|starts-with)\(\s*normalize-space\(\s*(text\(\)|@[\w-]+)?\s*\)"
     r"\s*,\s*([\"'])(.*?)\3\s*\)$"
 )
+# child-element existence test: [li] / [*]; text-node existence: [text()];
+# any-attribute presence: [@*]
+_PRED_CHILD = re.compile(r"^(?!\d+$)([\w-]+|\*)$")
+_PRED_NOT = re.compile(r"^not\(\s*(.*?)\s*\)$")
+
+
+def _parse_scalar_pred(body: str):
+    """Parse one non-positional XPath predicate body into its pred tuple, or
+    None when outside the subset. ``not(...)`` recurses over any scalar
+    form (positional predicates inside not() stay unsupported)."""
+    if (mm := _PRED_ATTR_EQ.match(body)):
+        return ("attr=", mm.group(1), mm.group(3))
+    if (mm := _PRED_ATTR.match(body)):
+        return ("attr?", mm.group(1))
+    if body == "@*":
+        return ("anyattr?",)
+    if (mm := _PRED_CONTAINS_ATTR.match(body)):
+        return ("attr~", mm.group(1), mm.group(3))
+    if (mm := _PRED_CONTAINS_TEXT.match(body)):
+        return ("text~", mm.group(2))
+    if (mm := _PRED_STARTS_ATTR.match(body)):
+        return ("attr^", mm.group(1), mm.group(3))
+    if (mm := _PRED_STARTS_TEXT.match(body)):
+        return ("text^", mm.group(2))
+    if (mm := _PRED_TEXT_EQ.match(body)):
+        return ("text=", mm.group(2))
+    if (mm := _PRED_ATTR_NEQ.match(body)):
+        return ("attr!=", mm.group(1), mm.group(3))
+    if (mm := _PRED_TEXT_NEQ.match(body)):
+        return ("text!=", mm.group(2))
+    if (mm := _PRED_NSP_CMP.match(body)):
+        return ("nsp", mm.group(1) or "", mm.group(2), mm.group(4))
+    if (mm := _PRED_STRLEN_CMP.match(body)):
+        return ("strlen", mm.group(1) or "", mm.group(2), int(mm.group(3)))
+    if (mm := _PRED_COUNT_CMP.match(body)):
+        return ("count", mm.group(1), mm.group(2), int(mm.group(3)))
+    if (mm := _PRED_NSP_FN.match(body)):
+        return ("nspfn", mm.group(1), mm.group(2) or "", mm.group(4))
+    if body == "text()":
+        return ("hastext",)
+    if (mm := _PRED_CHILD.match(body)):
+        # bare name = child-element existence (//ul[li]); 'text'/'not' etc.
+        # can't reach here because the earlier forms didn't match and they
+        # carry parens when meant as functions
+        return ("child?", mm.group(1))
+    if (mm := _PRED_NOT.match(body)):
+        inner = _parse_scalar_pred(mm.group(1))
+        if inner is not None:
+            return ("notp", inner)
+    return None
 _STEP_RX = re.compile(r"^([a-zA-Z][\w-]*|\*|text\(\))((?:\[[^\]]*\])*)$")
 
 
@@ -744,48 +827,17 @@ class _XStep:
         self.preds: List[Tuple] = []
         for pm in re.finditer(r"\[([^\]]*)\]", m.group(2) or ""):
             body = pm.group(1).strip()
-            if (mm := _PRED_ATTR_EQ.match(body)):
-                self.preds.append(("attr=", mm.group(1), mm.group(3)))
-            elif (mm := _PRED_ATTR.match(body)):
-                self.preds.append(("attr?", mm.group(1)))
-            elif (mm := _PRED_CONTAINS_ATTR.match(body)):
-                self.preds.append(("attr~", mm.group(1), mm.group(3)))
-            elif (mm := _PRED_CONTAINS_TEXT.match(body)):
-                self.preds.append(("text~", mm.group(2)))
-            elif (mm := _PRED_STARTS_ATTR.match(body)):
-                self.preds.append(("attr^", mm.group(1), mm.group(3)))
-            elif (mm := _PRED_STARTS_TEXT.match(body)):
-                self.preds.append(("text^", mm.group(2)))
-            elif (mm := _PRED_TEXT_EQ.match(body)):
-                self.preds.append(("text=", mm.group(2)))
-            elif (mm := _PRED_POS_N.match(body)):
+            if (mm := _PRED_POS_N.match(body)):
                 self.preds.append(("pos", "=", int(mm.group(1))))
             elif _PRED_POS_LAST.match(body):
                 self.preds.append(("pos", "last", 0))
             elif (mm := _PRED_POS_CMP.match(body)):
                 self.preds.append(("pos", mm.group(1), int(mm.group(2))))
-            elif (mm := _PRED_ATTR_NEQ.match(body)):
-                self.preds.append(("attr!=", mm.group(1), mm.group(3)))
-            elif (mm := _PRED_TEXT_NEQ.match(body)):
-                self.preds.append(("text!=", mm.group(2)))
-            elif (mm := _PRED_NSP_CMP.match(body)):
-                self.preds.append(
-                    ("nsp", mm.group(1) or "", mm.group(2), mm.group(4))
-                )
-            elif (mm := _PRED_STRLEN_CMP.match(body)):
-                self.preds.append(
-                    ("strlen", mm.group(1) or "", mm.group(2), int(mm.group(3)))
-                )
-            elif (mm := _PRED_COUNT_CMP.match(body)):
-                self.preds.append(
-                    ("count", mm.group(1), mm.group(2), int(mm.group(3)))
-                )
-            elif (mm := _PRED_NSP_FN.match(body)):
-                self.preds.append(
-                    ("nspfn", mm.group(1), mm.group(2) or "", mm.group(4))
-                )
             else:
-                raise ValueError(f"unsupported XPath predicate: [{body}]")
+                pred = _parse_scalar_pred(body)
+                if pred is None:
+                    raise ValueError(f"unsupported XPath predicate: [{body}]")
+                self.preds.append(pred)
         if self.name == "text()" and self.preds:
             raise ValueError("predicates on text() are unsupported")
 
@@ -906,6 +958,18 @@ def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
     if kind == "nspfn":
         s = " ".join(_xp_string_arg(node, pred[2]).split())
         return pred[3] in s if pred[1] == "contains" else s.startswith(pred[3])
+    if kind == "child?":
+        name = pred[1]
+        return any(
+            isinstance(c, Node) and (name == "*" or c.tag == name)
+            for c in node.children
+        )
+    if kind == "hastext":
+        return any(isinstance(c, str) for c in node.children)
+    if kind == "anyattr?":
+        return bool(node.attrs)
+    if kind == "notp":
+        return not _scalar_pred_ok(node, pred[1])
     if kind == "count":
         test = pred[1]
         if test == "text()":

@@ -754,3 +754,73 @@ class TestNthChildOf:
         assert not validate_css_selector("li:nth-child(of .x)")[0]
         # plain nth-child still fine
         assert validate_css_selector("li:nth-child(2n+1)")[0]
+
+
+class TestXPathExistencePredsAndNot:
+    DOC = ("<ul id='u1'><li>1</li></ul><ul id='u2'><p>x</p></ul>"
+           "<ul id='u3'></ul>"
+           "<p id='pa'>text</p><p id='pb'><b>b</b></p>"
+           "<a id='l1' href='/x'>1</a><a id='l2'>2</a>")
+
+    def test_child_element_existence(self):
+        root = parse_dom(self.DOC)
+        got = xpath_select(root, "//ul[li]")
+        assert [n.attrs["id"] for n in got] == ["u1"]
+        got = xpath_select(root, "//ul[*]")
+        assert [n.attrs["id"] for n in got] == ["u1", "u2"]
+
+    def test_text_node_existence(self):
+        root = parse_dom(self.DOC)
+        got = xpath_select(root, "//p[text()]")
+        # the anonymous <p>x</p> inside u2 also has a text child
+        assert [n.attrs.get("id") for n in got] == [None, "pa"]
+        got = xpath_select(root, "//p[not(text())]")
+        assert [n.attrs.get("id") for n in got] == ["pb"]
+
+    def test_any_attribute(self):
+        root = parse_dom("<a id='x' href='/'>1</a><span>2</span>")
+        got = xpath_select(root, "//*[@*]")
+        assert [n.attrs.get("id") for n in got] == ["x"]
+
+    def test_not_wrapping(self):
+        root = parse_dom(self.DOC)
+        got = xpath_select(root, "//ul[not(li)]")
+        assert [n.attrs["id"] for n in got] == ["u2", "u3"]
+        got = xpath_select(root, "//a[not(@href)]")
+        assert [n.attrs["id"] for n in got] == ["l2"]
+        got = xpath_select(root, "//a[not(not(@href))]")
+        assert [n.attrs["id"] for n in got] == ["l1"]
+
+    def test_invalid_forms_still_skip(self):
+        assert not validate_xpath("//ul[not(position()=2)]")[0]
+        assert not validate_xpath("//ul[li/a]")[0]
+        assert not validate_xpath("//ul[not()]")[0]
+
+
+class TestSoupContains:
+    DOC = ("<div id='a'><p>alpha beta</p></div>"
+           "<div id='b'>gamma <span>delta</span></div>"
+           "<div id='c'>epsilon</div>")
+
+    def test_descendant_text(self):
+        root = parse_dom(self.DOC)
+        got = _ids(css_select(root, "div:-soup-contains('beta')"))
+        assert got == ["a"]
+        got = _ids(css_select(root, "div:-soup-contains('delta')"))
+        assert got == ["b"]
+
+    def test_own_text_only(self):
+        root = parse_dom(self.DOC)
+        assert _ids(css_select(root, "div:-soup-contains-own('delta')")) == []
+        assert _ids(css_select(root, "div:-soup-contains-own('gamma')")) == ["b"]
+
+    def test_any_of_list_and_alias(self):
+        root = parse_dom(self.DOC)
+        got = _ids(css_select(root, "div:-soup-contains('beta', 'epsilon')"))
+        assert got == ["a", "c"]
+        assert _ids(css_select(root, "div:contains('epsilon')")) == ["c"]
+
+    def test_case_sensitive_and_invalid(self):
+        root = parse_dom(self.DOC)
+        assert css_select(root, "div:-soup-contains('BETA')") == []
+        assert not validate_css_selector("div:-soup-contains()")[0]
