@@ -660,3 +660,44 @@ def multimodal_png_decode(spark, sf):
     return png_roundtrip_stats(ids).orderBy("media_id")
 
 
+@_q(
+    "multimodal_gif_decode",
+    # Closed-form ground truth for the stdlib GIF codec: the generated
+    # frame's pixel index is (5d + 3x + 11y) mod nc, so the stats the
+    # decoder must recover — after real LZW decompression (dictionary
+    # growth, CLEAR resets, KwKwK) — are computable directly from
+    # (d, w, h, nc).
+    """WITH p AS (
+      SELECT doc_id AS d, 2 + doc_id % 9 AS w, 1 + doc_id % 6 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 16 ELSE 256 END AS nc
+      FROM documents WHERE doc_id < 120
+    ),
+    v AS (
+      SELECT p.d, p.w, p.h, ((5 * p.d + 3 * x.x + 11 * y.y) % p.nc) AS val
+      FROM p, LATERAL (SELECT unnest(range(p.w)) AS x) x,
+              LATERAL (SELECT unnest(range(p.h)) AS y) y
+    )
+    SELECT CAST(d AS BIGINT) AS media_id, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, CAST(1 AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth, CAST(1 AS INT) AS n_frames,
+           CAST(SUM(val) AS BIGINT) AS px_sum, CAST(MIN(val) AS INT) AS px_min,
+           CAST(MAX(val) AS INT) AS px_max
+    FROM v GROUP BY d, w, h ORDER BY media_id""",
+)
+def multimodal_gif_decode(spark, sf):
+    """REAL GIF decode without pillow (VERDICT r4 next-round #6, the PNG
+    pattern applied to a second format): per doc id, synthesize a
+    deterministic GIF87a/89a — real LZW compression — then LZW-decompress it
+    with the pure-stdlib ``gif_decode`` and report the decoded screen
+    descriptor + frame pixel stats. The oracle recomputes the stats in
+    closed form, so an LZW bitstream, code-width, or block-parsing bug
+    anywhere fails the row. (≙ the reference's media handling for GIFs,
+    minus the external image libs.)"""
+    from crawl4ai_scraper_spark.operators.multimodal import gif_roundtrip_stats
+
+    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 120).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return gif_roundtrip_stats(ids).orderBy("media_id")
+
+

@@ -185,6 +185,216 @@ def png_decode(blob: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib GIF87a/89a codec (LZW in ~80 lines): REAL decode without pillow.
+# Follows the png_encode/png_decode pattern above — the encoder is the
+# test/fixture writer, the decoder is the production path.
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW compressor (LSB-first bit packing, CLEAR/END codes,
+    dictionary growth to 12 bits then emit CLEAR). Real dictionary-building
+    compression so fixtures exercise the decoder's growth / KwKwK paths."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            bits -= 8
+
+    # Code width is tracked from the DECODER's viewpoint: the decoder grows
+    # its table on EVERY data code it reads after the first (including the
+    # encoder's final-prefix emission, which registers nothing encoder-side)
+    # and widens when the table length hits 1 << code_size. Mirroring
+    # next_code instead desyncs exactly one code before END when a widen
+    # lands on the final emission.
+    table = {bytes([i]): i for i in range(clear)}
+    code_size, next_code = min_code_size + 1, end + 1
+    dec_len, first = end + 1, True  # decoder table length after a CLEAR
+
+    def emit_data(code: int) -> None:
+        nonlocal dec_len, code_size, first
+        emit(code, code_size)
+        if not first:
+            dec_len += 1
+            if dec_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+        first = False
+
+    emit(clear, code_size)
+    prefix = b""
+    for b in data:
+        trial = prefix + bytes([b])
+        if trial in table:
+            prefix = trial
+            continue
+        emit_data(table[prefix])
+        if next_code <= 0xFFF:  # register only while 12-bit addressable
+            table[trial] = next_code
+            next_code += 1
+        else:  # table full → emit CLEAR, reset both sides
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size, next_code = min_code_size + 1, end + 1
+            dec_len, first = end + 1, True
+        prefix = bytes([b])
+    if prefix:
+        emit_data(table[prefix])
+    emit(end, code_size)
+    if bits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
+    """GIF-variant LZW decompressor. ``expected`` bounds the output (width ×
+    height of the frame) — a malformed stream can otherwise balloon.
+    Raises ValueError on any malformation."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size, prev = min_code_size + 1, None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            if len(out) > expected:
+                raise ValueError("LZW output exceeds frame size")
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+    raise ValueError("LZW stream ended without END code")
+
+
+def gif_encode(width: int, height: int, pixel, n_colors: int = 16,
+               version: bytes = b"GIF89a") -> bytes:
+    """Minimal single-frame GIF writer (test/fixture encoder). ``pixel(x, y)
+    -> palette index`` supplies pixels; the global color table is a
+    deterministic grayscale ramp of ``n_colors`` (power of two, 2..256)
+    entries. Real LZW compression (``_lzw_encode``)."""
+    import struct
+
+    assert n_colors & (n_colors - 1) == 0 and 2 <= n_colors <= 256
+    gct_bits = max(n_colors.bit_length() - 1, 1)
+    out = bytearray(version)
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (gct_bits - 1), 0, 0)  # GCT flag + size
+    for i in range(n_colors):  # grayscale ramp palette
+        g = (i * 255) // max(n_colors - 1, 1)
+        out += bytes((g, g, g))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = max(gct_bits, 2)
+    out.append(min_code)
+    idx = bytes(pixel(x, y) % n_colors for y in range(height) for x in range(width))
+    comp = _lzw_encode(min_code, idx)
+    for i in range(0, len(comp), 255):  # 255-byte sub-blocks
+        chunkb = comp[i:i + 255]
+        out.append(len(chunkb))
+        out += chunkb
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(blob: bytes) -> dict:
+    """REAL GIF87a/89a decode on the stdlib alone: screen descriptor parsed,
+    the first image frame's pixel indices actually LZW-decompressed
+    (dictionary growth, KwKwK, CLEAR resets, 12-bit cap), pixel stats over
+    the decoded palette indices — the exact shape ``png_decode`` reports
+    for palette PNGs. Extensions (GCE, comments, app) are skipped;
+    interlaced frames decode fine (row ORDER does not affect sum/min/max).
+    Raises ValueError on non-GIF or malformed input.
+
+    Returns width / height / channels(=1: palette indices) / bit_depth /
+    n_frames / px_sum / px_min / px_max."""
+    import struct
+
+    if blob[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF")
+    try:
+        width, height, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+        pos = 13
+        if packed & 0x80:  # global color table
+            pos += 3 * (2 << (packed & 0x07))
+        n_frames, stats = 0, None
+        while pos < len(blob):
+            block = blob[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while blob[pos]:
+                    pos += 1 + blob[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _l, _t, fw, fh, fpacked = struct.unpack("<HHHHB", blob[pos:pos + 9])
+                pos += 9
+                if fpacked & 0x80:  # local color table
+                    pos += 3 * (2 << (fpacked & 0x07))
+                min_code = blob[pos]
+                pos += 1
+                if not 2 <= min_code <= 11:
+                    raise ValueError(f"bad LZW min code size {min_code}")
+                comp = bytearray()
+                while blob[pos]:
+                    ln = blob[pos]
+                    comp += blob[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                n_frames += 1
+                if stats is None:  # decode the FIRST frame's pixels
+                    idx = _lzw_decode(min_code, bytes(comp), fw * fh)
+                    if len(idx) != fw * fh:
+                        raise ValueError("GIF frame pixel count mismatch")
+                    stats = (sum(idx), min(idx) if idx else 255,
+                             max(idx) if idx else 0)
+            else:
+                raise ValueError(f"bad GIF block 0x{block:02x}")
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated GIF: {exc}") from exc
+    if stats is None:
+        raise ValueError("GIF has no image frame")
+    return {
+        "width": int(width), "height": int(height), "channels": 1,
+        "bit_depth": 8, "n_frames": int(n_frames),
+        "px_sum": int(stats[0]), "px_min": int(stats[1]),
+        "px_max": int(stats[2]),
+    }
+
+
 def _real_decode(blob: bytes) -> dict:
     """Real image decode. PNG bytes decode on the stdlib alone (``png_decode``
     — dimensions straight from IHDR, pixels actually inflated and
@@ -212,12 +422,28 @@ def _real_decode(blob: bytes) -> dict:
                 "width": meta["width"],
                 "height": meta["height"],
             }
+    if blob[:6] in _GIF_MAGICS:
+        try:
+            meta = gif_decode(blob)
+        except ValueError as decode_err:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError:
+                raise decode_err
+        else:
+            return {
+                "n_bytes": len(blob),
+                "sha": hashlib.md5(blob).hexdigest(),
+                "width": meta["width"],
+                "height": meta["height"],
+            }
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env has no PIL
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/pillow, which is not installed "
-            "in this environment; PNG decodes via the stdlib codec above"
+            "non-PNG/GIF image decode requires PIL/pillow, which is not "
+            "installed in this environment; PNG and GIF decode via the "
+            "stdlib codecs above"
         ) from exc
     import io
 
@@ -297,6 +523,45 @@ def png_roundtrip_stats(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
 
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         _stats, PNG_STATS_SCHEMA
+    )
+
+
+GIF_STATS_SCHEMA = ("media_id bigint, width int, height int, channels int, "
+                    "bit_depth int, n_frames int, px_sum bigint, px_min int, "
+                    "px_max int")
+
+
+def gif_roundtrip_stats(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL GIF decode evidence without pillow (the ``png_roundtrip_stats``
+    pattern applied to the second format): per id, synthesize a
+    deterministic GIF (``gif_encode`` — dimensions, palette size and pixel
+    indices all functions of the id; real LZW compression) and decode it
+    with the stdlib ``gif_decode`` (real LZW decompression: dictionary
+    growth, CLEAR resets, KwKwK). Encoder and decoder are independent
+    inverses and the contract oracle recomputes the stats in closed form,
+    so an LZW or block-parsing bug anywhere fails the row."""
+    def _stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                d = int(mid)
+                w, h = 2 + d % 9, 1 + d % 6
+                nc = (4, 16, 256)[d % 3]
+                blob = gif_encode(
+                    w, h,
+                    pixel=lambda x, y, d=d, nc=nc: (5 * d + 3 * x + 11 * y) % nc,
+                    n_colors=nc,
+                    version=b"GIF87a" if d % 5 == 0 else b"GIF89a",
+                )
+                meta = gif_decode(blob)
+                rows.append({"media_id": d, **meta})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels",
+                               "bit_depth", "n_frames", "px_sum", "px_min",
+                               "px_max"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _stats, GIF_STATS_SCHEMA
     )
 
 

@@ -165,7 +165,14 @@ def run_crawl(
             {"visited": _empty(spark, visited_schema),
              "lineage": _empty(spark, "stage string, partition int, rows long")},
             {"seq_base": 0, "discovered": 0, "round_vt": 0.0, "bootstrap": True, "done": False,
-             "frontier_n": 1, "enqueued_n": 1, "fused": fused},
+             "frontier_n": 1, "enqueued_n": 1, "fused": fused,
+             # sizing decision in lineage (VERDICT r4 #2): what this run
+             # actually ran with, derived or overridden, auditable per-crawl
+             "runtime_sizing": {
+                 "shuffle_partitions": int(
+                     spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                 "driver_memory": spark.conf.get("spark.driver.memory", ""),
+             }},
             sizes={"frontier": 1, "visited": 0, "lineage": 0},
         )
         last = 0

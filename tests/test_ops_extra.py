@@ -3259,3 +3259,125 @@ def test_png_codec_roundtrip_property():
         }
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# GIF87a/89a stdlib codec (round-5: second format off the PIL gate,
+# VERDICT r4 next-round #6 — the png codec pattern applied to LZW)
+# ---------------------------------------------------------------------------
+
+def test_gif_lzw_hand_crafted_bitstream():
+    """Decoder vs a hand-packed stream (independent of our encoder): with
+    min_code_size=2 the codes [CLEAR=4, 1, 2, 2, END=5] pack LSB-first at 3
+    bits into exactly 0x8C 0x54 and must decode to pixels [1, 2, 2]."""
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    assert bytes(M._lzw_decode(2, b"\x8c\x54", 3)) == b"\x01\x02\x02"
+
+
+def test_gif_codec_roundtrip_matrix():
+    """Palette sizes 2..256, both versions, degenerate 1×1, constant runs
+    (max compression), and a stream long enough to force 12-bit code growth
+    plus a CLEAR reset — stats always equal the direct pixel computation."""
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    cases = [(1, 1, 2), (3, 5, 4), (16, 16, 16), (40, 30, 256), (97, 13, 8),
+             (5, 4, 4)]  # (5,4,4): widen lands on the final prefix emission
+    for w, h, nc in cases:
+        for mode, px in enumerate([
+            lambda x, y: (x * 7 + y * 3) % nc,
+            lambda x, y: 0,
+            lambda x, y: (5 * 3 + 3 * x + 11 * y) % nc,
+        ]):
+            blob = M.gif_encode(w, h, px, n_colors=nc,
+                                version=b"GIF87a" if mode == 0 else b"GIF89a")
+            meta = M.gif_decode(blob)
+            vals = [px(x, y) % nc for y in range(h) for x in range(w)]
+            assert meta == {
+                "width": w, "height": h, "channels": 1, "bit_depth": 8,
+                "n_frames": 1, "px_sum": sum(vals), "px_min": min(vals),
+                "px_max": max(vals),
+            }, (w, h, nc, mode)
+
+    def rnd(x, y):  # incompressible → exercises 12-bit cap + CLEAR reset
+        return (x * 1103515245 + y * 12345 + (x ^ y) * 2654435761) % 256
+
+    meta = M.gif_decode(M.gif_encode(300, 300, rnd, n_colors=256))
+    vals = [rnd(x, y) % 256 for y in range(300) for x in range(300)]
+    assert meta["px_sum"] == sum(vals) and meta["n_frames"] == 1
+
+
+def test_gif_decode_rejects_malformed():
+    """Malformed inputs keep the documented ValueError contract — a caller
+    catching ValueError to fall back must never see struct/IndexError."""
+    import pytest as _pytest
+
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    for bad in (b"NOTGIF", b"GIF89a", b"GIF89a" + b"\x00" * 20,
+                b"\x89PNG\r\n\x1a\n not a gif"):
+        with _pytest.raises(ValueError):
+            M.gif_decode(bad)
+    # truncated mid-LZW: trash the compressed sub-block
+    good = bytearray(M.gif_encode(9, 7, lambda x, y: (x + y) % 4, n_colors=4))
+    good[-10:-2] = b"\xff" * 8
+    with _pytest.raises(ValueError):
+        M.gif_decode(bytes(good))
+
+
+def test_real_decode_gif_without_pil(spark):
+    """GIF real-decode works with no pillow anywhere in the env, including
+    through the Arrow decode_media_real pass (same contract as PNG)."""
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    gif = M.gif_encode(29, 17, lambda x, y: (3 * x + y) % 16, n_colors=16)
+    meta = M._real_decode(gif)
+    assert (meta["width"], meta["height"]) == (29, 17)
+    assert meta["n_bytes"] == len(gif)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif), "image")], "media_id long, blob binary, kind string"
+    )
+    out = df.mapInPandas(M.decode_media_real, M.MEDIA_META_SCHEMA).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (29, 17)
+
+
+def test_gif_lzw_property_roundtrip():
+    """Hypothesis: _lzw_decode is an exact inverse of _lzw_encode for any
+    byte stream and min code size — dictionary growth, width transitions
+    (including a widen landing exactly on the final prefix emission), KwKwK
+    sequences, and empty input."""
+    from hypothesis import given, settings, strategies as st
+
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    @given(
+        mcs=st.sampled_from([2, 3, 4, 8]),
+        data=st.binary(min_size=0, max_size=400),
+        alphabet_bits=st.integers(1, 8),
+    )
+    @settings(max_examples=400, deadline=None)
+    def check(mcs, data, alphabet_bits):
+        mask = (1 << min(alphabet_bits, mcs)) - 1
+        stream = bytes(b & mask for b in data)
+        comp = M._lzw_encode(mcs, stream)
+        assert bytes(M._lzw_decode(mcs, comp, len(stream))) == stream
+
+    check()
+
+
+def test_gif_roundtrip_stats_operator(spark):
+    """The Arrow-batched gif_roundtrip_stats operator agrees with the direct
+    per-id computation (the contract oracle's closed form)."""
+    from crawl4ai_scraper_spark.operators import multimodal as M
+
+    ids = spark.range(0, 40).selectExpr("id as media_id")
+    got = {r["media_id"]: r for r in M.gif_roundtrip_stats(ids).collect()}
+    for d in range(40):
+        w, h = 2 + d % 9, 1 + d % 6
+        nc = (4, 16, 256)[d % 3]
+        vals = [(5 * d + 3 * x + 11 * y) % nc for y in range(h) for x in range(w)]
+        r = got[d]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
+        assert (r["px_sum"], r["px_min"], r["px_max"]) == (
+            sum(vals), min(vals), max(vals))
