@@ -40,8 +40,14 @@ forms a user would pass through ``soup.select()`` / lxml:
   with OP ∈ ``= != < <= > >=``, ``contains``/``starts-with`` over a
   ``normalize-space()`` inner call, existence tests ``[tag]`` / ``[*]``
   (child element) / ``[text()]`` (text-node child) / ``[@*]`` (any
-  attribute), and ``not(...)`` around any scalar predicate (positional
-  forms inside not() stay unsupported); explicit axes
+  attribute), ``not(...)`` around any scalar predicate, and — round-5 —
+  positional forms inside ``not()`` with exact XPath 1.0 boolean
+  conversion: ``[not(position() OP N)]`` filters positionally (inverted,
+  same per-group/axis position context), while ``[not(3)]`` and
+  ``[not(last())]`` are constant FALSE (the bare-number
+  position()-equality rule applies only to NUMBER-valued predicates;
+  ``not()`` boolean()-converts its argument first, and boolean(3) /
+  boolean(last()) are always true — lxml agrees); explicit axes
   ``following-sibling::``
   ``preceding-sibling::`` ``parent::`` ``ancestor(-or-self)::``
   ``self::`` ``descendant(-or-self)::`` ``following::`` ``preceding::``
@@ -264,6 +270,17 @@ class _Compound:
     def __init__(self, token: str):
         m = _COMPOUND_RX.match(token)
         if not m or (not m.group("tag") and not m.group("rest")):
+            # Name the reason for the one syntactically-valid CSS family we
+            # deliberately don't implement: namespace prefixes (``ns|E``,
+            # ``*|E``, ``|E`` — soupsieve parses them; the reference's HTML
+            # documents never carry namespaces, selector_utils.py:56-108).
+            # A ``|`` outside brackets that isn't the ``|=`` attr operator
+            # is namespace syntax. Either way it raises → invalid-skip,
+            # the reference's semantics for unsupported selectors.
+            bracket_free = re.sub(r"\[[^\]]*\]", "", token)
+            if "|" in bracket_free:
+                raise ValueError(
+                    f"CSS namespace syntax is unsupported (ns|E): {token!r}")
             raise ValueError(f"unsupported CSS compound: {token!r}")
         self.tag = (m.group("tag") or "").lower()
         self.classes: List[str] = []
@@ -710,7 +727,15 @@ _PRED_STARTS_TEXT = re.compile(r"^starts-with\(\s*text\(\)\s*,\s*([\"'])(.*?)\1\
 _PRED_TEXT_EQ = re.compile(r"^text\(\)\s*=\s*([\"'])(.*?)\1$")
 _PRED_POS_N = re.compile(r"^(\d+)$")
 _PRED_POS_LAST = re.compile(r"^last\(\)$")
-_PRED_POS_CMP = re.compile(r"^position\(\)\s*(<=|>=|<|>|=)\s*(\d+)$")
+_PRED_POS_CMP = re.compile(r"^position\(\)\s*(!=|<=|>=|<|>|=)\s*(\d+)$")
+# -- round-5 widening: positional forms inside not() (VERDICT r4 #5) --
+# XPath 1.0 semantics are asymmetric here: a BARE number predicate [3] is
+# position()=3 only because the predicate value is a *number*; inside
+# not(...) the argument is converted with boolean() first, so not(3) is
+# boolean(3)=true negated — constant FALSE for every node — and so is
+# not(last()) (last() >= 1). Only not(position() OP N) stays positional.
+_PRED_NOT_POS = re.compile(r"^not\(\s*position\(\)\s*(!=|<=|>=|<|>|=)\s*(\d+)\s*\)$")
+_PRED_NOT_CONST = re.compile(r"^not\(\s*(\d+|last\(\))\s*\)$")
 # -- round-4 widening: !=, normalize-space(), string-length(), count() --
 _PRED_ATTR_NEQ = re.compile(r"^@([\w-]+)\s*!=\s*([\"'])(.*?)\2$")
 _PRED_TEXT_NEQ = re.compile(r"^text\(\)\s*!=\s*([\"'])(.*?)\1$")
@@ -739,7 +764,8 @@ _PRED_NOT = re.compile(r"^not\(\s*(.*?)\s*\)$")
 def _parse_scalar_pred(body: str):
     """Parse one non-positional XPath predicate body into its pred tuple, or
     None when outside the subset. ``not(...)`` recurses over any scalar
-    form (positional predicates inside not() stay unsupported)."""
+    form; positional forms inside not() are handled at the step level
+    (_PRED_NOT_POS / _PRED_NOT_CONST) because they need node-set context."""
     if (mm := _PRED_ATTR_EQ.match(body)):
         return ("attr=", mm.group(1), mm.group(3))
     if (mm := _PRED_ATTR.match(body)):
@@ -833,6 +859,10 @@ class _XStep:
                 self.preds.append(("pos", "last", 0))
             elif (mm := _PRED_POS_CMP.match(body)):
                 self.preds.append(("pos", mm.group(1), int(mm.group(2))))
+            elif (mm := _PRED_NOT_POS.match(body)):
+                self.preds.append(("notpos", mm.group(1), int(mm.group(2))))
+            elif _PRED_NOT_CONST.match(body):
+                self.preds.append(("false",))  # not(number)/not(last()): see above
             else:
                 pred = _parse_scalar_pred(body)
                 if pred is None:
@@ -985,10 +1015,24 @@ def _scalar_pred_ok(node: Node, pred: Tuple) -> bool:
     raise AssertionError(kind)
 
 
-def _apply_positional(nodes: List[Node], op: str, val: int) -> List[Node]:
+def _pos_ok(pos: int, size: int, op: str, val: int) -> bool:
+    return (
+        pos == size if op == "last"
+        else pos == val if op == "="
+        else pos != val if op == "!="
+        else pos < val if op == "<"
+        else pos <= val if op == "<="
+        else pos > val if op == ">"
+        else pos >= val
+    )
+
+
+def _apply_positional(nodes: List[Node], op: str, val: int,
+                      negate: bool = False) -> List[Node]:
     """XPath positional predicate semantics: position is 1-based WITHIN each
     parent's group of surviving candidates (``//div[2]`` = every div that is
-    the 2nd matching div of its parent)."""
+    the 2nd matching div of its parent). ``negate`` implements
+    ``not(position() OP N)`` — same grouping, inverted keep."""
     groups: Dict[int, List[Node]] = {}
     for n in nodes:
         groups.setdefault(id(n.parent), []).append(n)
@@ -996,16 +1040,7 @@ def _apply_positional(nodes: List[Node], op: str, val: int) -> List[Node]:
     for group in groups.values():
         size = len(group)
         for pos0, n in enumerate(group):
-            pos = pos0 + 1
-            ok = (
-                pos == size if op == "last"
-                else pos == val if op == "="
-                else pos < val if op == "<"
-                else pos <= val if op == "<="
-                else pos > val if op == ">"
-                else pos >= val
-            )
-            if ok:
+            if _pos_ok(pos0 + 1, size, op, val) != negate:
                 keep.add(id(n))
     return [n for n in nodes if id(n) in keep]
 
@@ -1059,24 +1094,14 @@ def _axis_candidates(base: Node, axis: str) -> List[Node]:
     return list(reversed(sibs[:idx]))  # preceding-sibling, nearest first
 
 
-def _apply_axis_positional(nodes: List[Node], op: str, val: int) -> List[Node]:
+def _apply_axis_positional(nodes: List[Node], op: str, val: int,
+                           negate: bool = False) -> List[Node]:
     """Positional predicate along an explicit axis: position is 1-based in
-    AXIS order per context node (the caller applies this per base)."""
+    AXIS order per context node (the caller applies this per base).
+    ``negate`` implements ``not(position() OP N)``."""
     size = len(nodes)
-    out = []
-    for pos0, n in enumerate(nodes):
-        pos = pos0 + 1
-        ok = (
-            pos == size if op == "last"
-            else pos == val if op == "="
-            else pos < val if op == "<"
-            else pos <= val if op == "<="
-            else pos > val if op == ">"
-            else pos >= val
-        )
-        if ok:
-            out.append(n)
-    return out
+    return [n for pos0, n in enumerate(nodes)
+            if _pos_ok(pos0 + 1, size, op, val) != negate]
 
 
 def xpath_select(scope: Node, expr: str) -> List:
@@ -1147,6 +1172,11 @@ def _xpath_select_path(scope: Node, expr: str) -> List:
                     for pred in step.preds:
                         if pred[0] == "pos":
                             cand = _apply_axis_positional(cand, pred[1], pred[2])
+                        elif pred[0] == "notpos":
+                            cand = _apply_axis_positional(cand, pred[1], pred[2],
+                                                          negate=True)
+                        elif pred[0] == "false":
+                            cand = []
                         else:
                             cand = [n for n in cand if _scalar_pred_ok(n, pred)]
                     if step.xaxis in _REVERSE_AXES:
@@ -1165,6 +1195,10 @@ def _xpath_select_path(scope: Node, expr: str) -> List:
             for pred in step.preds:
                 if pred[0] == "pos":
                     cand = _apply_positional(cand, pred[1], pred[2])
+                elif pred[0] == "notpos":
+                    cand = _apply_positional(cand, pred[1], pred[2], negate=True)
+                elif pred[0] == "false":
+                    cand = []
                 else:
                     cand = [n for n in cand if _scalar_pred_ok(n, pred)]
             for n in cand:

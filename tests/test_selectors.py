@@ -792,7 +792,11 @@ class TestXPathExistencePredsAndNot:
         assert [n.attrs["id"] for n in got] == ["l1"]
 
     def test_invalid_forms_still_skip(self):
-        assert not validate_xpath("//ul[not(position()=2)]")[0]
+        # not(position()=N) became SUPPORTED in round 5; these stay outside
+        # the subset and must keep the invalid-skip contract
+        assert validate_xpath("//ul[not(position()=2)]")[0]
+        assert not validate_xpath("//ul[not(position()=last())]")[0]
+        assert not validate_xpath("//ul[not(position()+1=2)]")[0]
         assert not validate_xpath("//ul[li/a]")[0]
         assert not validate_xpath("//ul[not()]")[0]
 
@@ -824,3 +828,132 @@ class TestSoupContains:
         root = parse_dom(self.DOC)
         assert css_select(root, "div:-soup-contains('BETA')") == []
         assert not validate_css_selector("div:-soup-contains()")[0]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 selector tail (VERDICT r4 #5): positional not(), CSS namespace
+# rejection-with-reason, and the adversarial CSS-structural vs
+# XPath-identity exclusion divergence matrix.
+# ---------------------------------------------------------------------------
+
+class TestNotPositional:
+    """Positional forms inside not() — exact XPath 1.0 boolean conversion
+    (lxml-verified semantics): not(position() OP N) is positional;
+    not(NUMBER) and not(last()) are constant false because not() applies
+    boolean() to its argument and boolean(3)=boolean(last())=true."""
+
+    HTML = "<div><p>a</p><p>b</p><p>c</p><p>d</p></div>"
+
+    def _texts(self, expr):
+        from crawl4ai_scraper_spark.kernel.selectors import parse_dom, xpath_select
+        return ["".join(n.children) for n in xpath_select(parse_dom(self.HTML), expr)]
+
+    def test_not_position_cmp(self):
+        assert self._texts("//p[not(position()<=2)]") == ["c", "d"]
+        assert self._texts("//p[not(position()>1)]") == ["a"]
+        assert self._texts("//p[not(position()=3)]") == ["a", "b", "d"]
+        assert self._texts("//p[not(position()!=2)]") == ["b"]
+
+    def test_plain_position_neq(self):
+        assert self._texts("//p[position()!=2]") == ["a", "c", "d"]
+
+    def test_not_number_and_last_are_constant_false(self):
+        # boolean(3) and boolean(last()) are true for every node → not(...)
+        # selects nothing — NOT "everything but the 3rd/last"
+        assert self._texts("//p[not(3)]") == []
+        assert self._texts("//p[not(last())]") == []
+
+    def test_not_position_on_explicit_axis(self):
+        # axis order per context node: following siblings of 'a' beyond the
+        # first → c, d
+        assert self._texts(
+            "//p[1]/following-sibling::p[not(position()=1)]") == ["c", "d"]
+
+    def test_not_position_groups_per_parent(self):
+        from crawl4ai_scraper_spark.kernel.selectors import parse_dom, xpath_select
+        html = "<div><ul><li>1</li><li>2</li></ul><ul><li>3</li><li>4</li></ul></div>"
+        got = ["".join(n.children) for n in
+               xpath_select(parse_dom(html), "//li[not(position()=1)]")]
+        assert got == ["2", "4"]  # inverted WITHIN each parent group
+
+
+class TestCssNamespaceRejection:
+    def test_namespace_forms_raise_named_reason(self):
+        import pytest as _pytest
+
+        from crawl4ai_scraper_spark.kernel.selectors import css_select, parse_dom
+        doc = parse_dom("<div><a>x</a></div>")
+        for sel in ("ns|a", "*|a", "|a", "svg|circle.cls"):
+            with _pytest.raises(ValueError, match="namespace"):
+                css_select(doc, sel)
+
+    def test_attr_pipe_eq_still_parses(self):
+        # [lang|=en] is the dash-prefix attribute operator, NOT a namespace
+        from crawl4ai_scraper_spark.kernel.selectors import css_select, parse_dom
+        doc = parse_dom('<p lang="en-US">x</p><p lang="fr">y</p>')
+        assert len(css_select(doc, "[lang|=en]")) == 1
+
+    def test_invalid_skip_in_extraction(self):
+        # an unsupported namespace selector is SKIPPED (reference invalid-
+        # selector semantics), the rest of the list still extracts
+        from crawl4ai_scraper_spark.kernel.selectors import extract_by_css
+        html = "<div><p>keep</p></div>"
+        assert extract_by_css(html, ["svg|circle", "p"]) == "keep"
+
+
+class TestExclusionDivergenceMatrix:
+    """The reference's two exclusion mechanics diverge observably, and ours
+    must diverge IDENTICALLY (selector_utils.py:84-99 vs 148-152):
+
+    * CSS removes via bs4 list.remove / ``in`` — STRUCTURAL equality: an
+      exclusion matching ONE of two identical twins cascades to remove
+      BOTH (each iterated twin tests equal to the matched node; each
+      removal drops the first remaining structural twin).
+    * XPath removes by lxml object IDENTITY: only the matched node goes.
+    * CSS exclusion also fires on DESCENDANT matches (select_one); the
+      XPath path only removes nodes that are THEMSELVES in the extracted
+      list — a descendant-matching exclusion removes nothing there.
+    """
+
+    TWINS = ('<div><p class="x">dup</p><span>mid</span>'
+             '<p class="x">dup</p><p>tail</p></div>')
+
+    def test_css_exclusion_cascades_to_both_twins(self):
+        from crawl4ai_scraper_spark.kernel.selectors import extract_by_css
+        # 'span + p' matches ONLY the second twin as a node — but structural
+        # removal drops the first twin while iterating it, then the second
+        assert extract_by_css(self.TWINS, ["p"], ["span + p"]) == "tail"
+
+    def test_xpath_same_logical_exclusion_removes_only_the_match(self):
+        from crawl4ai_scraper_spark.kernel.selectors import extract_by_xpath
+        got = extract_by_xpath(
+            self.TWINS, ["//p"], ["//span/following-sibling::p[1]"])
+        assert got == "dup\n\ntail"  # first twin SURVIVES (identity removal)
+
+    def test_css_first_twin_exclusion_also_cascades(self):
+        from crawl4ai_scraper_spark.kernel.selectors import extract_by_css
+        assert extract_by_css(self.TWINS, ["p"], ["div > p:first-child"]) == "tail"
+
+    def test_xpath_first_twin_exclusion_keeps_second(self):
+        from crawl4ai_scraper_spark.kernel.selectors import extract_by_xpath
+        assert extract_by_xpath(self.TWINS, ["//p"], ["//div/p[1]"]) == "dup\n\ntail"
+
+    def test_unique_element_control_case_agrees(self):
+        # no twins → both mechanics drop exactly the matched element
+        from crawl4ai_scraper_spark.kernel.selectors import (extract_by_css,
+                                                             extract_by_xpath)
+        html = "<div><p>a</p><p>b</p><p>c</p></div>"
+        assert extract_by_css(html, ["p"], ["p:nth-of-type(2)"]) == "a\n\nc"
+        assert extract_by_xpath(html, ["//p"], ["//p[2]"]) == "a\n\nc"
+
+    def test_descendant_exclusion_css_fires_xpath_does_not(self):
+        from crawl4ai_scraper_spark.kernel.selectors import (extract_by_css,
+                                                             extract_by_xpath)
+        html = ("<div><blockquote><em>x</em> q</blockquote>"
+                "<blockquote><em>y</em> r</blockquote></div>")
+        # CSS: select_one('em') under each blockquote matches → both dropped
+        assert extract_by_css(html, ["blockquote"], ["em"]) == ""
+        # XPath: //em yields em nodes, none of which IS an extracted
+        # blockquote → nothing removed (reference 148-152 identity check).
+        # Double space = lxml ' '.join(itertext()) over nodes 'x' and ' q'.
+        assert extract_by_xpath(html, ["//blockquote"], ["//em"]) == "x  q\n\ny  r"
