@@ -85,6 +85,16 @@ class CrawlJobConfig:
     # back to the shuffled left join. 4M rows ≈ 300 MB broadcast — the safe
     # ceiling for 4-8 GiB executors.
     broadcast_frontier_threshold: int = 4_000_000
+    # Deferred-stats ceiling (rows): rounds whose frontier is at most this
+    # size carry their ok/matched/links scalars as observe() metrics on the
+    # rank chain's first action — zero dedicated stats job. Bigger rounds
+    # use the eager one-job agg: fusing cache materialization into the rank
+    # chain holds Arrow-expansion output AND shuffle-write state per task,
+    # and above ~1M frontier rows the storage pool loses that contention and
+    # evicts the cache mid-build (measured, 16×-corpus crawl: 915 s deferred
+    # vs 644 s eager; 1× corpus [≤563k-row rounds]: deferred 58.0 s ≈
+    # best-ever). The ceiling trades one tiny job for bounded peak memory.
+    defer_stats_max_frontier: int = 1_000_000
     # Priority mode: "fifo" replicates the reference's BFS queue exactly;
     # "priority" orders each round by (priority desc, arrival) — our extension.
     frontier_order: str = "fifo"

@@ -234,7 +234,9 @@ def run_round(
     # it is never counted with a job.
     kind0 = F.col("kind") == 0
     remaining = cfg.max_pages - discovered_so_far
-    defer_stats = extraction is not None and n_frontier < remaining
+    defer_stats = (extraction is not None and n_frontier < remaining
+                   and n_frontier <= cfg.defer_stats_max_frontier
+                   and not os.environ.get("SPARK_GRAFT_EAGER_STATS"))
     obs: Optional[Observation] = None
     links_src = expanded  # feeds the candidate chain; observed frame in defer mode
     if defer_stats:

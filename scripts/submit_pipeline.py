@@ -68,6 +68,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -515,9 +516,16 @@ def main(argv=None):
         return 2
 
     from crawl4ai_scraper_spark.session import build_session
+    from crawl4ai_scraper_spark.sizing import autosize_path
 
+    # Self-size from the input's parquet footers (VERDICT r4 #2) unless the
+    # caller pinned --shuffle-partitions; driver heap derived + asserted
+    # against host memory at submit time, env vars as overrides.
+    sizing = autosize_path(args.input, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark = build_session(app_name="corpus-pipeline",
-                          shuffle_partitions=args.shuffle_partitions)
+                          shuffle_partitions=(args.shuffle_partitions
+                                              or sizing.shuffle_partitions),
+                          extra_conf={"spark.driver.memory": sizing.driver_memory})
     spark.sparkContext.setLogLevel("WARN")
     summary = run_pipeline(spark, args)
     print(json.dumps(summary))
