@@ -68,8 +68,16 @@ def run_bench(cpus: int) -> dict:
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        # preserve the evidence — a swallowed subprocess stderr cost a whole
+        # 20-minute scaling attempt once (round 5)
+        dump = REPO / "logs" / f"scaling_fail_cpus{cpus}_{int(time.time())}.log"
+        dump.write_text("RC=%s\n--- stdout ---\n%s\n--- stderr ---\n%s\n"
+                        % (out.returncode, out.stdout[-8000:], out.stderr[-12000:]))
+        raise RuntimeError(f"bench subprocess @local[{cpus}] produced no JSON; "
+                           f"rc={out.returncode}, dump: {dump}")
+    return json.loads(lines[-1])
 
 
 def measure_span(n: int, reps_small: int, reps_big: int) -> dict:
