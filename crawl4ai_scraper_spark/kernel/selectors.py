@@ -82,11 +82,16 @@ matches the reference exactly:
 Equality semantics match the per-engine reference exactly: the CSS exclusion
 path removes under bs4 STRUCTURAL equality (``_struct_eq`` — tag, attrs,
 contents recursively; ``list.remove`` drops the FIRST structurally-equal
-element), while the XPath path removes by object identity — which is what
-lxml's default ``_Element`` equality is. (Either way the output text cannot
-differ: structural equality implies identical extracted text, so removing
-the first-equal vs the identical element yields the same text sequence —
-but the removal now mirrors each engine's mechanics, not just its output.)
+element, and the ``element in parent.select(...)`` membership probe also
+tests structurally — so an exclusion matching ONE of two identical twins
+cascades to remove BOTH), while the XPath path removes by object identity —
+lxml's default ``_Element`` equality — so only the matched node goes, and a
+descendant-matching exclusion removes nothing at all. These mechanics
+produce OBSERVABLY different output between the two engines on twin-bearing
+documents (e.g. CSS keeps only "tail" where XPath keeps "dup\n\ntail");
+tests/test_selectors.py ``TestExclusionDivergenceMatrix`` pins our engine
+to diverge exactly where the reference's two paths do
+(selector_utils.py:84-99 vs 148-152).
 """
 
 from __future__ import annotations
